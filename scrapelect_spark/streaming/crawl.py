@@ -1,0 +1,577 @@
+"""The micro-batch crawl loop: frontier → politeness claim → fetch →
+extract → frontier append, checkpointed per batch.
+
+This is the web-scale graft around the scrp engine (north_rule): the
+reference fetches one page per URL-recursion eval with no dedup or
+scheduling (/root/reference/src/interpreter/mod.rs:124-138); here a
+distributed frontier drives fetching while per-page extraction keeps
+the reference's sequential semantics inside the UDF.
+
+Determinism contract (verified against the sequential reference
+simulator in reference_sim.py): under the same seed list + politeness
+budget, the crawl produces byte-for-byte the same
+
+- fetch order  — ``page_seq`` assigned from the total order
+  ``(priority, depth, page_seq, link_seq, url)`` (politeness.py);
+- URL-seen set — exact dedup (bloom prefilter + anti-join; sketches
+  never change the answer, urlseen.py);
+- extraction output — same engine, same pages.
+
+Storage: one :class:`SnapshotTable` per logical table (frontier /
+seen / pages / records / sketches) plus a root table whose snapshot
+pins each sub-table snapshot id — a micro-batch commits sub-tables
+first and the root last (atomically), so resume reads a consistent
+cut (north_rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+
+Scale notes:
+- queued = frontier ⟕̸ pages (left-anti): at 10^10 rows this is the
+  cost of plain parquet; on Iceberg the same loop uses MoR deletes and
+  a bucket(url) layout so the anti-join is partition-local;
+- candidate dedup anti-join only sees the bloom "maybe-seen" sliver;
+- per-host windows are salt-staged (politeness.py) so host skew never
+  concentrates on one task;
+- the corpus fetcher realizes "HTTP GET" as a join against the page
+  corpus (sandbox has no network); HttpFetcher shows the mapInPandas
+  shape with per-partition rate limiting for real deployments.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.dom import parse_html
+from ..functions.interpreter import Interpreter, warm_selectors
+from ..functions.value import to_json
+from ..plans.parser import parse_program
+from ..sources.checkpoint import SnapshotTable
+from .canonicalize import canonicalize_url, host_of, resolve_and_canonicalize
+from .politeness import repartition_for_fetch, select_batch
+from .robots import RobotsPolicy
+from .urlseen import (
+    BloomFilter,
+    PartitionedSeenSketch,
+    build_sketches,
+    merge_sketches,
+)
+
+ALLOWED_SCHEMES = ("http", "https", "file")
+
+
+@dataclass
+class CrawlConfig:
+    batch_size: int = 1000
+    per_host_limit: int = 4
+    salt_buckets: int = 8
+    max_depth: int = 10
+    buckets: int = 64  # frontier hash buckets (sketch partitioning)
+    bloom_bits_per_bucket: int = 1 << 20
+    bloom_hashes: int = 5
+    default_priority: int = 100
+    user_agent: str = "scrapelect-spark v0.1"
+    batch_seconds: float = 60.0  # politeness budget window per micro-batch
+    fetch_partitions: int = 32
+    broadcast_corpus: bool = True
+
+
+def extract_links(root, base_url: str) -> list[Optional[str]]:
+    """All ``<a href>`` targets in document order, resolved against the
+    page URL and canonicalized (None for unusable hrefs).  Shared with
+    the sequential reference simulator — identical by construction."""
+    out: list[Optional[str]] = []
+    for el in root.descendants():
+        if el.tag == "a" and "href" in el.attrs:
+            out.append(resolve_and_canonicalize(el.attrs["href"], base_url))
+    return out
+
+
+PROCESS_SCHEMA = StructType(
+    [
+        StructField("page_url", StringType(), False),
+        StructField("page_seq", LongType(), False),
+        StructField("depth", IntegerType(), False),
+        StructField("kind", StringType(), False),  # link | record | error
+        StructField("seq", IntegerType(), False),
+        StructField("value", StringType(), True),
+    ]
+)
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("host", StringType(), False),
+        StructField("depth", IntegerType(), False),
+        StructField("page_seq", LongType(), False),  # discovering page
+        StructField("link_seq", IntegerType(), False),
+        StructField("priority", IntegerType(), False),
+        StructField("excluded", StringType(), True),  # None | reason
+        StructField("batch", LongType(), False),
+    ]
+)
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        corpus: DataFrame,  # (url, html) — the fetchable web
+        seeds: list[tuple[str, int]],  # (url, priority)
+        program: str | None = None,
+        robots: RobotsPolicy | None = None,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.seeds = seeds
+        self.robots = robots or RobotsPolicy({}, self.cfg.batch_seconds)
+        self.program = program
+        self.statements = None
+        if program is not None:
+            self.statements = parse_program(program)
+            warm_selectors(self.statements)
+        self.corpus = corpus
+        self.root = SnapshotTable(f"{workdir}/crawl")
+        self.tables = {
+            name: SnapshotTable(f"{workdir}/{name}")
+            for name in ("frontier", "seen", "pages", "records", "sketches")
+        }
+        self.sketch: PartitionedSeenSketch | None = None
+
+    # --- helpers ---------------------------------------------------
+    def _with_bucket(self, df: DataFrame, col: str = "url") -> DataFrame:
+        return df.withColumn("bucket", F.pmod(F.hash(F.col(col)), F.lit(self.cfg.buckets)))
+
+    def _host_budgets(self) -> DataFrame | None:
+        rows = [
+            (h, self.robots.host_budget(h, self.cfg.per_host_limit))
+            for h in self.robots.per_host
+        ]
+        if not rows:
+            return None
+        return self.spark.createDataFrame(rows, ["host", "budget"])
+
+    def _pinned(self, name: str) -> Optional[DataFrame]:
+        """Read a sub-table at the snapshot pinned by the root table."""
+        snap = self.root.current_snapshot()
+        if snap is None:
+            return None
+        sid = snap["metrics"]["tables"].get(name)
+        if sid is None:
+            return None
+        return self.tables[name].read(self.spark, snapshot_id=sid)
+
+    # --- seen sketches --------------------------------------------
+    def _new_bloom(self) -> BloomFilter:
+        return BloomFilter(self.cfg.bloom_bits_per_bucket, self.cfg.bloom_hashes)
+
+    def _merge_new_urls_into_sketch(self, url_bucket_rows: list[tuple[str, int]]) -> None:
+        if self.sketch is None:
+            self.sketch = PartitionedSeenSketch({})
+        by_bucket: dict[int, list[str]] = {}
+        for url, bucket in url_bucket_rows:
+            by_bucket.setdefault(int(bucket), []).append(url)
+        for bucket, urls in by_bucket.items():
+            f = (
+                BloomFilter.from_bytes(self.sketch.raw[bucket])
+                if bucket in self.sketch.raw
+                else self._new_bloom()
+            )
+            f.add_many(np.array(urls, dtype=object))
+            self.sketch.raw[bucket] = f.to_bytes()
+            self.sketch._cache.pop(bucket, None)
+
+    def _restore_sketches(self) -> None:
+        df = self._pinned("sketches")
+        if df is None:
+            self.sketch = PartitionedSeenSketch({})
+            return
+        # latest sketch per bucket
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket").orderBy(F.col("batch").desc())
+        rows = (
+            df.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("bucket", "sketch")
+            .collect()
+        )
+        self.sketch = PartitionedSeenSketch(
+            {r.bucket: bytes(r.sketch) for r in rows}
+        )
+
+    # --- batch stages ---------------------------------------------
+    def _seed_commit(self) -> dict:
+        rows = []
+        seen_order: dict[str, None] = {}
+        for i, (url, priority) in enumerate(self.seeds):
+            canon = canonicalize_url(url)
+            if canon is None or canon in seen_order:
+                continue
+            seen_order[canon] = None
+            host = host_of(canon)
+            from urllib.parse import urlsplit
+
+            path = urlsplit(canon).path or "/"
+            excluded = None if self.robots.allowed(host, path) else "robots"
+            rows.append((canon, host, 0, -1, i, priority, excluded, 0))
+        frontier_df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        fr_snap = self.tables["frontier"].commit(frontier_df, metrics={"batch": 0})
+        seen_df = self._with_bucket(frontier_df.select("url")).select("url", "bucket")
+        seen_snap = self.tables["seen"].commit(seen_df, metrics={"batch": 0})
+        self._merge_new_urls_into_sketch(
+            [(r[0], self._py_bucket(r[0])) for r in rows]
+        )
+        sk_snap = self._commit_sketches(0)
+        root = self.root.commit(
+            None,
+            metrics={
+                "batch": 0,
+                "next_page_seq": 0,
+                "tables": {
+                    "frontier": fr_snap["id"],
+                    "seen": seen_snap["id"],
+                    "sketches": sk_snap["id"],
+                    "pages": None,
+                    "records": None,
+                },
+                "pages_fetched": 0,
+                "seeds": len(rows),
+            },
+        )
+        return root
+
+    def _py_bucket(self, url: str) -> int:
+        # driver-side bucket for sketch maintenance; MUST match the
+        # JVM pmod(hash(url), P) used on columns.  We compute it via a
+        # tiny Spark expression to avoid reimplementing murmur3.
+        # Batched by caller where it matters; here only for seeds.
+        if not hasattr(self, "_bucket_cache"):
+            self._bucket_cache: dict[str, int] = {}
+        if url not in self._bucket_cache:
+            row = self.spark.createDataFrame([(url,)], ["url"])
+            b = self._with_bucket(row).collect()[0].bucket
+            self._bucket_cache[url] = b
+        return self._bucket_cache[url]
+
+    def _commit_sketches(self, batch: int):
+        assert self.sketch is not None
+        rows = [(int(b), bytearray(raw), batch) for b, raw in self.sketch.raw.items()]
+        schema = "bucket int, sketch binary, batch long"
+        df = self.spark.createDataFrame(
+            [(b, bytes(s), bt) for b, s, bt in rows], schema=schema
+        )
+        return self.tables["sketches"].commit(
+            df, mode="overwrite", metrics={"batch": batch}
+        )
+
+    def _process_batch_udf(self):
+        statements = self.statements
+        user_agent = self.cfg.user_agent  # noqa: F841 — HTTP path config
+
+        def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            interp = Interpreter() if statements is not None else None
+            for pdf in batches:
+                out: dict[str, list] = {
+                    k.name: [] for k in PROCESS_SCHEMA.fields
+                }
+
+                def emit(url, seq_, depth, kind, i, value):
+                    out["page_url"].append(url)
+                    out["page_seq"].append(seq_)
+                    out["depth"].append(depth)
+                    out["kind"].append(kind)
+                    out["seq"].append(i)
+                    out["value"].append(value)
+
+                for url, html, pseq, depth in zip(
+                    pdf["url"], pdf["html"], pdf["page_seq_assigned"], pdf["depth"]
+                ):
+                    if html is None:
+                        emit(url, pseq, depth, "error", 0, "fetch failed: 404")
+                        continue
+                    root = parse_html(html)
+                    for i, target in enumerate(extract_links(root, url)):
+                        if target is not None:
+                            emit(url, pseq, depth, "link", i, target)
+                    if interp is not None:
+                        try:
+                            rec = interp.interpret_document(statements, root, url)
+                            emit(url, pseq, depth, "record", 0, to_json(rec))
+                        except Exception as e:  # permissive corpus mode
+                            emit(url, pseq, depth, "error", 0, str(e))
+                yield pd.DataFrame(out)
+
+        return process
+
+    def _maybe_seen_filter(self, candidates: DataFrame) -> DataFrame:
+        """Split candidates via broadcast sketches: provably-new rows
+        bypass the anti-join; 'maybe seen' rows get the exact check."""
+        sketch_bc = self.spark.sparkContext.broadcast(
+            self.sketch.raw if self.sketch else {}
+        )
+        schema = StructType(
+            candidates.schema.fields
+            + [StructField("maybe_seen", StringType(), False)]
+        )
+
+        def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sk = PartitionedSeenSketch(sketch_bc.value)
+            for pdf in batches:
+                flags = sk.maybe_seen(pdf["url"], pdf["bucket"])
+                pdf = pdf.copy()
+                pdf["maybe_seen"] = np.where(flags, "y", "n")
+                yield pdf
+
+        return candidates.mapInPandas(check, schema=schema)
+
+    def _robots_excluded_col(self, df: DataFrame) -> DataFrame:
+        policy_bc = self.spark.sparkContext.broadcast(self.robots)
+        schema = StructType(
+            df.schema.fields + [StructField("excluded", StringType(), True)]
+        )
+
+        def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from urllib.parse import urlsplit
+
+            policy: RobotsPolicy = policy_bc.value
+            for pdf in batches:
+                exc = [
+                    None
+                    if policy.allowed(h, urlsplit(u).path or "/")
+                    else "robots"
+                    for u, h in zip(pdf["url"], pdf["host"])
+                ]
+                pdf = pdf.copy()
+                pdf["excluded"] = pd.Series(exc, dtype=object)
+                yield pdf
+
+        return df.mapInPandas(check, schema=schema)
+
+    # --- the loop --------------------------------------------------
+    def run(self, max_batches: int = 100) -> dict:
+        state = self.root.current_snapshot()
+        if state is None:
+            state = self._seed_commit()
+        if self.sketch is None:
+            self._restore_sketches()
+
+        for _ in range(max_batches):
+            state = self._run_one_batch(state)
+            if state["metrics"]["pages_fetched"] == 0:
+                break
+        return self.root.current_snapshot()
+
+    def _run_one_batch(self, root_state: dict) -> dict:
+        m = root_state["metrics"]
+        batch = m["batch"] + 1
+        next_page_seq = m["next_page_seq"]
+
+        frontier = self._pinned("frontier")
+        pages = self._pinned("pages")
+        seen = self._pinned("seen")
+
+        queued = frontier.filter(F.col("excluded").isNull())
+        if pages is not None:
+            queued = queued.join(pages.select("url"), on="url", how="left_anti")
+
+        claimed = select_batch(
+            queued.select(
+                "url", "host", "depth", "page_seq", "link_seq", "priority"
+            ),
+            batch_size=self.cfg.batch_size,
+            host_budgets=self._host_budgets(),
+            default_per_host=self.cfg.per_host_limit,
+            salt_buckets=self.cfg.salt_buckets,
+        ).withColumn(
+            "page_seq_assigned", F.col("fetch_order") + F.lit(next_page_seq)
+        )
+
+        claimed = repartition_for_fetch(
+            claimed, self.cfg.fetch_partitions, self.cfg.salt_buckets
+        ).cache()
+
+        # fetch = join against the corpus (sandbox stand-in for HTTP)
+        corpus = self.corpus
+        if self.cfg.broadcast_corpus:
+            corpus = F.broadcast(corpus)
+        fetched = claimed.join(corpus, on="url", how="left")
+
+        # per-partition lineage metric before processing
+        part_counts = {
+            str(r.pid): r["count"]
+            for r in fetched.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        }
+
+        processed = fetched.select(
+            "url", "html", "page_seq_assigned", "depth"
+        ).mapInPandas(self._process_batch_udf(), schema=PROCESS_SCHEMA)
+        processed = processed.cache()
+
+        # --- pages log ---
+        page_rows = (
+            claimed.select(
+                "url",
+                "host",
+                "depth",
+                F.col("page_seq_assigned").alias("page_seq"),
+                "fetch_order",
+            )
+            .withColumn("batch", F.lit(batch).cast("long"))
+        )
+        n_fetched = page_rows.count()
+        if n_fetched == 0:
+            processed.unpersist()
+            root = self.root.commit(
+                None,
+                metrics={**m, "batch": batch, "pages_fetched": 0, "tables": m["tables"]},
+            )
+            return root
+
+        pg_snap = self.tables["pages"].commit(page_rows, metrics={"batch": batch})
+
+        # --- records ---
+        records = processed.filter(F.col("kind").isin("record", "error")).select(
+            F.col("page_url").alias("url"),
+            "page_seq",
+            "depth",
+            "kind",
+            F.col("value"),
+            F.lit(batch).cast("long").alias("batch"),
+        )
+        rec_snap = self.tables["records"].commit(records, metrics={"batch": batch})
+
+        # --- new frontier candidates ---
+        links = processed.filter(
+            (F.col("kind") == "link") & (F.col("depth") < self.cfg.max_depth)
+        ).select(
+            F.col("value").alias("url"),
+            (F.col("depth") + 1).alias("depth"),
+            F.col("page_seq"),
+            F.col("seq").alias("link_seq"),
+        )
+        links = links.filter(
+            F.split(F.col("url"), ":").getItem(0).isin(*ALLOWED_SCHEMES)
+        )
+        # in-batch dedup: deterministic first discovery by lineage order
+        links = (
+            links.groupBy("url")
+            .agg(F.min(F.struct("page_seq", "link_seq", "depth")).alias("s"))
+            .select(
+                "url",
+                F.col("s.depth").alias("depth"),
+                F.col("s.page_seq").alias("page_seq"),
+                F.col("s.link_seq").alias("link_seq"),
+            )
+        )
+        candidates = self._with_bucket(links)
+        flagged = self._maybe_seen_filter(candidates)
+        definitely_new = flagged.filter(F.col("maybe_seen") == "n").drop("maybe_seen")
+        maybe = flagged.filter(F.col("maybe_seen") == "y").drop("maybe_seen")
+        if seen is not None:
+            maybe = maybe.join(seen.select("url"), on="url", how="left_anti")
+        new_urls = definitely_new.unionByName(maybe)
+
+        new_frontier = (
+            new_urls.withColumn("host", F.expr("parse_url(url, 'HOST')"))
+            .withColumn("host", F.lower(F.coalesce(F.col("host"), F.lit(""))))
+            .withColumn("priority", F.lit(self.cfg.default_priority))
+            .withColumn("batch", F.lit(batch).cast("long"))
+        )
+        new_frontier = self._robots_excluded_col(
+            new_frontier.select(
+                "url", "host", "depth", "page_seq", "link_seq", "priority", "batch", "bucket"
+            )
+        )
+
+        new_frontier = new_frontier.cache()
+        n_new = new_frontier.count()
+
+        fr_snap = self.tables["frontier"].commit(
+            new_frontier.select(
+                "url", "host", "depth", "page_seq", "link_seq", "priority",
+                "excluded", "batch",
+            ),
+            metrics={"batch": batch},
+        )
+        seen_snap = self.tables["seen"].commit(
+            new_frontier.select("url", "bucket"), metrics={"batch": batch}
+        )
+        # sketch delta built executor-side (applyInPandas per bucket);
+        # only serialized bloom bytes cross to the driver for OR-merge
+        if n_new > 0:
+            delta = build_sketches(
+                new_frontier.select("url", "bucket"),
+                num_bits=self.cfg.bloom_bits_per_bucket,
+                num_hashes=self.cfg.bloom_hashes,
+            )
+            self.sketch = merge_sketches(
+                self.sketch or PartitionedSeenSketch({}), delta
+            )
+        sk_snap = self._commit_sketches(batch)
+
+        root = self.root.commit(
+            None,
+            metrics={
+                "batch": batch,
+                "next_page_seq": int(next_page_seq + n_fetched),
+                "pages_fetched": int(n_fetched),
+                "new_urls": int(n_new),
+                "tables": {
+                    "frontier": fr_snap["id"],
+                    "seen": seen_snap["id"],
+                    "pages": pg_snap["id"],
+                    "records": rec_snap["id"],
+                    "sketches": sk_snap["id"],
+                },
+            },
+            lineage={"fetch_partition_rows": part_counts},
+        )
+        processed.unpersist()
+        new_frontier.unpersist()
+        claimed.unpersist()
+        return root
+
+    # --- outputs ---------------------------------------------------
+    def visit_log(self) -> list[tuple[str, int, int]]:
+        """[(url, page_seq, depth)] in fetch order — the determinism
+        artifact compared against the sequential simulator."""
+        df = self._pinned("pages")
+        if df is None:
+            return []
+        return [
+            (r.url, r.page_seq, r.depth)
+            for r in df.orderBy("page_seq").collect()
+        ]
+
+    def seen_set(self) -> set[str]:
+        df = self._pinned("seen")
+        if df is None:
+            return set()
+        return {r.url for r in df.select("url").collect()}
+
+    def records_json(self) -> dict[str, str]:
+        df = self._pinned("records")
+        if df is None:
+            return {}
+        return {
+            r.url: r.value
+            for r in df.filter(F.col("kind") == "record").collect()
+        }

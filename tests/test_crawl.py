@@ -1,0 +1,248 @@
+"""Crawl-layer tests: sketches, canonicalization, robots, politeness,
+and the headline determinism contract — the Spark micro-batch crawl
+reproduces the sequential reference crawl byte-for-byte (visit order,
+URL-seen set, extraction output) and resumes exactly from checkpoint."""
+
+import numpy as np
+import pytest
+
+from scrapelect_spark.streaming.canonicalize import (
+    canonicalize_url,
+    resolve_and_canonicalize,
+)
+from scrapelect_spark.streaming.robots import RobotsPolicy, parse_robots
+from scrapelect_spark.streaming.urlseen import BloomFilter, CuckooFilter
+
+# ------------------------------------------------------------------ util
+
+
+def synth_corpus(n_hosts=3, pages_per_host=25, links_per_page=4):
+    """Deterministic multi-host web with cross-host links."""
+    corpus = {}
+    for h in range(n_hosts):
+        host = f"site{h}.test"
+        for p in range(pages_per_host):
+            links = []
+            for k in range(links_per_page):
+                target_p = (p * 7 + k * 3 + 1) % pages_per_host
+                target_h = (h + k) % n_hosts
+                links.append(
+                    f'<a href="http://site{target_h}.test/page/{target_p}">l{k}</a>'
+                )
+            # one relative link and one junk link per page
+            links.append(f'<a href="./page/{(p + 1) % pages_per_host}">rel</a>')
+            links.append('<a href="mailto:x@example.com">mail</a>')
+            html = (
+                f"<html><body><h1>Page {host}/{p}</h1>"
+                + "".join(links)
+                + f'<p class="body">content {h}-{p}</p></body></html>'
+            )
+            corpus[f"http://{host}/page/{p}"] = html
+    return corpus
+
+
+SCRP = 'title: h1 { t: $element | text(); } | take(key: "t");'
+
+ROBOTS = [
+    (
+        "site1.test",
+        "User-agent: *\nDisallow: /page/3\nDisallow: /page/13\nCrawl-delay: 30\n",
+    ),
+    ("site2.test", "User-agent: *\nDisallow: /page/7\n"),
+]
+
+
+# ------------------------------------------------------------------ units
+
+
+def test_canonicalize_rules():
+    assert canonicalize_url("HTTP://Example.COM:80/a/../b#frag") == "http://example.com/b"
+    assert canonicalize_url("https://example.com:443/") == "https://example.com/"
+    assert canonicalize_url("https://example.com:8443/x") == "https://example.com:8443/x"
+    assert canonicalize_url("http://example.com") == "http://example.com/"
+    assert canonicalize_url("not a url") is None
+    assert canonicalize_url("/relative/only") is None
+    # idempotence
+    u = canonicalize_url("HTTP://A.B/c/./d/../e?q=1#f")
+    assert canonicalize_url(u) == u
+
+
+def test_resolve_relative():
+    assert (
+        resolve_and_canonicalize("./x.html", "http://h.test/a/b.html")
+        == "http://h.test/a/x.html"
+    )
+    assert (
+        resolve_and_canonicalize("//other.test/y", "https://h.test/a")
+        == "https://other.test/y"
+    )
+
+
+def test_robots_longest_match_and_delay():
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 10\n"
+    )
+    assert not rules.allowed("/private/x")
+    assert rules.allowed("/private/ok/y")
+    assert rules.allowed("/public")
+    assert rules.crawl_delay == 10.0
+    policy = RobotsPolicy({"h.test": rules}, batch_seconds=60.0)
+    assert policy.host_budget("h.test", 100) == 6
+    assert policy.host_budget("other.test", 100) == 100
+
+
+def test_bloom_no_false_negatives():
+    f = BloomFilter.for_capacity(5000, fpp=0.01)
+    items = np.array([f"http://x.test/{i}" for i in range(5000)], dtype=object)
+    f.add_many(items)
+    assert f.might_contain_many(items).all()
+    other = np.array([f"http://y.test/{i}" for i in range(5000)], dtype=object)
+    fp_rate = f.might_contain_many(other).mean()
+    assert fp_rate < 0.03
+    # serialization round-trip
+    g = BloomFilter.from_bytes(f.to_bytes())
+    assert g.might_contain_many(items).all()
+
+
+def test_bloom_merge():
+    a = BloomFilter(1 << 16, 5)
+    b = BloomFilter(1 << 16, 5)
+    ia = np.array(["a1", "a2"], dtype=object)
+    ib = np.array(["b1", "b2"], dtype=object)
+    a.add_many(ia)
+    b.add_many(ib)
+    a.merge(b)
+    assert a.might_contain_many(np.concatenate([ia, ib])).all()
+
+
+def test_cuckoo_insert_lookup_delete():
+    f = CuckooFilter.for_capacity(2000)
+    items = [f"http://c.test/{i}" for i in range(2000)]
+    for it in items:
+        assert f.insert(it)
+    assert all(f.contains(it) for it in items)
+    misses = sum(f.contains(f"http://d.test/{i}") for i in range(2000))
+    assert misses / 2000 < 0.05
+    assert f.delete(items[0])
+    assert not f.contains(items[0])
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    assert g.contains(items[1])
+
+
+# ------------------------------------------------------------------ parity
+
+
+@pytest.fixture(scope="module")
+def crawl_setup(tmp_path_factory):
+    corpus = synth_corpus()
+    seeds = [
+        ("http://site0.test/page/0", 10),
+        ("http://site1.test/page/0", 20),
+    ]
+    robots = RobotsPolicy.from_pairs(ROBOTS, batch_seconds=60.0)
+    from scrapelect_spark.streaming.crawl import CrawlConfig
+
+    cfg = CrawlConfig(
+        batch_size=12,
+        per_host_limit=3,
+        max_depth=4,
+        buckets=8,
+        bloom_bits_per_bucket=1 << 16,
+        fetch_partitions=8,
+    )
+    return corpus, seeds, robots, cfg
+
+
+def run_sequential(corpus, seeds, robots, cfg, max_batches=50):
+    from scrapelect_spark.streaming.reference_sim import SequentialCrawler
+
+    sim = SequentialCrawler(corpus, seeds, SCRP, robots, cfg)
+    sim.run(max_batches)
+    return sim
+
+
+def test_spark_crawl_matches_sequential_reference(spark, crawl_setup, tmp_path):
+    from scrapelect_spark.streaming.crawl import Crawler
+
+    corpus, seeds, robots, cfg = crawl_setup
+    sim = run_sequential(corpus, seeds, robots, cfg)
+    assert len(sim.visit_log) > 30  # crawl actually went somewhere
+
+    corpus_df = spark.createDataFrame(list(corpus.items()), ["url", "html"])
+    crawler = Crawler(
+        spark,
+        str(tmp_path / "crawl"),
+        corpus_df,
+        seeds,
+        program=SCRP,
+        robots=robots,
+        config=cfg,
+    )
+    crawler.run(max_batches=50)
+
+    assert crawler.visit_log() == sim.visit_log  # byte-for-byte fetch order
+    assert crawler.seen_set() == sim.seen  # exact URL-seen set
+    assert crawler.records_json() == sim.records  # same extraction output
+
+    # robots exclusions actually happened
+    visited = {u for u, _, _ in sim.visit_log}
+    assert "http://site1.test/page/3" not in visited
+    assert "http://site2.test/page/7" not in visited
+    # ...but excluded URLs are still in the seen set (no re-evaluation)
+    assert "http://site1.test/page/3" in sim.seen
+
+    # crawl-delay tightened site1's budget: 60s/30s = 2 fetches per batch
+    from collections import Counter
+
+    per_batch_hosts = Counter()
+    # reconstruct batch membership from page_seq and batch size
+    pages = crawler._pinned("pages").collect()
+    for r in pages:
+        per_batch_hosts[(r.batch, r.host)] += 1
+    for (b, host), cnt in per_batch_hosts.items():
+        if host == "site1.test":
+            assert cnt <= 2, f"batch {b} over crawl-delay budget: {cnt}"
+        else:
+            assert cnt <= cfg.per_host_limit
+
+
+def test_crawl_resume_from_checkpoint(spark, crawl_setup, tmp_path):
+    from scrapelect_spark.streaming.crawl import Crawler
+
+    corpus, seeds, robots, cfg = crawl_setup
+    sim = run_sequential(corpus, seeds, robots, cfg)
+    corpus_df = spark.createDataFrame(list(corpus.items()), ["url", "html"])
+
+    workdir = str(tmp_path / "resume")
+    c1 = Crawler(spark, workdir, corpus_df, seeds, SCRP, robots, cfg)
+    c1.run(max_batches=2)
+    partial = c1.visit_log()
+    assert 0 < len(partial) < len(sim.visit_log)
+
+    # brand-new crawler instance over the same checkpoint dir
+    c2 = Crawler(spark, workdir, corpus_df, seeds, SCRP, robots, cfg)
+    c2.run(max_batches=50)
+    assert c2.visit_log() == sim.visit_log
+    assert c2.seen_set() == sim.seen
+
+    # snapshot history is a consistent chain with lineage metrics
+    hist = c2.root.history()
+    assert [s["id"] for s in hist] == list(range(1, len(hist) + 1))
+    assert any("fetch_partition_rows" in s.get("lineage", {}) for s in hist)
+
+
+def test_snapshot_table_atomic_commits(spark, tmp_path):
+    from scrapelect_spark.sources.checkpoint import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    s1 = t.commit(df1)
+    df2 = spark.range(5, 8).withColumnRenamed("id", "x")
+    s2 = t.commit(df2)
+    assert s2["parent"] == s1["id"]
+    assert t.read(spark).count() == 8
+    # time travel
+    assert t.read(spark, snapshot_id=s1["id"]).count() == 5
+    # compaction preserves content
+    t.compact(spark)
+    assert t.read(spark).count() == 8
