@@ -1,0 +1,197 @@
+"""Multimodal column operators: image decode / feature-extract /
+resize / frame-sample plumbing over binary columns.
+
+Images are opaque ``binary`` columns with typed metadata (the
+``input_hint`` table shape: image_id, bytes, w, h, fmt, caption,
+phash).  All transforms are Arrow-batched ``mapInPandas`` — the decode
+loop runs per binary payload inside one Python call per batch, never
+per-row from Spark's side.
+
+Real vs stubbed (per round instructions): PNG decode/encode is REAL
+(pure numpy+zlib, sources/png.py); JPEG/audio/video decode is STUBBED
+behind ``NotImplementedError`` with the full Spark plumbing (schema,
+batching, partitioning) in place and tested against the PNG path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.png import decode_png, encode_png, phash64, psnr
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(bytes(data))
+    if fmt in ("jpeg", "jpg"):
+        # STUB: no JPEG codec in this runtime (no PIL/libjpeg).  The
+        # Spark plumbing (binary column in, pixel-derived features out)
+        # is identical to the PNG path and is what's under test.
+        raise NotImplementedError("JPEG decode requires a codec library")
+    raise NotImplementedError(f"unsupported image format {fmt!r}")
+
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("caption", StringType(), True),
+        StructField("phash", LongType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def with_image_features(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Decode each image and attach (w, h, phash) computed from real
+    pixels — the input_hint sink schema.  Decode failures are captured
+    per-row (permissive corpus mode), including the JPEG stub path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            w = np.full(n, None, dtype=object)
+            h = np.full(n, None, dtype=object)
+            ph = np.full(n, None, dtype=object)
+            err = np.full(n, None, dtype=object)
+            for i, (raw, fmt) in enumerate(zip(pdf[bytes_col], pdf[fmt_col])):
+                try:
+                    arr = decode_image(raw, fmt)
+                    h[i], w[i] = int(arr.shape[0]), int(arr.shape[1])
+                    ph[i] = phash64(arr)
+                except (NotImplementedError, ValueError) as e:
+                    err[i] = str(e)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf[id_col],
+                    "bytes": pdf[bytes_col],
+                    "w": w,
+                    "h": h,
+                    "fmt": pdf[fmt_col],
+                    "caption": pdf[caption_col],
+                    "phash": ph,
+                    "decode_error": err,
+                }
+            )
+
+    return images.mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    images: DataFrame, target_w: int, target_h: int
+) -> DataFrame:
+    """Nearest-neighbor resize of PNG payloads (decode → sample →
+    re-encode), Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in batches:
+            ids, blobs, ws, hs = [], [], [], []
+            for image_id, raw, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = decode_image(raw, fmt)
+                src_h, src_w = arr.shape[:2]
+                yi = (np.arange(target_h) * src_h) // target_h
+                xi = (np.arange(target_w) * src_w) // target_w
+                out = arr[yi[:, None], xi[None, :]]
+                ids.append(image_id)
+                blobs.append(encode_png(out))
+                ws.append(target_w)
+                hs.append(target_h)
+            yield pd.DataFrame(
+                {"image_id": ids, "bytes": blobs, "w": ws, "h": hs}
+            )
+
+    return images.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+PSNR_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("psnr_db", DoubleType(), True),
+        StructField("caption_match", StringType(), True),
+    ]
+)
+
+
+def verify_against_reference(
+    images: DataFrame,
+    reference_pixels: dict[str, np.ndarray],
+    reference_captions: dict[str, str],
+) -> DataFrame:
+    """Per-row extraction invariant from BASELINE.json input_hint:
+    decoded-pixel PSNR (≥40 dB for lossy; ∞ for lossless PNG) +
+    caption equality, computed distributed with the references
+    broadcast."""
+    spark = images.sparkSession
+    pix_bc = spark.sparkContext.broadcast(
+        {k: encode_png(v) for k, v in reference_pixels.items()}
+    )
+    cap_bc = spark.sparkContext.broadcast(reference_captions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pix = pix_bc.value
+        caps = cap_bc.value
+        for pdf in batches:
+            ids, scores, matches = [], [], []
+            for image_id, raw, fmt, caption in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"]
+            ):
+                ids.append(image_id)
+                ref = pix.get(image_id)
+                if ref is None or raw is None:
+                    scores.append(None)
+                else:
+                    scores.append(
+                        psnr(decode_png(ref), decode_image(raw, fmt))
+                    )
+                matches.append(
+                    "y" if caps.get(image_id) == caption else "n"
+                )
+            yield pd.DataFrame(
+                {"image_id": ids, "psnr_db": scores, "caption_match": matches}
+            )
+
+    return images.mapInPandas(run, schema=PSNR_SCHEMA)
+
+
+def frame_sample(video: DataFrame, every_n: int = 10) -> DataFrame:
+    """STUB: video frame sampling — no video codec in this runtime.
+    The contract: binary video column in → exploded (video_id,
+    frame_idx, bytes) rows out via the same mapInPandas shape."""
+    raise NotImplementedError(
+        "video frame sampling requires a codec library; "
+        "plumbing contract documented for the cluster image"
+    )

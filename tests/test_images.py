@@ -1,0 +1,214 @@
+"""Multimodal pipeline tests: PNG codec, phash, the crawl→images flow
+per BASELINE.json input_hint, and the per-row PSNR/caption invariant."""
+
+import json
+
+import numpy as np
+import pytest
+
+from scrapelect_spark.sources.png import decode_png, encode_png, phash64, psnr
+from scrapelect_spark.sources.synth import (
+    build_image_store,
+    gallery_pages,
+    make_caption,
+    make_image,
+)
+
+# ------------------------------------------------------------------ codec
+
+
+def test_png_roundtrip_rgb():
+    arr = make_image("t1", 37, 21)
+    out = decode_png(encode_png(arr))
+    assert out.shape == (21, 37, 3)
+    assert np.array_equal(out, arr)  # lossless → exact
+
+
+def test_png_roundtrip_gray_and_rgba():
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 255
+    assert np.array_equal(decode_png(encode_png(g))[:, :, 0], g)
+    rgba = np.dstack([make_image("t2", 8, 8), np.full((8, 8), 128, np.uint8)])
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+
+
+def test_png_decode_filtered_rows():
+    """Decoder must handle Sub/Up/Average/Paeth rows (foreign PNGs)."""
+    import struct
+    import zlib
+
+    arr = make_image("t3", 16, 5)
+    h, w = arr.shape[:2]
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    recon = arr.reshape(h, w * 3)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        raw[y, 0] = f
+        line = recon[y].astype(np.int16)
+        prev = recon[y - 1].astype(np.int16) if y > 0 else np.zeros(w * 3, np.int16)
+        for x in range(w * 3):
+            left = int(recon[y, x - 3]) if x >= 3 else 0
+            ul = int(prev[x - 3]) if x >= 3 else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - left
+            elif f == 2:
+                v = line[x] - prev[x]
+            elif f == 3:
+                v = line[x] - ((left + prev[x]) >> 1)
+            else:
+                p = left + prev[x] - ul
+                pa, pb, pc = abs(p - left), abs(p - prev[x]), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (prev[x] if pb <= pc else ul)
+                v = line[x] - pred
+            raw[y, x + 1] = v & 0xFF
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), arr)
+
+
+def test_phash_properties():
+    a = make_image("x1")
+    assert phash64(a) == phash64(a.copy())  # deterministic
+    # fits signed int64
+    assert -(1 << 63) <= phash64(a) < (1 << 63)
+    # similar images → close hashes; different images → far
+    noisy = np.clip(a.astype(int) + 2, 0, 255).astype(np.uint8)
+    b = make_image("completely-different")
+    ham_close = bin((phash64(a) & (2**64 - 1)) ^ (phash64(noisy) & (2**64 - 1))).count("1")
+    ham_far = bin((phash64(a) & (2**64 - 1)) ^ (phash64(b) & (2**64 - 1))).count("1")
+    assert ham_close < ham_far
+
+
+def test_psnr():
+    a = make_image("p1")
+    assert psnr(a, a) == float("inf")
+    noisy = np.clip(a.astype(int) + np.random.default_rng(0).integers(-2, 3, a.shape), 0, 255).astype(np.uint8)
+    assert psnr(a, noisy) > 40
+
+
+# ------------------------------------------------------------------ spark
+
+GALLERY_SCRP = (
+    "imgs: img {\n"
+    '    src: $element | attrs() | take(key: "src");\n'
+    '    caption: $element | attrs() | take(key: "alt");\n'
+    "}*;\n"
+)
+
+
+@pytest.fixture(scope="module")
+def gallery(spark, tmp_path_factory):
+    """Crawl the synthetic gallery site and return the records DF."""
+    from scrapelect_spark.streaming.crawl import Crawler, CrawlConfig
+
+    n_pages, per_page = 6, 5
+    corpus = gallery_pages(n_pages, per_page)
+    corpus_df = spark.createDataFrame(list(corpus.items()), ["url", "html"])
+    cfg = CrawlConfig(batch_size=4, per_host_limit=4, max_depth=10, buckets=4,
+                      bloom_bits_per_bucket=1 << 14, fetch_partitions=4)
+    crawler = Crawler(
+        spark,
+        str(tmp_path_factory.mktemp("gallery")),
+        corpus_df,
+        [("http://gallery.test/gallery/0", 1)],
+        program=GALLERY_SCRP,
+        config=cfg,
+    )
+    crawler.run(max_batches=20)
+    n_images = n_pages * per_page
+    store_rows, pixels = build_image_store(n_images)
+    return crawler, store_rows, pixels, n_images
+
+
+def test_crawl_to_images_table(spark, gallery):
+    """records JSON → explode (JVM-side) → join store → decode →
+    input_hint table with real phash; PSNR ∞ and caption equality."""
+    from pyspark.sql import functions as F
+
+    from scrapelect_spark.operators.multimodal import (
+        verify_against_reference,
+        with_image_features,
+    )
+
+    crawler, store_rows, pixels, n_images = gallery
+    records = crawler._pinned("records").filter(F.col("kind") == "record")
+
+    schema = "struct<imgs: array<struct<src: string, caption: string>>>"
+    exploded = (
+        records.withColumn("rec", F.from_json("value", schema))
+        .select(F.explode("rec.imgs").alias("img"))
+        .select(
+            F.regexp_replace("img.src", "^img://", "").alias("image_id"),
+            F.col("img.caption").alias("caption"),
+        )
+    )
+    store = spark.createDataFrame(
+        [(r[0], bytearray(r[1]), r[4]) for r in store_rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    joined = exploded.join(F.broadcast(store), "image_id", "inner")
+    images = with_image_features(joined)
+    rows = images.collect()
+    assert len(rows) == n_images
+    by_id = {r.image_id: r for r in rows}
+    for image_id, arr in pixels.items():
+        r = by_id[image_id]
+        assert r.decode_error is None
+        assert (r.w, r.h) == (arr.shape[1], arr.shape[0])
+        assert r.phash == phash64(arr)
+        assert r.caption == make_caption(image_id)
+
+    # the input_hint per-row invariant, computed distributed
+    captions = {i: make_caption(i) for i in pixels}
+    verdict = verify_against_reference(images, pixels, captions).collect()
+    assert all(v.psnr_db == float("inf") for v in verdict)  # lossless
+    assert all(v.caption_match == "y" for v in verdict)
+
+
+def test_jpeg_stub_captured_per_row(spark):
+    from scrapelect_spark.operators.multimodal import with_image_features
+    from scrapelect_spark.sources.png import encode_png
+
+    arr = make_image("j1", 8, 8)
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(encode_png(arr)), "png", "cap a"),
+            ("b", bytearray(b"\xff\xd8\xff\xe0fakejpeg"), "jpeg", "cap b"),
+        ],
+        "image_id string, bytes binary, fmt string, caption string",
+    )
+    rows = {r.image_id: r for r in with_image_features(df).collect()}
+    assert rows["a"].decode_error is None and rows["a"].phash is not None
+    assert "JPEG decode requires" in rows["b"].decode_error
+    assert rows["b"].phash is None
+
+
+def test_resize_images(spark):
+    from scrapelect_spark.operators.multimodal import resize_images
+
+    arr = make_image("r1", 40, 30)
+    df = spark.createDataFrame(
+        [("r1", bytearray(encode_png(arr)), "png")],
+        "image_id string, bytes binary, fmt string",
+    )
+    out = resize_images(df, 10, 6).collect()[0]
+    assert (out.w, out.h) == (10, 6)
+    dec = decode_png(bytes(out.bytes))
+    assert dec.shape == (6, 10, 3)
+    # nearest-neighbor: every output pixel exists in the source
+    yi = (np.arange(6) * 30) // 6
+    xi = (np.arange(10) * 40) // 10
+    assert np.array_equal(dec, arr[yi[:, None], xi[None, :]])
