@@ -1,0 +1,14 @@
+"""Aggregated query catalog: every operator exposed to the driver's
+correctness gate (one ``queries()`` + ``oracle_sql()`` entry each)."""
+
+from __future__ import annotations
+
+from . import dedup, relational, simsearch, textstats
+
+QUERIES = {}
+ORACLE_SQL = {}
+for mod in (relational, dedup, simsearch, textstats):
+    QUERIES.update(mod.QUERIES)
+    ORACLE_SQL.update(mod.ORACLE_SQL)
+
+assert set(QUERIES) == set(ORACLE_SQL)

@@ -1,0 +1,355 @@
+"""Deduplication family over the ``documents`` / ``embeddings`` tables:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Cross-engine determinism rules (shared with relational.py):
+- hashes are ``md5`` hex strings (identical in Spark and DuckDB);
+  MinHash uses *lexicographic min* over ``md5(shingle || '#' || k)``
+  so no hex→int conversion is needed anywhere;
+- every multi-row float reduction (vector dots/norms) is a SUM of
+  per-row doubles cast to ``DECIMAL(28,12)`` — exact and
+  order-independent, so partial aggregation / AQE can do anything;
+- bit arithmetic (SimHash) uses FLOOR-divide + ``%`` on small ints,
+  exact in double, identical in both dialects.
+
+Scale notes: shingling explodes ~L rows per doc — at 100 TB this is
+the map-side of one shuffle (groupBy doc_id,k with partial min); LSH
+banding turns O(n²) candidate generation into an equi-join on
+(band, band_val), the classic shuffle-friendly formulation.  The
+MinHash query bounds its input (doc_id < 300) so candidate volume is
+sf-independent for the gate; production entry points take thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tables import load
+
+DEC = "decimal(28,12)"
+
+
+# --- exact ----------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact dedup by content hash: dup_rank 1 = keeper."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        d.withColumn("fingerprint", F.md5(F.col("text")))
+        .withColumn("dup_rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "fingerprint", "dup_rank")
+        .orderBy("doc_id")
+    )
+
+
+_EXACT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint,
+       CAST(ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS INTEGER) AS dup_rank
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- shingles helper (Spark side) -----------------------------------
+
+
+def _words(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
+    ).withColumn("ord", (F.col("pos") + 1).cast("long")).drop("pos")
+
+
+def _shingles(words: DataFrame, n: int = 3) -> DataFrame:
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    sh = F.concat_ws(
+        " ", F.col("w"), F.lead("w", 1).over(w), F.lead("w", 2).over(w)
+    )
+    # concat_ws skips NULLs; emulate strict concat by requiring lead-2
+    return (
+        words.withColumn("w2", F.lead("w", 2).over(w))
+        .withColumn("sh", sh)
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "ord", "sh")
+    )
+
+
+_WORDS_SQL = r"""
+words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS ord
+  FROM documents {where}
+)
+"""
+
+_SHINGLES_SQL = """
+shingles AS (
+  SELECT doc_id, ord,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS sh
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+)
+"""
+
+
+# --- MinHash + LSH --------------------------------------------------
+
+_MINHASH_K = 8
+_LSH_ROWS_PER_BAND = 2
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: K=8 minhashes over word 3-gram shingles,
+    4 bands × 2 rows; pair (a,b) is a candidate iff some band agrees."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = _shingles(_words(d)).filter(F.col("sh").isNotNull())
+    seeds = spark.range(_MINHASH_K).withColumnRenamed("id", "k")
+    sigs = (
+        sh.crossJoin(F.broadcast(seeds))
+        .withColumn("hv", F.md5(F.concat(F.col("sh"), F.lit("#"), F.col("k"))))
+        .groupBy("doc_id", "k")
+        .agg(F.min("hv").alias("mh"))
+    )
+    even = sigs.filter(F.col("k") % 2 == 0).select(
+        "doc_id", (F.col("k") / 2).cast("int").alias("band"), F.col("mh").alias("m0"),
+        F.col("k").alias("k0"),
+    )
+    odd = sigs.filter(F.col("k") % 2 == 1).select(
+        F.col("doc_id").alias("doc_id_o"), F.col("k").alias("k1"), F.col("mh").alias("m1")
+    )
+    bands = (
+        even.join(
+            odd,
+            (even.doc_id == odd.doc_id_o) & (odd.k1 == even.k0 + 1),
+        )
+        .select("doc_id", "band", F.md5(F.concat("m0", "m1")).alias("band_val"))
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"),
+        F.col("band_val").alias("band_val_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.band == b.band_b)
+            & (a.band_val == b.band_val_b)
+            & (a.doc_a < b.doc_b),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+_MINHASH_SQL = (
+    "WITH "
+    + _WORDS_SQL.format(where="WHERE doc_id < 300")
+    + ", "
+    + _SHINGLES_SQL
+    + """
+, sigs AS (
+  SELECT doc_id, k, min(md5(sh || '#' || CAST(k AS VARCHAR))) AS mh
+  FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS k) seeds
+  WHERE sh IS NOT NULL
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT a.doc_id, CAST(a.k / 2 AS INTEGER) AS band, md5(a.mh || b.mh) AS band_val
+  FROM sigs a JOIN sigs b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+  WHERE a.k % 2 = 0
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x
+JOIN bands y ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+# --- SimHash --------------------------------------------------------
+
+
+def _simhash_bit_sql(j: int) -> str:
+    """Bit j of hex nibble j//4 of md5(w): exact small-int arithmetic
+    via FLOOR-divide + %, parsed identically by both dialects."""
+    nib = j // 4  # which hex char (1-based substr offset nib+1)
+    div = 2 ** (j % 4)
+    return (
+        f"CAST(FLOOR((instr('0123456789abcdef', substr(md5(w), {nib + 1}, 1)) - 1) "
+        f"/ {div}) AS INT) % 2"
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = _words(d)
+    spark_cols = [
+        F.sum(F.when(F.expr(_simhash_bit_sql(j)) == 1, 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(16)
+    ]
+    per = words.groupBy("doc_id").agg(*spark_cols)
+    combine = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, 2**j).otherwise(0)
+        combine = term if combine is None else combine + term
+    return (
+        per.select("doc_id", combine.cast("long").alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN {_simhash_bit_sql(j)} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
+    )
+    return (
+        "WITH "
+        + _WORDS_SQL.format(where="")
+        + f""", per AS (
+  SELECT doc_id, {sums}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash
+FROM per ORDER BY doc_id
+"""
+    )
+
+
+# --- n-gram / token Jaccard ----------------------------------------
+
+
+def dedup_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard between doc i and i+1 (deterministic linear
+    pairing; the pairwise building block of near-dup scoring)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("toks_b")
+    ).alias("b")
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.size(F.array_intersect("toks", "toks_b"))
+                / F.size(F.array_union("toks", "toks_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+)
+SELECT a.doc_id,
+       ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+ORDER BY a.doc_id
+"""
+
+
+# --- embedding cosine near-dup -------------------------------------
+
+
+def _pair_cosine(spark: SparkSession, sf_dir: str, offset: int = 1) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select("vec_id", "embedding")
+    b = e.select(
+        (F.col("vec_id") - offset).alias("vec_id"),
+        F.col("embedding").alias("embedding_b"),
+    )
+    joined = a.join(b, "vec_id")
+    ex = joined.select(
+        "vec_id",
+        F.posexplode(
+            F.zip_with(
+                "embedding",
+                "embedding_b",
+                lambda x, y: F.struct(
+                    x.cast("double").alias("x"), y.cast("double").alias("y")
+                ),
+            )
+        ).alias("pos", "p"),
+    )
+    agg = ex.groupBy("vec_id").agg(
+        F.sum((F.col("p.x") * F.col("p.y")).cast(DEC)).alias("dot"),
+        F.sum((F.col("p.x") * F.col("p.x")).cast(DEC)).alias("na"),
+        F.sum((F.col("p.y") * F.col("p.y")).cast(DEC)).alias("nb"),
+    )
+    return agg.select(
+        "vec_id",
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+            6,
+        ).alias("cosine"),
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup flags between adjacent embedding rows."""
+    return (
+        _pair_cosine(spark, sf_dir)
+        .select(
+            "vec_id",
+            "cosine",
+            F.when(F.col("cosine") > 0.95, 1).otherwise(0).cast("int").alias("is_near_dup"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_EMB_COS_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id,
+         unnest(a.embedding) AS xa,
+         unnest(b.embedding) AS xb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+),
+agg AS (
+  SELECT vec_id,
+    SUM(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+    SUM(CAST(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE) AS DECIMAL(28,12))) AS na,
+    SUM(CAST(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE) AS DECIMAL(28,12))) AS nb
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id,
+  ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine,
+  CAST(CASE WHEN ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) > 0.95
+       THEN 1 ELSE 0 END AS INTEGER) AS is_near_dup
+FROM agg ORDER BY vec_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_jaccard_adjacent": dedup_jaccard_adjacent,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": _EXACT_SQL,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_simhash": _simhash_sql(),
+    "dedup_jaccard_adjacent": _JACCARD_SQL,
+    "dedup_embedding_cosine": _EMB_COS_SQL,
+}

@@ -1,0 +1,323 @@
+"""Relational query suite: TPC-H-shaped analytics plus the
+crawl-shaped relational operators (frontier anti-join, per-host
+politeness top-k, priority-queue claim) expressed over the driver
+testdata (FIXTURES.md §8).
+
+Each ``q_*(spark, sf_dir)`` has a DuckDB-oracle twin in ``ORACLE_SQL``
+with identical column aliases (the driver's correctness gate hashes by
+column name).  Float discipline for cross-engine hash equality:
+
+- per-row double expressions are IEEE-identical across engines, so
+  multi-row SUM/AVG inputs are cast to ``DECIMAL(28,8)`` per row and
+  summed exactly (order-independent), then surfaced as DOUBLE;
+- pure per-row ratios stay DOUBLE with ``ROUND(x, 6)``.
+
+Scale notes: joins orient small→large for broadcast (Spark auto-
+broadcasts the dim side; AQE re-plans on runtime stats); aggregations
+are partial (map-side combine comes free with groupBy on these plans);
+top-k windows partition by the high-cardinality key before ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tables import load
+
+DEC = "decimal(28,8)"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast(DEC)
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT
+  l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    dims = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    sup = F.broadcast(
+        s.join(dims, s.s_nationkey == F.col("n_nationkey")).select(
+            "s_suppkey", "n_name"
+        )
+    )
+    return (
+        l.join(sup, l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value"), 6).alias("value"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("user_id", "rk")
+    )
+
+
+_TOP_EVENTS_SQL = """
+SELECT user_id, event_id, ROUND(value, 6) AS value, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+  FROM events
+)
+WHERE rk <= 3
+ORDER BY user_id, rk
+"""
+
+
+def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("running", F.sum(F.col("value").cast(DEC)).over(w))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("running").cast("double").alias("running_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_RUNNING_SQL = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+ORDER BY event_id
+"""
+
+
+def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming windowed aggregation (tumbling
+    1-hour windows per event type) — streaming/windows.py runs the
+    same plan incrementally over a stream."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+# --- crawl-shaped relational ops (frontier algebra over testdata) ---
+
+
+def frontier_new_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier dedup shape: candidate parts anti-joined against the
+    seen set (parts shipped before 1995) — crawl.py runs this exact op
+    per micro-batch on (candidate links ⟕̸ seen urls)."""
+    p = load(spark, sf_dir, "part")
+    seen = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1995-01-01"))
+        .select("l_partkey")
+    )
+    return (
+        p.join(seen, p.p_partkey == F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+_FRONTIER_NEW_SQL = """
+SELECT p_partkey, p_name
+FROM part
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_partkey = p_partkey
+    AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+)
+ORDER BY p_partkey
+"""
+
+
+def perhost_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host budget selection shape: top-5 documents per source by
+    (n_chars DESC, doc_id) — the politeness.py per-host window."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+_PERHOST_SQL = """
+SELECT source, doc_id, n_chars, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+ORDER BY source, rk
+"""
+
+
+def priority_claim_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic claim: top-100 by the total order — the
+    politeness.py batch cut with fetch_order assignment."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.orderBy("lang", F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("fetch_order", F.row_number().over(w) - 1)
+        .filter(F.col("fetch_order") < 100)
+        .select(
+            F.col("fetch_order").cast("long").alias("fetch_order"),
+            "doc_id",
+            "lang",
+            "n_chars",
+        )
+        .orderBy("fetch_order")
+    )
+
+
+_PRIORITY_SQL = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY lang, n_chars DESC, doc_id) - 1 AS BIGINT) AS fetch_order,
+       doc_id, lang, n_chars
+FROM documents
+QUALIFY fetch_order < 100
+ORDER BY fetch_order
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_nation_revenue": q5_nation_revenue,
+    "top_events_per_user": top_events_per_user,
+    "events_running_sum": events_running_sum,
+    "events_hourly_counts": events_hourly_counts,
+    "frontier_new_urls": frontier_new_urls,
+    "perhost_politeness_topk": perhost_politeness_topk,
+    "priority_claim_order": priority_claim_order,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_shipping_priority": _Q3_SQL,
+    "q5_nation_revenue": _Q5_SQL,
+    "top_events_per_user": _TOP_EVENTS_SQL,
+    "events_running_sum": _RUNNING_SQL,
+    "events_hourly_counts": _HOURLY_SQL,
+    "frontier_new_urls": _FRONTIER_NEW_SQL,
+    "perhost_politeness_topk": _PERHOST_SQL,
+    "priority_claim_order": _PRIORITY_SQL,
+}

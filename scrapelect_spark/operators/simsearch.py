@@ -1,0 +1,191 @@
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k (the exact baseline) and a random-hyperplane LSH-bucketed
+variant (the scale path: candidates shrink from N to a bucket).
+
+Determinism: vector reductions are DECIMAL(28,12) sums of per-row
+double products (order-independent, engine-identical); LSH planes are
+small-integer weights from a closed-form formula evaluated identically
+in both dialects — no floating-point RNG anywhere.
+
+Scale notes: brute-force is one broadcast (the query vector) + a
+linear scan + top-k — the right baseline even at 10^9 vectors when k
+is small (sort replaced by per-partition top-k + merge under AQE).
+The LSH variant buckets every vector once (8 hyperplanes → 256
+buckets) and probes only the query's bucket — the IVF-style pruning
+that survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load
+
+DEC = "decimal(28,12)"
+
+_N_PLANES = 8
+
+
+def _elements(e: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, ord 1-based, x double) — one row per vector element."""
+    return e.select(
+        F.col(id_col),
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        id_col,
+        (F.col("pos") + 1).alias("ord"),
+        F.col("xf").cast("double").alias("x"),
+    )
+
+
+def _cosine_vs_query(spark: SparkSession, sf_dir: str, query_vec_id: int = 0) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    el = _elements(e)
+    q = el.filter(F.col("vec_id") == query_vec_id).select(
+        "ord", F.col("x").alias("qx")
+    )
+    joined = el.join(F.broadcast(q), "ord")
+    agg = joined.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("qx")).cast(DEC)).alias("dot"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("na"),
+        F.sum((F.col("qx") * F.col("qx")).cast(DEC)).alias("nq"),
+    )
+    return agg.select(
+        "vec_id",
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nq").cast("double")),
+            6,
+        ).alias("cosine"),
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id=0 (excluded itself)."""
+    cos = _cosine_vs_query(spark, sf_dir, 0)
+    return (
+        cos.filter(F.col("vec_id") != 0)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+_TOPK_SQL = """
+WITH el AS (
+  SELECT vec_id, unnest(embedding) AS xf,
+         generate_subscripts(embedding, 1) AS ord
+  FROM embeddings
+),
+q AS (SELECT ord, CAST(xf AS DOUBLE) AS qx FROM el WHERE vec_id = 0),
+agg AS (
+  SELECT e.vec_id,
+    SUM(CAST(CAST(e.xf AS DOUBLE) * q.qx AS DECIMAL(28,12))) AS dot,
+    SUM(CAST(CAST(e.xf AS DOUBLE) * CAST(e.xf AS DOUBLE) AS DECIMAL(28,12))) AS na,
+    SUM(CAST(q.qx * q.qx AS DECIMAL(28,12))) AS nq
+  FROM el e JOIN q ON e.ord = q.ord
+  GROUP BY e.vec_id
+)
+SELECT vec_id,
+  ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nq AS DOUBLE)), 6) AS cosine
+FROM agg
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def _bucket_expr_spark(el: DataFrame) -> DataFrame:
+    """Random-hyperplane buckets: plane j weight at element ord k is
+    ((31*j + 17*(k-1)) % 7) - 3 — exact ints, no RNG."""
+    planes = None
+    rows = el
+    for j in range(_N_PLANES):
+        w = ((31 * j + 17 * (F.col("ord") - 1)) % 7 - 3).cast("double")
+        rows = rows.withColumn(f"p{j}", (F.col("x") * w).cast(DEC))
+    agg = rows.groupBy("vec_id").agg(
+        *[F.sum(f"p{j}").alias(f"d{j}") for j in range(_N_PLANES)]
+    )
+    bucket = None
+    for j in range(_N_PLANES):
+        term = F.when(F.col(f"d{j}") >= 0, 2**j).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return agg.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned neighbor search: top-5 by cosine *within the query's
+    hyperplane bucket* (query vec_id=0)."""
+    e = load(spark, sf_dir, "embeddings")
+    el = _elements(e)
+    buckets = _bucket_expr_spark(el)
+    qb = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket")
+    )
+    in_bucket = buckets.join(F.broadcast(qb), buckets.bucket == qb.qbucket).select(
+        "vec_id", "bucket"
+    )
+    cos = _cosine_vs_query(spark, sf_dir, 0)
+    return (
+        in_bucket.join(cos, "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "bucket", "cosine")
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+    )
+
+
+def _lsh_sql() -> str:
+    dot_terms = ", ".join(
+        "SUM(CAST(CAST(xf AS DOUBLE) * (((31*{j} + 17*(ord-1)) % 7) - 3) "
+        "AS DECIMAL(28,12))) AS d{j}".format(j=j)
+        for j in range(_N_PLANES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN d{j} >= 0 THEN {2**j} ELSE 0 END)" for j in range(_N_PLANES)
+    )
+    return f"""
+WITH el AS (
+  SELECT vec_id, unnest(embedding) AS xf,
+         generate_subscripts(embedding, 1) AS ord
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, {dot_terms}
+  FROM el GROUP BY vec_id
+),
+buckets AS (
+  SELECT vec_id, CAST({bucket} AS INTEGER) AS bucket FROM dots
+),
+q AS (SELECT ord, CAST(xf AS DOUBLE) AS qx FROM el WHERE vec_id = 0),
+agg AS (
+  SELECT e.vec_id,
+    SUM(CAST(CAST(e.xf AS DOUBLE) * q.qx AS DECIMAL(28,12))) AS dot,
+    SUM(CAST(CAST(e.xf AS DOUBLE) * CAST(e.xf AS DOUBLE) AS DECIMAL(28,12))) AS na,
+    SUM(CAST(q.qx * q.qx AS DECIMAL(28,12))) AS nq
+  FROM el e JOIN q ON e.ord = q.ord GROUP BY e.vec_id
+),
+cos AS (
+  SELECT vec_id,
+    ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nq AS DOUBLE)), 6) AS cosine
+  FROM agg
+)
+SELECT b.vec_id, b.bucket, cos.cosine
+FROM buckets b
+JOIN (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0) qb ON b.bucket = qb.qbucket
+JOIN cos ON cos.vec_id = b.vec_id
+WHERE b.vec_id <> 0
+ORDER BY cos.cosine DESC, b.vec_id
+LIMIT 5
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}
+
+ORACLE_SQL = {
+    "ann_cosine_topk": _TOPK_SQL,
+    "ann_lsh_bucketed": _lsh_sql(),
+}

@@ -1,0 +1,210 @@
+"""Text analysis over ``documents``: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All expressions are JVM-side built-ins (split/regexp/filter/md5) — no
+Python in the hot path; ratios are per-row double ops (deterministic),
+counts are exact BIGINTs (SURVEY-style float discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _SHINGLES_SQL, _WORDS_SQL, _shingles, _words
+from .tables import load
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "la", "y"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+def _tok_col():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.size(_tok_col()).cast("long").alias("n_tokens"))
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TOKEN_SQL = r"""
+SELECT lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+  ROUND(CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token count, alpha ratio, stopword
+    ratio, composite score; top 50 by (score DESC, doc_id)."""
+    d = load(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    scored = d.select(
+        "doc_id",
+        F.size(_tok_col()).cast("long").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.col("text"), "[a-zA-Z ]", "")).cast("double")
+            / F.length(F.col("text"))
+        ).alias("nonalpha_ratio"),
+        (
+            F.size(F.filter(_tok_col(), lambda x: x.isin(*_STOPWORDS))).cast("double")
+            / F.size(_tok_col())
+        ).alias("stop_ratio"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round("nonalpha_ratio", 6).alias("nonalpha_ratio"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round(
+            0.5 * (1 - F.col("nonalpha_ratio"))
+            + 0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+            + 0.2 * F.col("stop_ratio"),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(50)
+
+
+_QUALITY_SQL = r"""
+WITH feat AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text) AS nonalpha_ratio,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+         x -> x IN ({stops}))) AS DOUBLE)
+      / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  ROUND(nonalpha_ratio, 6) AS nonalpha_ratio,
+  ROUND(stop_ratio, 6) AS stop_ratio,
+  ROUND(0.5 * (1 - nonalpha_ratio) + 0.3 * least(n_tokens / 100.0, 1.0) + 0.2 * stop_ratio, 6) AS score
+FROM feat
+ORDER BY score DESC, doc_id
+LIMIT 50
+""".format(stops=", ".join(f"'{s}'" for s in _STOPWORDS))
+
+
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax of per-language hit counts, 'en'
+    on ties by listing order) vs the labeled lang column."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tok_col()
+
+    def _marker_hits(markers):
+        # factory keeps the lambda single-arg (a two-arg lambda would
+        # receive the element *index* as its second argument)
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    hits = {lang: _marker_hits(m) for lang, m in _LANG_MARKERS.items()}
+    langs = list(_LANG_MARKERS)
+    pred = F.lit(langs[0])
+    best = hits[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(hits[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, hits[lang])
+    scored = d.select("lang", pred.alias("pred"))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("pred") == F.col("lang"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _langid_sql() -> str:
+    hit = {
+        lang: (
+            r"len(list_filter(regexp_split_to_array(trim(text), '\s+'), "
+            + "x -> x IN ({})))".format(", ".join(f"'{m}'" for m in markers))
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    langs = list(_LANG_MARKERS)
+    pred = f"'{langs[0]}'"
+    best = hit[langs[0]]
+    for lang in langs[1:]:
+        pred = f"CASE WHEN {hit[lang]} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, {hit[lang]})"
+    return f"""
+WITH scored AS (
+  SELECT lang, {pred} AS pred FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-gram fingerprint: min shingle hash (winnowing-style
+    1-min sketch) + distinct-shingle count per doc."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(_words(d))
+    fp = sh.groupBy("doc_id").agg(
+        F.min(F.md5("sh")).alias("fp"),
+        F.countDistinct("sh").cast("long").alias("n_shingles"),
+    )
+    return (
+        d.select("doc_id")
+        .join(fp, "doc_id", "left")
+        .orderBy("doc_id")
+    )
+
+
+_FINGERPRINT_SQL = (
+    "WITH "
+    + _WORDS_SQL.format(where="")
+    + ", "
+    + _SHINGLES_SQL
+    + """
+, fp AS (
+  SELECT doc_id, min(md5(sh)) AS fp,
+         CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_shingles
+  FROM shingles WHERE sh IS NOT NULL GROUP BY doc_id
+)
+SELECT d.doc_id, fp.fp, fp.n_shingles
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+ORDER BY d.doc_id
+"""
+)
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_scores": text_quality_scores,
+    "text_langid_heuristic": text_langid_heuristic,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLE_SQL = {
+    "text_token_stats": _TOKEN_SQL,
+    "text_quality_scores": _QUALITY_SQL,
+    "text_langid_heuristic": _langid_sql(),
+    "text_fingerprint": _FINGERPRINT_SQL,
+}
