@@ -405,20 +405,22 @@ class Crawler:
             claimed, self.cfg.fetch_partitions, self.cfg.salt_buckets
         ).cache()
 
+        # per-partition lineage metric; its sum doubles as n_fetched
+        # (one job on the cached claimed batch, no separate count)
+        part_counts = {
+            str(r.pid): r["count"]
+            for r in claimed.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        }
+        n_fetched = int(sum(part_counts.values()))
+
         # fetch = join against the corpus (sandbox stand-in for HTTP)
         corpus = self.corpus
         if self.cfg.broadcast_corpus:
             corpus = F.broadcast(corpus)
         fetched = claimed.join(corpus, on="url", how="left")
-
-        # per-partition lineage metric before processing
-        part_counts = {
-            str(r.pid): r["count"]
-            for r in fetched.withColumn("pid", F.spark_partition_id())
-            .groupBy("pid")
-            .count()
-            .collect()
-        }
 
         processed = fetched.select(
             "url", "html", "page_seq_assigned", "depth"
@@ -436,7 +438,6 @@ class Crawler:
             )
             .withColumn("batch", F.lit(batch).cast("long"))
         )
-        n_fetched = page_rows.count()
         if n_fetched == 0:
             processed.unpersist()
             root = self.root.commit(
@@ -445,7 +446,9 @@ class Crawler:
             )
             return root
 
-        pg_snap = self.tables["pages"].commit(page_rows, metrics={"batch": batch})
+        pg_snap = self.tables["pages"].commit(
+            page_rows.coalesce(1), metrics={"batch": batch}
+        )
 
         # --- records ---
         records = processed.filter(F.col("kind").isin("record", "error")).select(
@@ -456,7 +459,9 @@ class Crawler:
             F.col("value"),
             F.lit(batch).cast("long").alias("batch"),
         )
-        rec_snap = self.tables["records"].commit(records, metrics={"batch": batch})
+        rec_snap = self.tables["records"].commit(
+            records.coalesce(2), metrics={"batch": batch}
+        )
 
         # --- new frontier candidates ---
         links = processed.filter(
@@ -502,26 +507,32 @@ class Crawler:
         )
 
         new_frontier = new_frontier.cache()
-        n_new = new_frontier.count()
 
+        # small per-batch commits coalesce to a couple of files so the
+        # append-log read path doesn't accumulate thousands of tiny
+        # parquet files (at scale, file count tracks data volume and
+        # compact() folds the log)
         fr_snap = self.tables["frontier"].commit(
             new_frontier.select(
                 "url", "host", "depth", "page_seq", "link_seq", "priority",
                 "excluded", "batch",
-            ),
+            ).coalesce(2),
             metrics={"batch": batch},
         )
         seen_snap = self.tables["seen"].commit(
-            new_frontier.select("url", "bucket"), metrics={"batch": batch}
+            new_frontier.select("url", "bucket").coalesce(2),
+            metrics={"batch": batch},
         )
         # sketch delta built executor-side (applyInPandas per bucket);
-        # only serialized bloom bytes cross to the driver for OR-merge
+        # only serialized bloom bytes + counts cross to the driver for
+        # the OR-merge, and the counts double as n_new (no extra job)
+        delta = build_sketches(
+            new_frontier.select("url", "bucket"),
+            num_bits=self.cfg.bloom_bits_per_bucket,
+            num_hashes=self.cfg.bloom_hashes,
+        )
+        n_new = int(sum(delta.bucket_counts.values()))
         if n_new > 0:
-            delta = build_sketches(
-                new_frontier.select("url", "bucket"),
-                num_bits=self.cfg.bloom_bits_per_bucket,
-                num_hashes=self.cfg.bloom_hashes,
-            )
             self.sketch = merge_sketches(
                 self.sketch or PartitionedSeenSketch({}), delta
             )

@@ -172,11 +172,15 @@ class CuckooFilter:
 
 class PartitionedSeenSketch:
     """bucket_id -> BloomFilter; built per-bucket on executors, merged
-    as serialized bytes, broadcast back for candidate pre-filtering."""
+    as serialized bytes, broadcast back for candidate pre-filtering.
+
+    ``bucket_counts`` (when built by :func:`build_sketches`) carries
+    per-bucket row counts so callers get cardinality for free."""
 
     def __init__(self, sketches: dict[int, bytes]):
         self.raw = sketches
         self._cache: dict[int, BloomFilter] = {}
+        self.bucket_counts: dict[int, int] = {}
 
     def _get(self, bucket: int) -> BloomFilter | None:
         if bucket not in self.raw:
@@ -215,6 +219,7 @@ def build_sketches(
     from pyspark.sql.types import (
         BinaryType,
         IntegerType,
+        LongType,
         StructField,
         StructType,
     )
@@ -223,6 +228,7 @@ def build_sketches(
         [
             StructField("bucket", IntegerType(), False),
             StructField("sketch", BinaryType(), False),
+            StructField("n", LongType(), False),
         ]
     )
 
@@ -231,11 +237,17 @@ def build_sketches(
         f = BloomFilter(num_bits, num_hashes)
         f.add_many(urls)
         return pd.DataFrame(
-            {"bucket": [int(pdf[bucket_col].iloc[0])], "sketch": [f.to_bytes()]}
+            {
+                "bucket": [int(pdf[bucket_col].iloc[0])],
+                "sketch": [f.to_bytes()],
+                "n": [len(urls)],
+            }
         )
 
     rows = seen_df.groupBy(bucket_col).applyInPandas(per_bucket, schema).collect()
-    return PartitionedSeenSketch({r.bucket: bytes(r.sketch) for r in rows})
+    sk = PartitionedSeenSketch({r.bucket: bytes(r.sketch) for r in rows})
+    sk.bucket_counts = {r.bucket: r.n for r in rows}
+    return sk
 
 
 def merge_sketches(
