@@ -1,0 +1,185 @@
+"""Structured Streaming operators over the events stream.
+
+Two canonical shapes:
+
+- :func:`hourly_counts_stream` — tumbling 1-hour windowed aggregation
+  with a watermark for late data; the streaming twin of the batch
+  ``events_hourly_counts`` query (operators/relational.py) — same
+  logical plan, incremental execution;
+- :func:`sessionize_stream` — custom stateful operator via
+  ``applyInPandasWithState``: per-user sessions split on a 30-minute
+  inactivity gap (the shape used for per-host crawl-rate state at
+  cluster scale).
+
+Tests drive both with ``trigger(availableNow=True)`` over the parquet
+events table and check against the equivalent batch computation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+DEC = "decimal(28,8)"
+
+
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files
+    (one file per trigger, so multi-file dirs exercise incremental
+    batches)."""
+    schema = spark.read.parquet(events_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        # watermarks require TIMESTAMP; the testdata stores
+        # TIMESTAMP_NTZ (session tz is pinned to UTC, so this is exact)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def hourly_counts_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1h windows per event type; 2h watermark bounds state."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start", TimestampType(), False),
+        StructField("session_end", TimestampType(), False),
+        StructField("n_events", IntegerType(), False),
+        StructField("total_value", DoubleType(), False),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType(), False),
+        StructField("end_us", LongType(), False),
+        StructField("n", IntegerType(), False),
+        StructField("total", DoubleType(), False),
+    ]
+)
+
+GAP_MINUTES = 30
+
+
+def _sessionize_fn(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful per-user sessionizer: emits closed sessions; keeps the
+    open one in GroupState (timeout closes it on stream idle)."""
+    gap_us = GAP_MINUTES * 60 * 1_000_000
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        start_us, end_us, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    ts_us = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    vals = rows["value"].to_numpy()
+
+    if state.exists:
+        start_us, end_us, n, total = state.get
+    else:
+        start_us, end_us, n, total = None, None, 0, 0.0
+
+    out = {k.name: [] for k in SESSION_SCHEMA.fields}
+    for t, v in zip(ts_us, vals):
+        if start_us is None:
+            start_us, end_us, n, total = int(t), int(t), 1, float(v)
+        elif t - end_us > gap_us:
+            out["user_id"].append(user_id)
+            out["session_start"].append(pd.Timestamp(start_us, unit="us"))
+            out["session_end"].append(pd.Timestamp(end_us, unit="us"))
+            out["n_events"].append(n)
+            out["total_value"].append(total)
+            start_us, end_us, n, total = int(t), int(t), 1, float(v)
+        else:
+            end_us, n, total = int(t), n + 1, total + float(v)
+
+    state.update((int(start_us), int(end_us), int(n), float(total)))
+    state.setTimeoutDuration(60_000)
+    if out["user_id"]:
+        yield pd.DataFrame(out)
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame) -> DataFrame:
+    """Batch oracle for the stateful sessionizer (closed sessions only
+    comparable; the batch form closes every session)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(w)
+    marked = events.withColumn(
+        "new_session",
+        F.when(
+            gap.isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(gap)) > GAP_MINUTES * 60),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .drop("session_id")
+    )
