@@ -1,0 +1,134 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB
+must be visible in the executed plan, not just intended.
+
+- parquet scans get filter pushdown + column pruning (Catalyst does it
+  only when the plan is declarative — regression-guard it);
+- dim-side joins broadcast (no shuffle of the fact table for Q3/Q5);
+- extraction is shuffle-free;
+- whole-stage codegen covers the relational pipelines.
+"""
+
+import pytest
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_pushdown_and_pruning(spark):
+    from scrapelect_spark.operators.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, SF)
+    plan = plan_of(df)
+    # filter reaches the scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns appear in the scan list
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    cols = scan.split("[", 1)[1].split("]", 1)[0]
+    for col in ("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"):
+        assert col in cols
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert col not in cols
+    # codegen spans only materialize in the AQE final plan — execute
+    df.collect()
+    final = plan_of(df)
+    assert "isFinalPlan=true" in final
+    assert "WholeStageCodegen" in final
+
+
+def test_q3_broadcasts_dims(spark):
+    from scrapelect_spark.operators.relational import q3_shipping_priority
+
+    plan = plan_of(q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the lineitem fact table must not be exchanged for the dim join
+    # (only the final aggregation/sort may shuffle)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q5_broadcasts_dims(spark):
+    from scrapelect_spark.operators.relational import q5_nation_revenue
+
+    plan = plan_of(q5_nation_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_frontier_antijoin_pushdown(spark):
+    from scrapelect_spark.operators.relational import frontier_new_urls
+
+    plan = plan_of(frontier_new_urls(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # seen side reads only the join key + the pushed filter column
+    seen_scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "lineitem" in l
+    )
+    cols = seen_scan.split("[", 1)[1].split("]", 1)[0]
+    assert set(c.split("#")[0] for c in cols.split(",")) == {
+        "l_partkey", "l_shipdate"
+    }
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Map-side combine: HashAggregate appears below the exchange."""
+    from scrapelect_spark.operators.relational import q1_pricing_summary
+
+    plan = plan_of(q1_pricing_summary(spark, SF))
+    pre, _, post = plan.partition("Exchange")
+    assert "HashAggregate" in pre or "HashAggregate" in post
+    # two-phase agg: partial + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_politeness_select_batch_stages(spark):
+    """The salt-staged top-k plan: two windows over (host,_salt) then
+    host — never a single global-window pass over the raw frontier."""
+    from scrapelect_spark.streaming.politeness import select_batch
+
+    frontier = spark.createDataFrame(
+        [
+            (f"http://h{i % 3}.test/p{i}", f"h{i % 3}.test", 0, -1, i, 100)
+            for i in range(100)
+        ],
+        "url string, host string, depth int, page_seq long, link_seq int, priority int",
+    )
+    df = select_batch(frontier, batch_size=10, default_per_host=2)
+    plan = plan_of(df)
+    assert plan.count("Window") >= 3  # salt-stage, host-stage, global cut
+    assert "_salt" in plan
+    rows = df.collect()
+    assert len(rows) <= 10
+    from collections import Counter
+
+    per_host = Counter(r.host for r in rows)
+    assert all(v <= 2 for v in per_host.values())
+    # deterministic fetch_order = the global total order
+    ordered = sorted(rows, key=lambda r: (r.priority, r.depth, r.page_seq, r.link_seq, r.url))
+    assert [r.fetch_order for r in ordered] == list(range(len(rows)))
+
+
+def test_dedup_minhash_no_cartesian(spark):
+    """LSH candidate generation must be an equi-join on (band,
+    band_val) — never a nested-loop/cartesian product."""
+    from scrapelect_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = plan_of(dedup_minhash_lsh(spark, SF))
+    assert "CartesianProduct" not in plan  # non-broadcast NL join = disaster
+    # the candidate-pair join is a hash equi-join on (band, band_val)
+    pair_join = [
+        l for l in plan.splitlines()
+        if ("HashJoin" in l or "SortMergeJoin" in l) and "band_val" in l
+    ]
+    assert pair_join, "pair join is not an equi-join on band_val"
+    # the only nested-loop joins are the deliberate 8-row seeds
+    # broadcast fan-outs (BuildRight, Cross over the tiny range(8))
+    for l in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in l:
+            assert "Cross" in l
