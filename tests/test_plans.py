@@ -40,7 +40,8 @@ def test_q1_pushdown_and_pruning(spark):
     df.collect()
     final = plan_of(df)
     assert "isFinalPlan=true" in final
-    assert "WholeStageCodegen" in final
+    # codegen spans render as `*(n)` stage prefixes in the final plan
+    assert "*(" in final
 
 
 def test_q3_broadcasts_dims(spark):
