@@ -68,6 +68,7 @@ def extract(
     html_col: str = "html",
     corpus: Optional[dict[str, str]] = None,
     strict_registry: bool = False,
+    registry: Optional[dict] = None,
     fail_fast: bool = False,
 ) -> DataFrame:
     """Apply a scrp program to every page row → (url, result, error).
@@ -83,10 +84,12 @@ def extract(
     spark = pages.sparkSession
     corpus_bc = spark.sparkContext.broadcast(corpus or {})
 
+    user_registry = registry
+
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.filters import FILTERS, REFERENCE_FILTERS
 
-        registry = REFERENCE_FILTERS if strict_registry else FILTERS
+        registry = user_registry or (REFERENCE_FILTERS if strict_registry else FILTERS)
         local_corpus = corpus_bc.value
         doc_cache: dict[str, object] = {}
 
@@ -96,6 +99,18 @@ def extract(
             html = local_corpus.get(url)
             if html is None and url.endswith("/") and url[:-1] in local_corpus:
                 html = local_corpus[url[:-1]]
+            if html is None and url.startswith("file://"):
+                # reference parity: the `file` scheme reads local files
+                # (mod.rs:70-72) — executor-local paths only
+                from urllib.parse import urlsplit
+
+                try:
+                    with open(urlsplit(url).path) as f:
+                        html = f.read()
+                except OSError as e:
+                    raise EvalError(
+                        f"reading from file `{urlsplit(url).path}` failed: {e}"
+                    )
             if html is None:
                 raise EvalError(f"request to `{url}` failed: not in corpus")
             doc = parse_html(html)

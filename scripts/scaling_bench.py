@@ -37,6 +37,7 @@ import json, os, sys, tempfile, time
 sys.path.insert(0, __REPO__)
 cpus = __CPUS__
 os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")  # q1 x96 cache must not spill
 from pyspark.sql import functions as F
 from scrapelect_spark.session import get_spark
 spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
@@ -61,10 +62,12 @@ PROGRAM = ('title: h1 { t: $element | text(); } | take(key: "t");\n'
 
 # --- extract ---
 from scrapelect_spark.operators.extract import extract
-N_EX = 24000
+N_EX = 48000
 pages = heavy_pages(N_EX)
 pages.count()
-extract(pages.limit(128), PROGRAM).write.format("noop").mode("overwrite").save()
+# warm-up must touch EVERY partition so all python workers exist
+# before the timed run (a limit() warms only one task's workers)
+extract(pages, 'w: h1 { t: $element | text(); };').write.format("noop").mode("overwrite").save()
 t0 = time.perf_counter()
 extract(pages, PROGRAM).write.format("noop").mode("overwrite").save()
 out["extract_pages_per_sec"] = N_EX / (time.perf_counter() - t0)
@@ -72,7 +75,7 @@ pages.unpersist()
 
 # --- crawl_stage: fetch-join + link/record extraction of one claimed batch ---
 from scrapelect_spark.streaming.crawl import Crawler, CrawlConfig, PROCESS_SCHEMA
-N_CS = 12000
+N_CS = 24000
 corpus = heavy_pages(N_CS, items=60)
 claimed = (corpus.select("url")
            .withColumn("host", F.lit("bench.test"))
@@ -87,7 +90,7 @@ def crawl_stage():
     proc = fetched.select("url", "html", "page_seq_assigned", "depth").mapInPandas(
         crawler._process_batch_udf(), schema=PROCESS_SCHEMA)
     proc.write.format("noop").mode("overwrite").save()
-crawl_stage()  # warm
+crawl_stage()  # warm (full pass: all partitions, all workers)
 t0 = time.perf_counter()
 crawl_stage()
 out["crawl_stage_pages_per_sec"] = N_CS / (time.perf_counter() - t0)
@@ -96,7 +99,7 @@ corpus.unpersist(); claimed.unpersist()
 # --- q1 over lineitem x48 in memory ---
 from scrapelect_spark.operators.relational import DEC
 li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-big = li.crossJoin(spark.range(48).select(F.col("id").alias("rep"))).repartition(cpus * 3).cache()
+big = li.crossJoin(spark.range(96).select(F.col("id").alias("rep"))).repartition(cpus * 3).cache()
 n_rows = big.count()
 def q1(df):
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
@@ -126,7 +129,7 @@ for h in range(n_hosts):
         web[f"http://h{h}.test/p/{p}"] = (
             f"<html><body><h1>{h}/{p}</h1><ul>{body}</ul>{links}</body></html>")
 web_df = spark.createDataFrame(list(web.items()), ["url", "html"])
-cfg = CrawlConfig(batch_size=2400, per_host_limit=100, max_depth=12, buckets=16,
+cfg = CrawlConfig(batch_size=1200, per_host_limit=50, max_depth=12, buckets=16,
                   bloom_bits_per_bucket=1 << 18, fetch_partitions=cpus)
 with tempfile.TemporaryDirectory() as td:
     crawler = Crawler(spark, td, web_df,
@@ -134,7 +137,7 @@ with tempfile.TemporaryDirectory() as td:
                       program='t: h1 { x: $element | text(); } | take(key: "x");',
                       config=cfg)
     t0 = time.perf_counter()
-    crawler.run(max_batches=2)
+    crawler.run(max_batches=4)
     dt = time.perf_counter() - t0
     fetched = crawler.root.current_snapshot()["metrics"]["next_page_seq"]
 out["crawl_full_pages_per_sec"] = fetched / dt

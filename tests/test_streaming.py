@@ -19,13 +19,31 @@ def events_dir(tmp_path_factory):
 
     spark = get_spark(app_name="stream-prep")
     df = spark.read.parquet(f"{SF}/events.parquet")
-    # range-partition by event time: triggers then deliver the stream
-    # in time order (log-stream shape); the stateful sessionizer
-    # assumes ordered arrival within its watermark
-    df.repartitionByRange(3, "ts").sortWithinPartitions("ts").write.mode(
-        "overwrite"
-    ).parquet(str(d / "events"))
-    return str(d / "events")
+    # Time-range chunks written as separate files with strictly
+    # increasing modification times: the file stream source orders
+    # pending files by timestamp, so triggers deliver the stream in
+    # event-time order (log-stream shape) — the stateful sessionizer
+    # assumes ordered arrival within its watermark.
+    import time
+
+    bounds = df.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), array(0.34, 0.67)) as q"
+    ).collect()[0].q
+    lo, hi = bounds
+    out = d / "events"
+    chunks = [
+        df.filter(F.col("ts").cast("timestamp").cast("double") <= lo),
+        df.filter(
+            (F.col("ts").cast("timestamp").cast("double") > lo) & (F.col("ts").cast("timestamp").cast("double") <= hi)
+        ),
+        df.filter(F.col("ts").cast("timestamp").cast("double") > hi),
+    ]
+    for i, chunk in enumerate(chunks):
+        chunk.coalesce(1).sortWithinPartitions("ts").write.mode(
+            "append"
+        ).parquet(str(out))
+        time.sleep(1.2)
+    return str(out)
 
 
 def test_hourly_counts_stream_matches_batch(spark, events_dir, tmp_path):
