@@ -195,3 +195,39 @@ def frame_sample(video: DataFrame, every_n: int = 10) -> DataFrame:
         "video frame sampling requires a codec library; "
         "plumbing contract documented for the cluster image"
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType(), False),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def audio_features(
+    audio: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"
+) -> DataFrame:
+    """Audio feature extraction over opaque binary columns — same
+    Arrow plumbing as images.  Real path: none in this runtime (no
+    audio codec); WAV/PCM would decode with stdlib ``wave`` + numpy on
+    a cluster image.  Errors captured per-row like the JPEG stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            err = np.full(n, None, dtype=object)
+            for i, fmt in enumerate(pdf[fmt_col]):
+                err[i] = f"audio decode for {fmt!r} requires a codec library"
+            yield pd.DataFrame(
+                {
+                    "audio_id": pdf["audio_id"],
+                    "duration_s": np.full(n, None, dtype=object),
+                    "rms": np.full(n, None, dtype=object),
+                    "decode_error": err,
+                }
+            )
+
+    return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
