@@ -42,6 +42,14 @@ from pyspark.sql import functions as F
 from scrapelect_spark.session import get_spark
 spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# work sizes fixed per experiment pair (same input at both parallelism
+# levels); "small" sizes the pair that fits the host's physical-core
+# budget (local[2] vs local[8])
+SIZE = os.environ.get("SPARK_GRAFT_SCALE_SIZE", "large")
+SIZES = {
+    "large": {"n_ex": 48000, "n_cs": 24000, "q1_rep": 96},
+    "small": {"n_ex": 12000, "n_cs": 8000, "q1_rep": 24},
+}[SIZE]
 out = {}
 
 def heavy_pages(n, items=80, parts=None):
@@ -62,7 +70,7 @@ PROGRAM = ('title: h1 { t: $element | text(); } | take(key: "t");\n'
 
 # --- extract ---
 from scrapelect_spark.operators.extract import extract
-N_EX = 48000
+N_EX = SIZES["n_ex"]
 pages = heavy_pages(N_EX)
 pages.count()
 # warm-up must touch EVERY partition so all python workers exist
@@ -78,7 +86,7 @@ pages.unpersist()
 
 # --- crawl_stage: fetch-join + link/record extraction of one claimed batch ---
 from scrapelect_spark.streaming.crawl import Crawler, CrawlConfig, PROCESS_SCHEMA
-N_CS = 24000
+N_CS = SIZES["n_cs"]
 corpus = heavy_pages(N_CS, items=60)
 claimed = (corpus.select("url")
            .withColumn("host", F.lit("bench.test"))
@@ -105,7 +113,7 @@ corpus.unpersist(); claimed.unpersist()
 # --- q1 over lineitem x48 in memory ---
 from scrapelect_spark.operators.relational import DEC
 li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-big = li.crossJoin(spark.range(96).select(F.col("id").alias("rep"))).repartition(cpus * 3).cache()
+big = li.crossJoin(spark.range(SIZES["q1_rep"]).select(F.col("id").alias("rep"))).repartition(cpus * 3).cache()
 n_rows = big.count()
 def q1(df):
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
@@ -158,7 +166,8 @@ print("RESULT " + json.dumps(out))
 def run_at(cpus: int) -> dict:
     code = _WORKER.replace("__REPO__", repr(REPO)).replace("__CPUS__", str(cpus))
     proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=2400
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=2400, env=dict(os.environ),
     )
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -189,7 +198,8 @@ def _merge_best(prev: dict | None, cur: dict) -> dict:
 def main() -> None:
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "1"))
-    path = os.path.join(REPO, "BENCH", "scaling.json")
+    suffix = "" if n == 8 else f"_n{n}"
+    path = os.path.join(REPO, "BENCH", f"scaling{suffix}.json")
     prev = None
     if os.environ.get("SPARK_GRAFT_SCALE_MERGE") == "1" and os.path.exists(path):
         with open(path) as f:
