@@ -119,11 +119,18 @@ def bench_crawl(spark, tmpdir: str) -> float:
         bloom_bits_per_bucket=1 << 18,
         fetch_partitions=int(CPUS),
     )
+    # seed one wave's worth of URLs so every measured batch is full
+    # (steady-state throughput, not ramp-up scheduling overhead)
+    seeds = [
+        (f"http://h{h}.test/p/{p}", 1)
+        for h in range(n_hosts)
+        for p in range(0, per_host, 4)
+    ]
     crawler = Crawler(
         spark,
         tmpdir,
         corpus_df,
-        [(f"http://h{h}.test/p/0", 1) for h in range(n_hosts)],
+        seeds,
         program='title: h1 { t: $element | text(); } | take(key: "t");',
         config=cfg,
     )

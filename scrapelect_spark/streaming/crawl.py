@@ -151,6 +151,29 @@ class Crawler:
             for name in ("frontier", "seen", "pages", "records", "sketches")
         }
         self.sketch: PartitionedSeenSketch | None = None
+        # hot crawl state kept as materialized (localCheckpoint'ed)
+        # DataFrames between batches: the queued frontier and the exact
+        # seen set.  The snapshot tables stay the durable source of
+        # truth (state is rebuilt from them on resume); the cached form
+        # removes the per-batch full-table scan + anti-join.
+        self._queued_df: DataFrame | None = None
+        self._seen_df: DataFrame | None = None
+
+    _QUEUED_COLS = ["url", "host", "depth", "page_seq", "link_seq", "priority"]
+
+    def _load_state(self) -> None:
+        """Rebuild hot state from the root-pinned snapshots (startup +
+        resume path)."""
+        frontier = self._pinned("frontier")
+        pages = self._pinned("pages")
+        queued = frontier.filter(F.col("excluded").isNull()).select(
+            *self._QUEUED_COLS
+        )
+        if pages is not None:
+            queued = queued.join(pages.select("url"), on="url", how="left_anti")
+        self._queued_df = queued.localCheckpoint()
+        seen = self._pinned("seen")
+        self._seen_df = seen.select("url", "bucket").localCheckpoint()
 
     # --- helpers ---------------------------------------------------
     def _with_bucket(self, df: DataFrame, col: str = "url") -> DataFrame:
@@ -233,9 +256,9 @@ class Crawler:
         fr_snap = self.tables["frontier"].commit(frontier_df, metrics={"batch": 0})
         seen_df = self._with_bucket(frontier_df.select("url")).select("url", "bucket")
         seen_snap = self.tables["seen"].commit(seen_df, metrics={"batch": 0})
-        self._merge_new_urls_into_sketch(
-            [(r[0], self._py_bucket(r[0])) for r in rows]
-        )
+        # one job for all seed buckets (JVM murmur3), not one per URL
+        seed_buckets = [(r.url, r.bucket) for r in seen_df.collect()]
+        self._merge_new_urls_into_sketch(seed_buckets)
         sk_snap = self._commit_sketches(0)
         root = self.root.commit(
             None,
@@ -254,19 +277,6 @@ class Crawler:
             },
         )
         return root
-
-    def _py_bucket(self, url: str) -> int:
-        # driver-side bucket for sketch maintenance; MUST match the
-        # JVM pmod(hash(url), P) used on columns.  We compute it via a
-        # tiny Spark expression to avoid reimplementing murmur3.
-        # Batched by caller where it matters; here only for seeds.
-        if not hasattr(self, "_bucket_cache"):
-            self._bucket_cache: dict[str, int] = {}
-        if url not in self._bucket_cache:
-            row = self.spark.createDataFrame([(url,)], ["url"])
-            b = self._with_bucket(row).collect()[0].bucket
-            self._bucket_cache[url] = b
-        return self._bucket_cache[url]
 
     def _commit_sketches(self, batch: int):
         assert self.sketch is not None
@@ -370,6 +380,9 @@ class Crawler:
         if self.sketch is None:
             self._restore_sketches()
 
+        if self._queued_df is None:
+            self._load_state()
+
         for _ in range(max_batches):
             state = self._run_one_batch(state)
             if state["metrics"]["pages_fetched"] == 0:
@@ -381,18 +394,8 @@ class Crawler:
         batch = m["batch"] + 1
         next_page_seq = m["next_page_seq"]
 
-        frontier = self._pinned("frontier")
-        pages = self._pinned("pages")
-        seen = self._pinned("seen")
-
-        queued = frontier.filter(F.col("excluded").isNull())
-        if pages is not None:
-            queued = queued.join(pages.select("url"), on="url", how="left_anti")
-
         claimed = select_batch(
-            queued.select(
-                "url", "host", "depth", "page_seq", "link_seq", "priority"
-            ),
+            self._queued_df,
             batch_size=self.cfg.batch_size,
             host_budgets=self._host_budgets(),
             default_per_host=self.cfg.per_host_limit,
@@ -490,8 +493,10 @@ class Crawler:
         flagged = self._maybe_seen_filter(candidates)
         definitely_new = flagged.filter(F.col("maybe_seen") == "n").drop("maybe_seen")
         maybe = flagged.filter(F.col("maybe_seen") == "y").drop("maybe_seen")
-        if seen is not None:
-            maybe = maybe.join(seen.select("url"), on="url", how="left_anti")
+        if self._seen_df is not None:
+            maybe = maybe.join(
+                self._seen_df.select("url"), on="url", how="left_anti"
+            )
         new_urls = definitely_new.unionByName(maybe)
 
         new_frontier = (
@@ -555,6 +560,21 @@ class Crawler:
             },
             lineage={"fetch_partition_rows": part_counts},
         )
+
+        # advance the hot state: queued minus the claimed batch plus the
+        # newly-discovered queue-eligible urls; localCheckpoint truncates
+        # lineage so plan depth stays O(1) across hundreds of batches
+        remaining = self._queued_df.join(
+            F.broadcast(claimed.select("url")), on="url", how="left_anti"
+        )
+        newly_queued = new_frontier.filter(F.col("excluded").isNull()).select(
+            *self._QUEUED_COLS
+        )
+        self._queued_df = remaining.unionByName(newly_queued).localCheckpoint()
+        self._seen_df = self._seen_df.unionByName(
+            new_frontier.select("url", "bucket")
+        ).localCheckpoint()
+
         processed.unpersist()
         new_frontier.unpersist()
         claimed.unpersist()
