@@ -23,25 +23,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "top_events_per_user",
-    "events_hourly_counts",
-    "frontier_new_urls",
-    "perhost_politeness_topk",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_jaccard_adjacent",
-    "text_token_stats",
-    "text_fingerprint",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-]
-
-
 def force(df) -> int:
     """Fully materialize a plan without driver-side data transfer."""
     df.write.format("noop").mode("overwrite").save()
@@ -49,10 +30,12 @@ def force(df) -> int:
 
 
 def bench_queries(spark) -> dict[str, float]:
+    """Every gate query is benched — a regression in any CORRECTNESS
+    row is visible round-over-round (VERDICT r1 'what's wrong' #5)."""
     from scrapelect_spark.operators.catalog import QUERIES
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in sorted(QUERIES):
         fn = QUERIES[name]
         fn(spark, SF_DIR).count()  # warm: plan + scan caches
         t0 = time.perf_counter()
@@ -95,11 +78,7 @@ def bench_extract(spark, n_pages: int = 4000) -> float:
     return round(n_pages / dt, 1)
 
 
-def bench_crawl(spark, tmpdir: str) -> float:
-    """Micro-batch crawl throughput (pages/sec) incl. checkpointing."""
-    from scrapelect_spark.streaming.crawl import Crawler, CrawlConfig
-
-    n_hosts, per_host = 8, 250
+def _make_corpus(n_hosts: int, per_host: int) -> dict[str, str]:
     corpus = {}
     for h in range(n_hosts):
         for p in range(per_host):
@@ -110,10 +89,18 @@ def bench_crawl(spark, tmpdir: str) -> float:
             corpus[f"http://h{h}.test/p/{p}"] = (
                 f"<html><body><h1>{h}/{p}</h1>{links}</body></html>"
             )
+    return corpus
+
+
+def _run_crawl(spark, tmpdir, *, n_hosts, per_host, batch_size, per_host_limit,
+               seed_stride, max_batches) -> float:
+    from scrapelect_spark.streaming.crawl import Crawler, CrawlConfig
+
+    corpus = _make_corpus(n_hosts, per_host)
     corpus_df = spark.createDataFrame(list(corpus.items()), ["url", "html"])
     cfg = CrawlConfig(
-        batch_size=600,
-        per_host_limit=100,
+        batch_size=batch_size,
+        per_host_limit=per_host_limit,
         max_depth=12,
         buckets=16,
         bloom_bits_per_bucket=1 << 18,
@@ -124,7 +111,7 @@ def bench_crawl(spark, tmpdir: str) -> float:
     seeds = [
         (f"http://h{h}.test/p/{p}", 1)
         for h in range(n_hosts)
-        for p in range(0, per_host, 4)
+        for p in range(0, per_host, seed_stride)
     ]
     crawler = Crawler(
         spark,
@@ -135,10 +122,29 @@ def bench_crawl(spark, tmpdir: str) -> float:
         config=cfg,
     )
     t0 = time.perf_counter()
-    crawler.run(max_batches=4)
+    crawler.run(max_batches=max_batches)
     dt = time.perf_counter() - t0
     fetched = crawler.root.current_snapshot()["metrics"]["next_page_seq"]
     return round(fetched / dt, 1)
+
+
+def bench_crawl(spark, tmpdir: str) -> float:
+    """Micro-batch crawl throughput (pages/sec) incl. checkpointing —
+    small (600-page) batches, dominated by per-batch fixed overhead."""
+    return _run_crawl(
+        spark, tmpdir, n_hosts=8, per_host=250, batch_size=600,
+        per_host_limit=100, seed_stride=4, max_batches=4,
+    )
+
+
+def bench_crawl_bigbatch(spark, tmpdir: str) -> float:
+    """Production-shaped batches (12k pages/batch): the ~4-5s/batch
+    scheduler+commit fixed cost amortizes, so pages/sec approaches the
+    pure extraction path (BENCH/BASELINE.md §2.2 amortization claim)."""
+    return _run_crawl(
+        spark, tmpdir, n_hosts=16, per_host=2000, batch_size=12_000,
+        per_host_limit=1000, seed_stride=2, max_batches=3,
+    )
 
 
 def main() -> None:
@@ -151,6 +157,8 @@ def main() -> None:
     extract_pps = bench_extract(spark)
     with tempfile.TemporaryDirectory() as td:
         crawl_pps = bench_crawl(spark, td)
+    with tempfile.TemporaryDirectory() as td:
+        crawl_big_pps = bench_crawl_bigbatch(spark, td)
     out = {
         "metric": "headline query suite wall seconds (lower=better); "
         "crawl/extract throughput in extra keys (higher=better)",
@@ -160,6 +168,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": int(CPUS),
         "crawl_pages_per_sec": crawl_pps,
+        "crawl_bigbatch_pages_per_sec": crawl_big_pps,
         "extract_pages_per_sec": extract_pps,
     }
     print(json.dumps(out))

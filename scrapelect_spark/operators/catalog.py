@@ -3,11 +3,11 @@ correctness gate (one ``queries()`` + ``oracle_sql()`` entry each)."""
 
 from __future__ import annotations
 
-from . import dedup, relational, scrp_queries, simsearch, textstats
+from . import dedup, multimodal, relational, scrp_queries, simsearch, textstats
 
 QUERIES = {}
 ORACLE_SQL = {}
-for mod in (relational, dedup, simsearch, textstats, scrp_queries):
+for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal):
     QUERIES.update(mod.QUERIES)
     ORACLE_SQL.update(mod.ORACLE_SQL)
 

@@ -211,23 +211,159 @@ def audio_features(
     audio: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"
 ) -> DataFrame:
     """Audio feature extraction over opaque binary columns — same
-    Arrow plumbing as images.  Real path: none in this runtime (no
-    audio codec); WAV/PCM would decode with stdlib ``wave`` + numpy on
-    a cluster image.  Errors captured per-row like the JPEG stub."""
+    Arrow plumbing as images.  REAL path: WAV/PCM16 decoded with
+    stdlib ``wave`` + numpy (sources/wav.py) → duration + RMS.
+    Lossy formats (mp3/ogg/flac) remain declared stubs; errors are
+    captured per-row like the JPEG stub."""
+    from ..sources.wav import duration_rms
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
+            dur = np.full(n, None, dtype=object)
+            rms = np.full(n, None, dtype=object)
             err = np.full(n, None, dtype=object)
-            for i, fmt in enumerate(pdf[fmt_col]):
-                err[i] = f"audio decode for {fmt!r} requires a codec library"
+            for i, (raw, fmt) in enumerate(zip(pdf[bytes_col], pdf[fmt_col])):
+                if fmt in ("wav", "wave"):
+                    try:
+                        dur[i], rms[i] = duration_rms(raw)
+                    except Exception as e:  # wave.Error, ValueError, EOFError
+                        err[i] = f"WAV decode failed: {e or type(e).__name__}"
+                else:
+                    err[i] = f"audio decode for {fmt!r} requires a codec library"
             yield pd.DataFrame(
                 {
                     "audio_id": pdf["audio_id"],
-                    "duration_s": np.full(n, None, dtype=object),
-                    "rms": np.full(n, None, dtype=object),
+                    "duration_s": dur,
+                    "rms": rms,
                     "decode_error": err,
                 }
             )
 
     return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate queries: the multimodal plumbing flows through CORRECTNESS
+# rows with closed-form DuckDB oracles.  Binary payloads are synthesized
+# deterministically from doc_id inside the UDF (no external data), so
+# the oracle can predict every feature.
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 16000
+
+
+def audio_wav_features(spark, sf_dir: str) -> DataFrame:
+    """Gate for the real WAV path: synthesize a ±a square wave per
+    doc (n = 8000 + (doc_id%5)·400 samples, a = ((doc_id%9)+1)/16),
+    encode → decode → duration+RMS.  RMS of the quantized square wave
+    is round(a·32767)/32768 in closed form (rounded to 6 for the
+    float-summation epsilon)."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.wav import encode_wav
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, fmts = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 8000 + (doc_id % 5) * 400
+                a = ((doc_id % 9) + 1) / 16.0
+                s = np.empty(n, dtype=np.float64)
+                s[0::2] = a
+                s[1::2] = -a
+                ids.append(str(doc_id))
+                blobs.append(encode_wav(s, _WAV_RATE))
+                fmts.append("wav")
+            yield pd.DataFrame({"audio_id": ids, "bytes": blobs, "fmt": fmts})
+
+    audio = d.select("doc_id").mapInPandas(
+        synth, schema="audio_id string, bytes binary, fmt string"
+    )
+    feats = audio_features(audio)
+    return feats.select(
+        F.col("audio_id").cast("long").alias("doc_id"),
+        "duration_s",
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("doc_id")
+
+
+_AUDIO_SQL = """
+SELECT doc_id,
+  (8000 + (doc_id % 5) * 400) / 16000.0 AS duration_s,
+  ROUND(ROUND(((doc_id % 9) + 1) / 16.0 * 32767.0) / 32768.0, 6) AS rms
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+def image_png_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Gate for the PNG codec + image-features plumbing: synthesize a
+    constant-gray (doc_id%256) image of SQL-predictable dimensions,
+    encode, then run ``with_image_features`` (real decode + metadata)
+    and report what it measured."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.png import encode_png
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, fmts, caps = [], [], [], []
+            for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
+                doc_id = int(doc_id)
+                h = 8 + doc_id % 3
+                w = 8 + doc_id % 4
+                arr = np.full((h, w), doc_id % 256, dtype=np.uint8)
+                ids.append(str(doc_id))
+                blobs.append(encode_png(arr))
+                fmts.append("png")
+                caps.append(lang)
+            yield pd.DataFrame(
+                {"image_id": ids, "bytes": blobs, "fmt": fmts, "caption": caps}
+            )
+
+    images = d.select("doc_id", "lang").mapInPandas(
+        synth, schema="image_id string, bytes binary, fmt string, caption string"
+    )
+    feats = with_image_features(images)
+    return feats.select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        "caption",
+        F.when(F.col("decode_error").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("failed"),
+    ).orderBy("doc_id")
+
+
+_IMAGE_SQL = """
+SELECT doc_id,
+  8 + doc_id % 4 AS w,
+  8 + doc_id % 3 AS h,
+  lang AS caption,
+  CAST(0 AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "audio_wav_features": audio_wav_features,
+    "image_png_roundtrip": image_png_roundtrip,
+}
+
+ORACLE_SQL = {
+    "audio_wav_features": _AUDIO_SQL,
+    "image_png_roundtrip": _IMAGE_SQL,
+}

@@ -273,20 +273,29 @@ ORDER BY source, rk
 
 def priority_claim_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global deterministic claim: top-100 by the total order — the
-    politeness.py batch cut with fetch_order assignment."""
+    politeness.py batch cut with fetch_order assignment.
+
+    Scale shape: the global cut is ``orderBy(...).limit(100)`` —
+    Spark plans it as TakeOrderedAndProject (per-partition top-k +
+    driver merge, fully distributed), NOT a single-task global window
+    over the whole table.  The ≤100 survivors are then ranked without
+    any WindowExec at all: one sorted partition + sequential ids
+    (monotonically_increasing_id is 0..n-1 within a single partition),
+    so no unpartitioned-window warning can ever appear in the plan."""
     d = load(spark, sf_dir, "documents")
-    w = Window.orderBy("lang", F.desc("n_chars"), "doc_id")
-    return (
-        d.withColumn("fetch_order", F.row_number().over(w) - 1)
-        .filter(F.col("fetch_order") < 100)
-        .select(
-            F.col("fetch_order").cast("long").alias("fetch_order"),
-            "doc_id",
-            "lang",
-            "n_chars",
-        )
-        .orderBy("fetch_order")
+    top = (
+        d.select("doc_id", "lang", "n_chars")
+        .orderBy("lang", F.desc("n_chars"), "doc_id")
+        .limit(100)
+        .coalesce(1)
+        .sortWithinPartitions("lang", F.desc("n_chars"), "doc_id")
     )
+    return top.select(
+        F.monotonically_increasing_id().cast("long").alias("fetch_order"),
+        "doc_id",
+        "lang",
+        "n_chars",
+    ).orderBy("fetch_order")
 
 
 _PRIORITY_SQL = """

@@ -53,13 +53,18 @@ class HttpFetcher:
     """Executor-side HTTP GET with per-host politeness delays.
 
     One urllib opener per partition; requests to the same host are
-    separated by ``crawl_delay_s``.  UA matches the engine version
-    (the reference sends "scrapelect v0.4.0", mod.rs:28-39).
+    separated by ``crawl_delay_s``.  The default UA is the reference's
+    exact string ("{pkg} v{version}" = "scrapelect v0.4.0",
+    mod.rs:28-39 / Cargo.toml:3-4) so servers see identical requests
+    under strict parity; pass ``user_agent`` to identify differently.
     """
+
+    #: reference-parity User-Agent (reqwest user_agent(concat!(...)))
+    REFERENCE_UA = "scrapelect v0.4.0"
 
     def __init__(
         self,
-        user_agent: str = "scrapelect-spark v0.1",
+        user_agent: str = REFERENCE_UA,
         timeout_s: float = 10.0,
         crawl_delay_s: float = 1.0,
         max_bytes: int = 4 << 20,

@@ -179,6 +179,14 @@ class Crawler:
     def _with_bucket(self, df: DataFrame, col: str = "url") -> DataFrame:
         return df.withColumn("bucket", F.pmod(F.hash(F.col(col)), F.lit(self.cfg.buckets)))
 
+    def _commit_parts(self, n_rows: int, rows_per_file: int = 50_000) -> int:
+        """Write-parallelism for a per-batch commit: scales with batch
+        size (one task per ~50k rows) so a millions-of-pages batch
+        never funnels through one write task, but small CI batches
+        still produce one or two files instead of 32 tiny ones."""
+        cap = max(1, self.spark.sparkContext.defaultParallelism)
+        return max(1, min(cap, -(-int(n_rows) // rows_per_file)))
+
     def _host_budgets(self) -> DataFrame | None:
         rows = [
             (h, self.robots.host_budget(h, self.cfg.per_host_limit))
@@ -450,7 +458,8 @@ class Crawler:
             return root
 
         pg_snap = self.tables["pages"].commit(
-            page_rows.coalesce(1), metrics={"batch": batch}
+            page_rows.coalesce(self._commit_parts(n_fetched)),
+            metrics={"batch": batch},
         )
 
         # --- records ---
@@ -462,8 +471,10 @@ class Crawler:
             F.col("value"),
             F.lit(batch).cast("long").alias("batch"),
         )
+        # records/links fan out ~10× from pages — size the write to that
         rec_snap = self.tables["records"].commit(
-            records.coalesce(2), metrics={"batch": batch}
+            records.coalesce(self._commit_parts(n_fetched * 10)),
+            metrics={"batch": batch},
         )
 
         # --- new frontier candidates ---
@@ -513,19 +524,20 @@ class Crawler:
 
         new_frontier = new_frontier.cache()
 
-        # small per-batch commits coalesce to a couple of files so the
-        # append-log read path doesn't accumulate thousands of tiny
-        # parquet files (at scale, file count tracks data volume and
-        # compact() folds the log)
+        # per-batch commits coalesce so the append-log read path doesn't
+        # accumulate thousands of tiny parquet files; the part count
+        # scales with batch size (at scale, file count tracks data
+        # volume and compact() folds the log)
+        frontier_parts = max(2, self._commit_parts(n_fetched * 10))
         fr_snap = self.tables["frontier"].commit(
             new_frontier.select(
                 "url", "host", "depth", "page_seq", "link_seq", "priority",
                 "excluded", "batch",
-            ).coalesce(2),
+            ).coalesce(frontier_parts),
             metrics={"batch": batch},
         )
         seen_snap = self.tables["seen"].commit(
-            new_frontier.select("url", "bucket").coalesce(2),
+            new_frontier.select("url", "bucket").coalesce(frontier_parts),
             metrics={"batch": batch},
         )
         # sketch delta built executor-side (applyInPandas per bucket);

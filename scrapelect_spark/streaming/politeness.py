@@ -75,15 +75,21 @@ def select_batch(
         .filter(F.col("_r2") <= F.col("_budget"))
         .drop("_r2", "_salt", "_budget")
     )
-    # global deterministic cut + fetch_order assignment.  The claimed
-    # batch is bounded (≤ hosts·budget, then ≤ batch_size), so the
-    # unpartitioned window runs over a small sorted set.
-    wg = Window.orderBy(*_order())
-    return (
-        df.withColumn("_rg", F.row_number().over(wg))
-        .filter(F.col("_rg") <= batch_size)
-        .withColumn("fetch_order", F.col("_rg") - 1)
-        .drop("_rg")
+    # global deterministic cut: orderBy+limit plans as
+    # TakeOrderedAndProject (per-partition top-k + merge, distributed)
+    # — with millions of hosts the per-host survivor set is still huge,
+    # so never run it through one unpartitioned WindowExec task.  The
+    # ≤batch_size claimed rows are then ranked WindowExec-free: one
+    # sorted partition + monotonically_increasing_id (sequential
+    # 0..n-1 within a single partition).
+    top = (
+        df.orderBy(*_order())
+        .limit(batch_size)
+        .coalesce(1)
+        .sortWithinPartitions(*ORDER_COLS)
+    )
+    return top.withColumn(
+        "fetch_order", F.monotonically_increasing_id().cast("int")
     )
 
 

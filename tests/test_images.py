@@ -212,3 +212,64 @@ def test_resize_images(spark):
     yi = (np.arange(6) * 30) // 6
     xi = (np.arange(10) * 40) // 10
     assert np.array_equal(dec, arr[yi[:, None], xi[None, :]])
+
+
+# --- WAV audio path (real codec: sources/wav.py) --------------------
+
+
+def test_wav_roundtrip_mono():
+    from scrapelect_spark.sources.wav import decode_wav, encode_wav
+
+    x = 0.5 * np.sin(np.arange(4000) * 0.01)
+    data = encode_wav(x, 8000)
+    y, rate = decode_wav(data)
+    assert rate == 8000 and y.shape == (4000, 1)
+    # quantization error bounded by half an LSB
+    assert np.max(np.abs(y[:, 0] - x)) <= 1.0 / 32768
+
+
+def test_wav_roundtrip_stereo():
+    from scrapelect_spark.sources.wav import decode_wav, encode_wav
+
+    x = np.stack([np.linspace(-1, 1, 100), np.linspace(1, -1, 100)], axis=1)
+    y, rate = decode_wav(encode_wav(x, 44100))
+    assert rate == 44100 and y.shape == (100, 2)
+    # encode scales by 32767, decode divides by 32768: error is bounded
+    # by |x|/32768 (scale asymmetry) + half an LSB (quantization)
+    assert np.max(np.abs(y - x)) <= 1.5 / 32768
+
+
+def test_wav_duration_rms_closed_form():
+    from scrapelect_spark.sources.wav import duration_rms, encode_wav
+
+    # ±a square wave: RMS of the quantized signal is |round(a*32767)|/32768
+    a, n, rate = 5 / 16.0, 8800, 16000
+    s = np.empty(n)
+    s[0::2], s[1::2] = a, -a
+    dur, rms = duration_rms(encode_wav(s, rate))
+    assert dur == n / rate
+    assert abs(rms - round(a * 32767) / 32768) < 1e-9
+
+
+def test_audio_features_spark_paths(spark):
+    from scrapelect_spark.operators.multimodal import audio_features
+    from scrapelect_spark.sources.wav import encode_wav
+
+    wav = encode_wav(0.25 * np.ones(1600), 16000)
+    df = spark.createDataFrame(
+        [
+            ("ok", bytearray(wav), "wav"),
+            ("garbage", bytearray(b"not riff"), "wav"),
+            ("truncated", bytearray(wav[:30]), "wav"),
+            ("mp3", bytearray(wav), "mp3"),
+        ],
+        "audio_id string, bytes binary, fmt string",
+    )
+    rows = {r.audio_id: r for r in audio_features(df).collect()}
+    assert rows["ok"].decode_error is None
+    assert rows["ok"].duration_s == 0.1
+    assert abs(rows["ok"].rms - round(0.25 * 32767) / 32768) < 1e-9
+    assert "WAV decode failed" in rows["garbage"].decode_error
+    assert "WAV decode failed" in rows["truncated"].decode_error
+    assert rows["truncated"].decode_error.rstrip() != "WAV decode failed:"
+    assert "requires a codec library" in rows["mp3"].decode_error

@@ -102,7 +102,9 @@ def test_politeness_select_batch_stages(spark):
     )
     df = select_batch(frontier, batch_size=10, default_per_host=2)
     plan = plan_of(df)
-    assert plan.count("Window") >= 3  # salt-stage, host-stage, global cut
+    assert plan.count("Window") >= 2  # salt-stage, host-stage
+    # the global cut is WindowExec-free (TakeOrdered + sequential ids)
+    assert "TakeOrderedAndProject" in plan
     assert "_salt" in plan
     rows = df.collect()
     assert len(rows) <= 10
@@ -113,6 +115,55 @@ def test_politeness_select_batch_stages(spark):
     # deterministic fetch_order = the global total order
     ordered = sorted(rows, key=lambda r: (r.priority, r.depth, r.page_seq, r.link_seq, r.url))
     assert [r.fetch_order for r in ordered] == list(range(len(rows)))
+
+
+def test_ann_lsh_prunes_before_cosine(spark):
+    """The LSH bucket membership must restrict the dot-product scan
+    *before* the cosine aggregation — a LEFT SEMI join below the
+    aggregate that computes `dot` — otherwise the 'pruning' is
+    cosmetic and the query is brute force plus LSH overhead."""
+    from scrapelect_spark.operators.simsearch import ann_lsh_bucketed
+
+    df = ann_lsh_bucketed(spark, SF)
+    logical = optimized_of(df).splitlines()
+    # the optimizer collapses the dot/na/nq projection into the final
+    # cosine expression — anchor on the aggregate emitting `cosine`
+    agg_idx = next(
+        i for i, l in enumerate(logical) if "Aggregate" in l and "AS cosine#" in l
+    )
+    semi_idxs = [i for i, l in enumerate(logical) if "LeftSemi" in l]
+    assert semi_idxs, "no semi-join in the plan — elements are not pruned"
+    # plans print children below their parent: the semi-join must be a
+    # descendant of (printed after) the dot aggregate
+    assert any(i > agg_idx for i in semi_idxs), (
+        "semi-join is not below the cosine aggregation — pruning happens "
+        "after the expensive scan"
+    )
+    physical = plan_of(df)
+    assert "LeftSemi" in physical
+
+
+def test_priority_claim_is_take_ordered(spark):
+    """The global claim cut must be TakeOrderedAndProject (distributed
+    top-k), never an unpartitioned global window over the table."""
+    from scrapelect_spark.operators.relational import priority_claim_order
+
+    plan = plan_of(priority_claim_order(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_politeness_global_cut_is_take_ordered(spark):
+    from scrapelect_spark.streaming.politeness import select_batch
+
+    frontier = spark.createDataFrame(
+        [
+            (f"http://h{i % 3}.test/p{i}", f"h{i % 3}.test", 0, -1, i, 100)
+            for i in range(100)
+        ],
+        "url string, host string, depth int, page_seq long, link_seq int, priority int",
+    )
+    plan = plan_of(select_batch(frontier, batch_size=10, default_per_host=2))
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_dedup_minhash_no_cartesian(spark):
