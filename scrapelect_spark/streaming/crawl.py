@@ -39,6 +39,7 @@ Scale notes:
 from __future__ import annotations
 
 import json
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Iterator, Optional
 
@@ -457,11 +458,6 @@ class Crawler:
             )
             return root
 
-        pg_snap = self.tables["pages"].commit(
-            page_rows.coalesce(self._commit_parts(n_fetched)),
-            metrics={"batch": batch},
-        )
-
         # --- records ---
         records = processed.filter(F.col("kind").isin("record", "error")).select(
             F.col("page_url").alias("url"),
@@ -471,11 +467,26 @@ class Crawler:
             F.col("value"),
             F.lit(batch).cast("long").alias("batch"),
         )
-        # records/links fan out ~10× from pages — size the write to that
-        rec_snap = self.tables["records"].commit(
-            records.coalesce(self._commit_parts(n_fetched * 10)),
-            metrics={"batch": batch},
-        )
+
+        # pages + records commit concurrently: independent tables, and
+        # the inputs don't race (pages reads only the already-cached
+        # claimed batch; records is the first materialization of the
+        # processed cache).  Concurrent job submission overlaps the
+        # per-job scheduler latency that dominates small-batch cost —
+        # the table commits themselves stay atomic and exact.
+        # records/links fan out ~10× from pages — size that write to it
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            pg_f = pool.submit(
+                self.tables["pages"].commit,
+                page_rows.coalesce(self._commit_parts(n_fetched)),
+                metrics={"batch": batch},
+            )
+            rec_f = pool.submit(
+                self.tables["records"].commit,
+                records.coalesce(self._commit_parts(n_fetched * 10)),
+                metrics={"batch": batch},
+            )
+            pg_snap, rec_snap = pg_f.result(), rec_f.result()
 
         # --- new frontier candidates ---
         links = processed.filter(
@@ -524,30 +535,64 @@ class Crawler:
 
         new_frontier = new_frontier.cache()
 
+        # materialize the cache once (deterministic single fill) so the
+        # five consumers below can run concurrently without racing to
+        # compute it
+        new_frontier.count()
+
         # per-batch commits coalesce so the append-log read path doesn't
         # accumulate thousands of tiny parquet files; the part count
         # scales with batch size (at scale, file count tracks data
         # volume and compact() folds the log)
         frontier_parts = max(2, self._commit_parts(n_fetched * 10))
-        fr_snap = self.tables["frontier"].commit(
-            new_frontier.select(
-                "url", "host", "depth", "page_seq", "link_seq", "priority",
-                "excluded", "batch",
-            ).coalesce(frontier_parts),
-            metrics={"batch": batch},
+
+        # everything below reads only cached/checkpointed inputs — run
+        # the two table commits, the executor-side sketch build, and
+        # the two hot-state checkpoints concurrently (scheduler-latency
+        # overlap; see the pages/records note above)
+        newly_queued = new_frontier.filter(F.col("excluded").isNull()).select(
+            *self._QUEUED_COLS
         )
-        seen_snap = self.tables["seen"].commit(
-            new_frontier.select("url", "bucket").coalesce(frontier_parts),
-            metrics={"batch": batch},
+        remaining = self._queued_df.join(
+            F.broadcast(claimed.select("url")), on="url", how="left_anti"
         )
-        # sketch delta built executor-side (applyInPandas per bucket);
-        # only serialized bloom bytes + counts cross to the driver for
-        # the OR-merge, and the counts double as n_new (no extra job)
-        delta = build_sketches(
-            new_frontier.select("url", "bucket"),
-            num_bits=self.cfg.bloom_bits_per_bucket,
-            num_hashes=self.cfg.bloom_hashes,
-        )
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            fr_f = pool.submit(
+                self.tables["frontier"].commit,
+                new_frontier.select(
+                    "url", "host", "depth", "page_seq", "link_seq", "priority",
+                    "excluded", "batch",
+                ).coalesce(frontier_parts),
+                metrics={"batch": batch},
+            )
+            seen_f = pool.submit(
+                self.tables["seen"].commit,
+                new_frontier.select("url", "bucket").coalesce(frontier_parts),
+                metrics={"batch": batch},
+            )
+            # sketch delta built executor-side (applyInPandas per
+            # bucket); only serialized bloom bytes + counts cross to
+            # the driver for the OR-merge, and the counts double as
+            # n_new (no extra job)
+            delta_f = pool.submit(
+                build_sketches,
+                new_frontier.select("url", "bucket"),
+                num_bits=self.cfg.bloom_bits_per_bucket,
+                num_hashes=self.cfg.bloom_hashes,
+            )
+            queued_f = pool.submit(
+                lambda: remaining.unionByName(newly_queued).localCheckpoint()
+            )
+            seen_df_f = pool.submit(
+                lambda: self._seen_df.unionByName(
+                    new_frontier.select("url", "bucket")
+                ).localCheckpoint()
+            )
+            fr_snap = fr_f.result()
+            seen_snap = seen_f.result()
+            delta = delta_f.result()
+            next_queued_df = queued_f.result()
+            next_seen_df = seen_df_f.result()
         n_new = int(sum(delta.bucket_counts.values()))
         if n_new > 0:
             self.sketch = merge_sketches(
@@ -574,18 +619,11 @@ class Crawler:
         )
 
         # advance the hot state: queued minus the claimed batch plus the
-        # newly-discovered queue-eligible urls; localCheckpoint truncates
-        # lineage so plan depth stays O(1) across hundreds of batches
-        remaining = self._queued_df.join(
-            F.broadcast(claimed.select("url")), on="url", how="left_anti"
-        )
-        newly_queued = new_frontier.filter(F.col("excluded").isNull()).select(
-            *self._QUEUED_COLS
-        )
-        self._queued_df = remaining.unionByName(newly_queued).localCheckpoint()
-        self._seen_df = self._seen_df.unionByName(
-            new_frontier.select("url", "bucket")
-        ).localCheckpoint()
+        # newly-discovered queue-eligible urls; localCheckpoint (already
+        # computed concurrently above) truncates lineage so plan depth
+        # stays O(1) across hundreds of batches
+        self._queued_df = next_queued_df
+        self._seen_df = next_seen_df
 
         processed.unpersist()
         new_frontier.unpersist()
