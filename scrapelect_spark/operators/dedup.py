@@ -103,6 +103,10 @@ _LSH_ROWS_PER_BAND = 2
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: K=8 minhashes over word 3-gram shingles,
     4 bands × 2 rows; pair (a,b) is a candidate iff some band agrees."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     sh = _shingles(_words(d)).filter(F.col("sh").isNotNull())
     seeds = spark.range(_MINHASH_K).withColumnRenamed("id", "k")
@@ -338,12 +342,110 @@ FROM agg ORDER BY vec_id
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph — the
+    step that turns pair detection into corpus dedup (keep one doc per
+    near-duplicate cluster; cluster id = min doc_id in the component).
+
+    Algorithm: iterative min-label propagation over the symmetric edge
+    list, driver loop until fixpoint (≤ graph diameter iterations;
+    each iteration is one shuffle, state localCheckpoint'ed so plan
+    depth stays O(1)).  At 10^10 docs the same loop runs with
+    large-star/small-star edge rewriting to cut the iteration count to
+    O(log n) — the per-iteration dataflow (join + groupBy-min) is
+    already the scale shape.
+    """
+    pairs = _minhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(32):  # bound; tiny diameters converge in 2-4
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster")
+    ).orderBy("doc_id")
+
+
+_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _WORDS_SQL.format(where="WHERE doc_id < 300")
+    + ", "
+    + _SHINGLES_SQL
+    + """
+, sigs AS (
+  SELECT doc_id, k, min(md5(sh || '#' || CAST(k AS VARCHAR))) AS mh
+  FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS k) seeds
+  WHERE sh IS NOT NULL
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT a.doc_id, CAST(a.k / 2 AS INTEGER) AS band, md5(a.mh || b.mh) AS band_val
+  FROM sigs a JOIN sigs b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+  WHERE a.k % 2 = 0
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, MIN(lab) AS cluster
+FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_jaccard_adjacent": dedup_jaccard_adjacent,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLE_SQL = {
@@ -352,4 +454,5 @@ ORACLE_SQL = {
     "dedup_simhash": _simhash_sql(),
     "dedup_jaccard_adjacent": _JACCARD_SQL,
     "dedup_embedding_cosine": _EMB_COS_SQL,
+    "dedup_clusters": _CLUSTERS_SQL,
 }

@@ -174,6 +174,34 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: probe the query's bucket AND every Hamming-1
+    neighbor bucket (9 of 256) — the standard recall fix for vectors
+    that land just across a hyperplane, at ~9/256 of the corpus instead
+    of 1/256.  Same materialized index + prune-before-explode shape as
+    ``ann_lsh_bucketed``; top-10 by cosine over the probed union."""
+    e = load(spark, sf_dir, "embeddings")
+    buckets = _bucket_index(spark, sf_dir)
+    qb = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket")
+    )
+    probed = buckets.join(
+        F.broadcast(qb),
+        F.bit_count(buckets.bucket.bitwiseXOR(qb.qbucket)) <= 1,
+    ).select("vec_id", "bucket")
+    pruned_el = _elements(
+        e.join(probed.select("vec_id"), "vec_id", "left_semi")
+    )
+    cos = _cosine_of_elements(pruned_el, _query_elements(_elements(e), 0))
+    return (
+        probed.join(cos, "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "bucket", "cosine")
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
 def _lsh_sql() -> str:
     dot_terms = ", ".join(
         "SUM(CAST(CAST(xf AS DOUBLE) * (((31*{j} + 17*(ord-1)) % 7) - 3) "
@@ -219,12 +247,60 @@ LIMIT 5
 """
 
 
+def _multiprobe_sql() -> str:
+    dot_terms = ", ".join(
+        "SUM(CAST(CAST(xf AS DOUBLE) * (((31*{j} + 17*(ord-1)) % 7) - 3) "
+        "AS DECIMAL(28,12))) AS d{j}".format(j=j)
+        for j in range(_N_PLANES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN d{j} >= 0 THEN {2**j} ELSE 0 END)" for j in range(_N_PLANES)
+    )
+    return f"""
+WITH el AS (
+  SELECT vec_id, unnest(embedding) AS xf,
+         generate_subscripts(embedding, 1) AS ord
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, {dot_terms}
+  FROM el GROUP BY vec_id
+),
+buckets AS (
+  SELECT vec_id, CAST({bucket} AS INTEGER) AS bucket FROM dots
+),
+q AS (SELECT ord, CAST(xf AS DOUBLE) AS qx FROM el WHERE vec_id = 0),
+agg AS (
+  SELECT e.vec_id,
+    SUM(CAST(CAST(e.xf AS DOUBLE) * q.qx AS DECIMAL(28,12))) AS dot,
+    SUM(CAST(CAST(e.xf AS DOUBLE) * CAST(e.xf AS DOUBLE) AS DECIMAL(28,12))) AS na,
+    SUM(CAST(q.qx * q.qx AS DECIMAL(28,12))) AS nq
+  FROM el e JOIN q ON e.ord = q.ord GROUP BY e.vec_id
+),
+cos AS (
+  SELECT vec_id,
+    ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nq AS DOUBLE)), 6) AS cosine
+  FROM agg
+)
+SELECT b.vec_id, b.bucket, cos.cosine
+FROM buckets b
+JOIN (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0) qb
+  ON bit_count(xor(b.bucket, qb.qbucket)) <= 1
+JOIN cos ON cos.vec_id = b.vec_id
+WHERE b.vec_id <> 0
+ORDER BY cos.cosine DESC, b.vec_id
+LIMIT 10
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_lsh_multiprobe": ann_lsh_multiprobe,
 }
 
 ORACLE_SQL = {
     "ann_cosine_topk": _TOPK_SQL,
     "ann_lsh_bucketed": _lsh_sql(),
+    "ann_lsh_multiprobe": _multiprobe_sql(),
 }

@@ -195,11 +195,65 @@ ORDER BY d.doc_id
 )
 
 
+# PII scrubbing: regex redaction of emails/phones — a required pass in
+# any web-scale training-data pipeline.  The documents corpus has no
+# PII, so deterministic PII is spliced in from doc columns first; both
+# engines then scrub with identical patterns (kept to the regex subset
+# Java and RE2 parse the same way).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+?[0-9][0-9\\-]{6,}[0-9]"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org tel +1-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" end"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (
+            F.length(scrubbed)
+            - F.length(F.regexp_replace(scrubbed, "<EMAIL>", ""))
+        ).cast("long").alias("email_chars_redacted"),
+    ).orderBy("doc_id")
+
+
+_PII_SQL = f"""
+WITH raw AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+    '@example.org tel +1-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+    || ' end' AS r
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(r, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+  FROM raw
+)
+SELECT doc_id, scrubbed,
+  CAST(length(scrubbed) - length(replace(scrubbed, '<EMAIL>', '')) AS BIGINT)
+    AS email_chars_redacted
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
     "text_langid_heuristic": text_langid_heuristic,
     "text_fingerprint": text_fingerprint,
+    "text_pii_scrub": text_pii_scrub,
 }
 
 ORACLE_SQL = {
@@ -207,4 +261,5 @@ ORACLE_SQL = {
     "text_quality_scores": _QUALITY_SQL,
     "text_langid_heuristic": _langid_sql(),
     "text_fingerprint": _FINGERPRINT_SQL,
+    "text_pii_scrub": _PII_SQL,
 }
