@@ -103,22 +103,51 @@ class FilterSpec:
     fn: Callable[..., Any]
     needs_ctx: bool = False
 
+    def __post_init__(self):
+        # hot-loop precompute: converter functions and error-message
+        # strings are per-spec constants — building them per call costs
+        # more than the conversions themselves (frozen dataclass, so
+        # assign via object.__setattr__)
+        object.__setattr__(
+            self, "_value_conv", _CONVERTERS[self.value_type]
+        )
+        object.__setattr__(
+            self, "_value_what", f"value piped into `{self.name}`"
+        )
+        object.__setattr__(
+            self,
+            "_param_info",
+            tuple(
+                (
+                    p.name,
+                    _CONVERTERS[p.type],
+                    p.optional,
+                    f"argument `{p.name}` of `{self.name}`",
+                )
+                for p in self.params
+            ),
+        )
+        object.__setattr__(
+            self, "_allowed", frozenset(p.name for p in self.params)
+        )
+
     def call(self, value: Any, args: dict[str, Any], ctx) -> Any:
         converted: dict[str, Any] = {}
-        for p in self.params:
-            if p.name in args:
-                converted[p.name] = _CONVERTERS[p.type](
-                    args[p.name], f"argument `{p.name}` of `{self.name}`"
-                )
-            elif not p.optional:
-                raise EvalError(f"missing required argument `{p.name}` in `{self.name}`")
+        for name, conv, optional, what in self._param_info:
+            if name in args:
+                converted[name] = conv(args[name], what)
+            elif not optional:
+                raise EvalError(f"missing required argument `{name}` in `{self.name}`")
             else:
-                converted[p.name] = None
-        allowed = {p.name for p in self.params}
-        for k in args:
-            if k not in allowed:
-                raise EvalError(f"unexpected argument `{k}` to filter `{self.name}`")
-        v = _CONVERTERS[self.value_type](value, f"value piped into `{self.name}`")
+                converted[name] = None
+        if args:
+            allowed = self._allowed
+            for k in args:
+                if k not in allowed:
+                    raise EvalError(
+                        f"unexpected argument `{k}` to filter `{self.name}`"
+                    )
+        v = self._value_conv(value, self._value_what)
         if self.needs_ctx:
             return self.fn(v, ctx=ctx, **converted)
         return self.fn(v, **converted)

@@ -80,7 +80,12 @@ def drop_elements(v: Any) -> tuple[Any, bool]:
     binding (value.rs:174-191 maps into_data over members and fails if
     any member fails).
     """
-    if is_element(v):
+    # fast path: scalars are the overwhelmingly common case in the
+    # per-page hot loop (one call per binding per block close)
+    t = v.__class__
+    if t is str or t is int or t is float or t is bool or v is None:
+        return v, True
+    if t is ElementValue or isinstance(v, ElementValue):
         return None, False
     if isinstance(v, list):
         out = []

@@ -307,8 +307,71 @@ ORDER BY fetch_order
 """
 
 
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) — the driver-gate
+    twin of the streaming stateful sessionizer (streaming/windows.py).
+    Classic gaps-and-islands: per-user lag marks session starts, a
+    running sum numbers sessions, then one aggregation per session.
+    Scale shape: both windows partition by user_id (one shuffle), the
+    final groupBy reuses that partitioning; all arithmetic is exact
+    int64 microseconds — no float drift at any parallelism."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = 1800 * 1_000_000
+    x = e.select("user_id", "event_id", us.alias("us"))
+    x = x.withColumn(
+        "ns",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    x = x.withColumn(
+        "session_idx",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        x.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+_SESSION_SQL = """
+WITH x AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+s AS (
+  SELECT user_id, event_id, us,
+    SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM x
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(event_id) AS first_event,
+  MAX(event_id) AS last_event,
+  MAX(us) - MIN(us) AS duration_us
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "events_sessionized": events_sessionized,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
     "top_events_per_user": top_events_per_user,
@@ -326,6 +389,7 @@ ORACLE_SQL = {
     "top_events_per_user": _TOP_EVENTS_SQL,
     "events_running_sum": _RUNNING_SQL,
     "events_hourly_counts": _HOURLY_SQL,
+    "events_sessionized": _SESSION_SQL,
     "frontier_new_urls": _FRONTIER_NEW_SQL,
     "perhost_politeness_topk": _PERHOST_SQL,
     "priority_claim_order": _PRIORITY_SQL,

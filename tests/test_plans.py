@@ -184,3 +184,26 @@ def test_dedup_minhash_no_cartesian(spark):
     for l in plan.splitlines():
         if "BroadcastNestedLoopJoin" in l:
             assert "Cross" in l
+
+
+def test_ann_multiprobe_prunes_before_cosine(spark):
+    """Multiprobe keeps the prune-before-explode shape: a LeftSemi
+    below the cosine aggregate, same as the single-bucket variant."""
+    from scrapelect_spark.operators.simsearch import ann_lsh_multiprobe
+
+    df = ann_lsh_multiprobe(spark, SF)
+    logical = optimized_of(df).splitlines()
+    agg_idx = next(
+        i for i, l in enumerate(logical) if "Aggregate" in l and "AS cosine#" in l
+    )
+    semi_idxs = [i for i, l in enumerate(logical) if "LeftSemi" in l]
+    assert semi_idxs and any(i > agg_idx for i in semi_idxs)
+
+
+def test_dedup_clusters_no_cartesian(spark):
+    """The component-propagation join must stay an equi-join on the
+    edge endpoint — no nested-loop blowup on the candidate graph."""
+    from scrapelect_spark.operators.dedup import dedup_clusters
+
+    plan = plan_of(dedup_clusters(spark, SF))
+    assert "CartesianProduct" not in plan
