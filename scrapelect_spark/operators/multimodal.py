@@ -228,7 +228,10 @@ def audio_features(
                     try:
                         dur[i], rms[i] = duration_rms(raw)
                     except Exception as e:  # wave.Error, ValueError, EOFError
-                        err[i] = f"WAV decode failed: {e or type(e).__name__}"
+                        # EOFError from a truncated header stringifies
+                        # empty — fall back to the exception type name
+                        msg = str(e) or type(e).__name__
+                        err[i] = f"WAV decode failed: {msg}"
                 else:
                     err[i] = f"audio decode for {fmt!r} requires a codec library"
             yield pd.DataFrame(
