@@ -79,6 +79,11 @@ def extract(
     ``corpus`` (url → html) backs URL recursion inside the UDF; it is
     broadcast once per job.  At crawl scale the frontier loop owns
     link-following instead.
+
+    Stream-native: ``pages`` may be a streaming DataFrame — mapInPandas
+    is supported under Structured Streaming, so the same compiled plan
+    runs per micro-batch unchanged
+    (tests/test_streaming.py::test_extract_over_stream_matches_batch).
     """
     statements = compile_scrp(program)
     spark = pages.sparkSession

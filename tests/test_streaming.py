@@ -117,3 +117,52 @@ def test_sessionize_stream_matches_batch(spark, events_dir, tmp_path):
     # most sessions close (only per-user trailing sessions stay open)
     n_users = spark.read.parquet(events_dir).select("user_id").distinct().count()
     assert len(got) >= len(want) - n_users
+
+
+def test_extract_over_stream_matches_batch(spark, tmp_path):
+    """The extraction operator is stream-native: the same compile-once
+    mapInPandas plan runs unchanged under Structured Streaming (a
+    micro-batch of pages in → extracted records out), and emits exactly
+    the batch answer.  This is the streaming form of the crawl's
+    process stage."""
+    from scrapelect_spark.operators.extract import extract
+
+    pages_dir = str(tmp_path / "pages")
+    rows = [
+        (
+            f"http://s.test/{i}",
+            f'<html><body><h1>t{i}</h1><a href="/l{i}">x</a></body></html>',
+        )
+        for i in range(200)
+    ]
+    spark.createDataFrame(rows, ["url", "html"]).write.parquet(pages_dir)
+
+    program = (
+        'title: h1 { t: $element | text(); } | take(key: "t");\n'
+        'link: a { h: $element | attrs() | take(key: "href"); } | take(key: "h");\n'
+    )
+
+    stream_pages = (
+        spark.readStream.schema("url string, html string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+    q = (
+        extract(stream_pages, program)
+        .writeStream.format("memory")
+        .queryName("extract_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ex"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.url, r.result, r.error)
+        for r in spark.sql("SELECT * FROM extract_stream").collect()
+    }
+    want = {
+        (r.url, r.result, r.error)
+        for r in extract(spark.read.parquet(pages_dir), program).collect()
+    }
+    assert got == want and len(got) == 200
