@@ -166,11 +166,28 @@ class _TreeBuilder(HTMLParser):
             self._append(TextNode(data, self.stack[-1] if self.stack else None))
 
 
-def parse_html(text: str) -> ElementNode:
-    """Parse a document and return its ``<html>`` root element."""
+def parse_html(text: str, fast: bool = True) -> ElementNode:
+    """Parse a document and return its ``<html>`` root element.
+
+    ``fast=True`` (default) tokenizes with :mod:`.fast_html` (a C-regex
+    scan ~2× quicker than stdlib html.parser's goahead loop) feeding
+    the same ``_TreeBuilder`` callbacks; any input outside the fast
+    path's recognized subset falls back to html.parser for the whole
+    document, so the DOM is identical either way
+    (tests/test_fast_html.py pins the equivalence differentially)."""
     builder = _TreeBuilder()
-    builder.feed(text)
-    builder.close()
+    if fast:
+        from .fast_html import FallbackNeeded, tokenize_into
+
+        try:
+            tokenize_into(builder, text)
+        except FallbackNeeded:
+            builder = _TreeBuilder()
+            builder.feed(text)
+            builder.close()
+    else:
+        builder.feed(text)
+        builder.close()
 
     for node in builder.top:
         if isinstance(node, ElementNode) and node.tag == "html":
