@@ -132,6 +132,41 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + aggregate — every predicate reaches the
+    parquet scan (PushedFilters), zero joins, one partial+final agg;
+    the canonical 'scan efficiency' probe at 100 TB."""
+    l = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(DEC)
+    # predicate year adapted to the synthetic corpus's shipdate range
+    # (1995-2001; TPC-H's literal 1994 window would select zero rows)
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
@@ -371,6 +406,7 @@ ORDER BY user_id, session_idx
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "events_sessionized": events_sessionized,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -389,6 +425,7 @@ ORACLE_SQL = {
     "top_events_per_user": _TOP_EVENTS_SQL,
     "events_running_sum": _RUNNING_SQL,
     "events_hourly_counts": _HOURLY_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
     "events_sessionized": _SESSION_SQL,
     "frontier_new_urls": _FRONTIER_NEW_SQL,
     "perhost_politeness_topk": _PERHOST_SQL,

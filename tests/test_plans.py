@@ -207,3 +207,31 @@ def test_dedup_clusters_no_cartesian(spark):
 
     plan = plan_of(dedup_clusters(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_q6_full_pushdown(spark):
+    """Q6's whole WHERE clause must reach the parquet scan — at 100 TB
+    this is the difference between reading a year and reading history."""
+    from scrapelect_spark.operators.relational import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, SF)
+    # toString elides long filter lists — use the formatted explain
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in plan, f"predicate not pushed: {frag}"
+    # column pruning: only the 4 referenced columns scanned
+    scan = next(
+        l for l in plan_of(df).splitlines() if "FileScan parquet" in l
+    )
+    cols = scan.split("[", 1)[1].split("]", 1)[0]
+    assert set(c.split("#")[0] for c in cols.split(",")) == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    }
