@@ -83,10 +83,19 @@ class CrawlConfig:
     bloom_bits_per_bucket: int = 1 << 20
     bloom_hashes: int = 5
     default_priority: int = 100
-    user_agent: str = "scrapelect-spark v0.1"
+    #: reference-parity UA (mod.rs:28-39 / Cargo.toml — matches
+    #: sources/fetch.py HttpFetcher.REFERENCE_UA)
+    user_agent: str = "scrapelect v0.4.0"
     batch_seconds: float = 60.0  # politeness budget window per micro-batch
     fetch_partitions: int = 32
     broadcast_corpus: bool = True
+    #: fold the append-only snapshot logs into one base commit every N
+    #: batches (0 = never).  At the 10^10-URL design point the frontier
+    #: log otherwise accumulates one commit dir per batch forever, and
+    #: every resume/read pays for the whole history.  Compaction keeps
+    #: old snapshots + data dirs on disk, so a crash mid-compaction (or
+    #: a root pin from before it) still resolves exactly.
+    compact_every: int = 64
 
 
 def extract_links(root, base_url: str) -> list[Optional[str]]:
@@ -396,7 +405,30 @@ class Crawler:
             state = self._run_one_batch(state)
             if state["metrics"]["pages_fetched"] == 0:
                 break
+            if (
+                self.cfg.compact_every
+                and state["metrics"]["batch"] % self.cfg.compact_every == 0
+            ):
+                self._compact_tables()
         return self.root.current_snapshot()
+
+    def _compact_tables(self) -> None:
+        """Fold each append-log into one base commit sized by row count
+        (content-identical: reads the live set, rewrites coalesced).
+        The next batch's root commit pins the fresh snapshot ids; until
+        then the previous root pin stays resolvable because compaction
+        never deletes old snapshots or data dirs."""
+        for name in ("frontier", "seen", "pages", "records"):
+            table = self.tables[name]
+            df = table.read(self.spark)
+            if df is None:
+                continue
+            n = df.count()
+            table.commit(
+                df.coalesce(self._commit_parts(n)),
+                mode="overwrite",
+                metrics={"compaction": True, "rows": int(n)},
+            )
 
     def _run_one_batch(self, root_state: dict) -> dict:
         m = root_state["metrics"]

@@ -246,3 +246,63 @@ def test_snapshot_table_atomic_commits(spark, tmp_path):
     # compaction preserves content
     t.compact(spark)
     assert t.read(spark).count() == 8
+
+
+def test_periodic_compaction_preserves_crawl_exactly(spark, tmp_path):
+    """compact_every folds the snapshot logs mid-crawl without changing
+    a single byte of crawl output, and resume from a post-compaction
+    checkpoint is exact."""
+    from scrapelect_spark.streaming.crawl import Crawler, CrawlConfig
+
+    n_hosts, per_host = 3, 30
+    corpus = {}
+    for h in range(n_hosts):
+        for p in range(per_host):
+            links = "".join(
+                f'<a href="http://h{(h + k) % n_hosts}.test/p/{(p * 3 + k) % per_host}">x</a>'
+                for k in range(4)
+            )
+            corpus[f"http://h{h}.test/p/{p}"] = (
+                f"<html><body><h1>{h}/{p}</h1>{links}</body></html>"
+            )
+    corpus_df = spark.createDataFrame(list(corpus.items()), ["url", "html"])
+    seeds = [(f"http://h{h}.test/p/0", 1) for h in range(n_hosts)]
+    prog = 'title: h1 { t: $element | text(); } | take(key: "t");'
+
+    def cfg(compact_every):
+        return CrawlConfig(
+            batch_size=20, per_host_limit=8, max_depth=6, buckets=8,
+            bloom_bits_per_bucket=1 << 14, fetch_partitions=4,
+            compact_every=compact_every,
+        )
+
+    a = Crawler(spark, str(tmp_path / "a"), corpus_df, seeds, program=prog,
+                config=cfg(0))
+    a.run(max_batches=8)
+
+    b = Crawler(spark, str(tmp_path / "b"), corpus_df, seeds, program=prog,
+                config=cfg(2))
+    b.run(max_batches=8)
+
+    assert a.visit_log() == b.visit_log()
+    assert a.seen_set() == b.seen_set()
+    assert a.records_json() == b.records_json()
+
+    # compaction actually folded the frontier log: live dir count is
+    # bounded, not one-per-batch
+    fr = b.tables["frontier"].current_snapshot()
+    assert len(fr["data_dirs"]) < 5
+    # compaction snapshots visible in history
+    assert any(
+        s["metrics"].get("compaction") for s in b.tables["frontier"].history()
+    )
+
+    # exact resume from a workdir whose last activity was a compaction
+    c1 = Crawler(spark, str(tmp_path / "c"), corpus_df, seeds, program=prog,
+                 config=cfg(2))
+    c1.run(max_batches=4)  # ends on batch 4 → compaction just ran
+    c2 = Crawler(spark, str(tmp_path / "c"), corpus_df, seeds, program=prog,
+                 config=cfg(2))
+    c2.run(max_batches=4)
+    assert c2.visit_log() == a.visit_log()
+    assert c2.seen_set() == a.seen_set()
