@@ -28,7 +28,7 @@ class HostRules:
         return best_allow
 
 
-def parse_robots(text: str, user_agent: str = "scrapelect-spark") -> HostRules:
+def parse_robots(text: str, user_agent: str = "scrapelect v0.4.0") -> HostRules:
     """Parse one robots.txt body for our UA (specific group wins over
     ``*``)."""
     groups: dict[str, HostRules] = {}
@@ -73,7 +73,7 @@ class RobotsPolicy:
     def from_pairs(
         cls,
         pairs: list[tuple[str, str]],
-        user_agent: str = "scrapelect-spark",
+        user_agent: str = "scrapelect v0.4.0",
         batch_seconds: float = 60.0,
     ) -> "RobotsPolicy":
         return cls(
