@@ -247,6 +247,68 @@ LIMIT 5
 """
 
 
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (per-vector max-abs scale) — the
+    standard storage/bandwidth reduction before ANN indexing at 10^9+
+    vectors.  All JVM-side higher-order functions, zero Python.
+
+    Determinism: quantization uses floor(x/scale·127 + 0.5) instead of
+    round() — identical doubles floor identically in every engine,
+    with no HALF_UP-vs-half-even ambiguity at exact .5 boundaries.
+    Zero vectors quantize to zeros (guarded identically both sides)."""
+    e = load(spark, sf_dir, "embeddings")
+
+    def _absd(x):
+        return F.abs(x.cast("double"))
+
+    scale = F.aggregate(
+        F.transform("embedding", _absd),
+        F.lit(0.0).cast("double"),
+        lambda a, x: F.greatest(a, x),
+    )
+    d = e.select("vec_id", "embedding", scale.alias("scale"))
+
+    def _q(x):
+        return F.when(F.col("scale") == 0.0, F.lit(0).cast("long")).otherwise(
+            F.floor(x.cast("double") / F.col("scale") * 127.0 + 0.5).cast("long")
+        )
+
+    q = F.transform("embedding", _q)
+    d = d.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        "scale",
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+    return d.orderBy("vec_id")
+
+
+_QUANT_SQL = """
+WITH s AS (
+  SELECT vec_id,
+    CAST(len(embedding) AS BIGINT) AS n_dims,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+    embedding
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, n_dims, scale,
+    list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+      ELSE CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT) END) AS qv
+  FROM s
+)
+SELECT vec_id, n_dims, scale,
+  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+  list_min(qv) AS q_min,
+  list_max(qv) AS q_max
+FROM q ORDER BY vec_id
+"""
+
+
 def _multiprobe_sql() -> str:
     dot_terms = ", ".join(
         "SUM(CAST(CAST(xf AS DOUBLE) * (((31*{j} + 17*(ord-1)) % 7) - 3) "
@@ -297,10 +359,12 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
+    "embedding_int8_quantize": embedding_int8_quantize,
 }
 
 ORACLE_SQL = {
     "ann_cosine_topk": _TOPK_SQL,
     "ann_lsh_bucketed": _lsh_sql(),
     "ann_lsh_multiprobe": _multiprobe_sql(),
+    "embedding_int8_quantize": _QUANT_SQL,
 }
