@@ -36,13 +36,19 @@ class FallbackNeeded(Exception):
     the whole document with html.parser."""
 
 
+# The unquoted-value branch is deliberately stricter than html.parser's
+# attrfind_tolerant: html.parser uses (?!['\"])[^>\s]* after =+ — a
+# quote-leading "unquoted" value means an unterminated quoted string and
+# a repeated '=' folds into the =+ — both shapes parse DIFFERENTLY there,
+# so the fast path must refuse them ((?!['\"=]) below) and fall back to a
+# whole-document html.parser reparse rather than silently diverge.
 _STARTTAG = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9:._-]*)"  # tag name
-    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]+))?)*)"  # attrs
+    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?!['\"=])[^\s>]+))?)*)"  # attrs
     r"\s*(/?)>"
 )
 _ATTR = re.compile(
-    r"\s+([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+)))?"
+    r"\s+([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|((?!['\"=])[^\s>]+)))?"
 )
 _ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 

@@ -121,18 +121,41 @@ def _bucket_expr_spark(el: DataFrame) -> DataFrame:
 
 #: materialized bucket index per (application, corpus) — the
 #: ingest-time index build a 10^9-vector deployment stores as a table;
-#: queries reuse it instead of re-deriving 8 hyperplane sums per call
-_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: queries reuse it instead of re-deriving 8 hyperplane sums per call.
+#: Keyed additionally by a fingerprint of the underlying parquet files
+#: (path + size + mtime) so a regenerated corpus under the same path
+#: never serves stale buckets; a superseded entry is unpersisted so
+#: executor storage stays bounded at one index per live corpus.
+_INDEX_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            st = os.stat(os.path.join(root, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f"{root}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
 
 
 def _bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    df = _INDEX_CACHE.get(key)
-    if df is None:
-        df = _bucket_expr_spark(
-            _elements(load(spark, sf_dir, "embeddings"))
-        ).persist()
-        _INDEX_CACHE[key] = df
+    fp = _corpus_fingerprint(sf_dir)
+    hit = _INDEX_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    if hit is not None:
+        hit[1].unpersist()
+    df = _bucket_expr_spark(
+        _elements(load(spark, sf_dir, "embeddings"))
+    ).persist()
+    _INDEX_CACHE[key] = (fp, df)
     return df
 
 

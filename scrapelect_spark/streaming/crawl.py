@@ -484,6 +484,7 @@ class Crawler:
         )
         if n_fetched == 0:
             processed.unpersist()
+            claimed.unpersist()
             root = self.root.commit(
                 None,
                 metrics={**m, "batch": batch, "pages_fetched": 0, "tables": m["tables"]},

@@ -83,6 +83,21 @@ MALFORMED = [
     "<a href=>empty</a>",
     "\x00<p>null</p>",
     "<p>emoji 🎈 &#127880;</p>",
+    # malformed-attribute shapes where html.parser's tolerant grammar
+    # (=+ folding, (?!['\"]) unquoted values, unterminated quotes) parses
+    # DIFFERENTLY from a naive regex — the fast path must fall back
+    "<a e==&</style>",
+    '<a e="</a>',
+    '<a title="x<y',
+    "<a e==x>y</a>",
+    "<a b='x>z</a>",
+    '<a b="x>z</a>',
+    "<a e= =v>t</a>",
+    "<a e===v>t</a>",
+    '<a e="unterminated quote>t</a>',
+    "<a e='>t</a>",
+    "<a e=\"a\"b=c>t</a>",
+    "<a e='v'x>t</a>",
 ]
 
 
@@ -179,3 +194,31 @@ def test_arbitrary_text_equivalent(text):
 )
 def test_markup_soup_equivalent(text):
     assert_equivalent(text)
+
+
+def _random_attr_junk(seed: int) -> str:
+    """Adversarial attribute-syntax generator: repeated '=', quote-leading
+    unquoted values, unterminated quotes, stray slashes — the tolerant
+    corners of html.parser's attrfind grammar."""
+    r = random.Random(seed)
+    frags = []
+    for _ in range(r.randint(1, 5)):
+        tag = r.choice(["a", "div", "p", "style"])
+        attrs = ""
+        for _ in range(r.randint(0, 3)):
+            name = r.choice(["e", "b", "title", "x-y", "data"])
+            eq = r.choice(["=", "==", "= =", "===", " = ", ""])
+            val = r.choice(
+                ['"v"', "'v'", "v", '="v', '"unterm', "'unterm", '=v',
+                 '"v"extra', "'v'x", "`v`", "a=b", '"x<y', "", "/v", "v/"]
+            )
+            attrs += f" {name}{eq}{val}"
+        closer = r.choice([">", "/>", " >", " / >", ""])
+        frags.append(f"<{tag}{attrs}{closer}")
+        frags.append(r.choice(["text", "</a>", "&amp;", "", "<b>t</b>"]))
+    return "".join(frags)
+
+
+@pytest.mark.parametrize("seed", range(300))
+def test_attr_junk_equivalent(seed):
+    assert_equivalent(_random_attr_junk(seed))
