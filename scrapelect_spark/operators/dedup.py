@@ -106,6 +106,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir)
 
 
+#: band buckets larger than this take the salted pair path; smaller
+#: buckets use the plain equi-join (no replication cost).  m docs in a
+#: hot bucket → m²/2 pairs; unsalted, all of them land in ONE task.
+_HOT_BAND_THRESHOLD = 1_000
+_HOT_SALT_BUCKETS = 16
+
+
+def band_pairs(
+    bands: DataFrame,
+    hot_threshold: int = _HOT_BAND_THRESHOLD,
+    salt_buckets: int = _HOT_SALT_BUCKETS,
+) -> DataFrame:
+    """All candidate pairs (doc_a < doc_b) sharing a (band, band_val)
+    bucket, with a skew guard: bucket sizes are counted first and any
+    bucket above ``hot_threshold`` members is self-joined through a
+    salted path — side A keyed by ``doc_id % salt_buckets``, side B
+    replicated to every salt — so a boilerplate-heavy corpus that puts
+    millions of docs in one band bucket spreads its m²/2 pairs across
+    ``salt_buckets`` tasks instead of OOMing one.  The pair set is
+    IDENTICAL to the naive join (each pair matches in exactly one salt
+    partition — A contributes one salt, B all of them); only the task
+    placement changes (`tests/test_dedup_cc.py::test_band_pairs_*`).
+    """
+    sizes = bands.groupBy("band", "band_val").agg(F.count("*").alias("bsz"))
+    tagged = bands.join(sizes, ["band", "band_val"])
+    cold = tagged.filter(F.col("bsz") <= hot_threshold)
+    hot = tagged.filter(F.col("bsz") > hot_threshold)
+
+    def pair_join(a_side: DataFrame, b_side: DataFrame, extra_keys):
+        a = a_side.select(
+            F.col("doc_id").alias("doc_a"), "band", "band_val", *extra_keys
+        )
+        b = b_side.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("band").alias("band_b"),
+            F.col("band_val").alias("band_val_b"),
+            *[F.col(k).alias(f"{k}_b") for k in extra_keys],
+        )
+        cond = (a.band == b.band_b) & (a.band_val == b.band_val_b)
+        for k in extra_keys:
+            cond = cond & (a[k] == b[f"{k}_b"])
+        return a.join(b, cond & (a.doc_a < b.doc_b)).select("doc_a", "doc_b")
+
+    cold_pairs = pair_join(cold, cold, [])
+    hot_a = hot.withColumn(
+        "salt", (F.col("doc_id") % salt_buckets).cast("int")
+    )
+    hot_b = hot.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    hot_pairs = pair_join(hot_a, hot_b, ["salt"])
+    return cold_pairs.unionByName(hot_pairs).distinct()
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     sh = _shingles(_words(d)).filter(F.col("sh").isNotNull())
@@ -130,25 +184,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "band", F.md5(F.concat("m0", "m1")).alias("band_val"))
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_val"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"),
-        F.col("band_val").alias("band_val_b"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (a.band == b.band_b)
-            & (a.band_val == b.band_val_b)
-            & (a.doc_a < b.doc_b),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
-    return pairs
+    return band_pairs(bands).orderBy("doc_a", "doc_b")
 
 
 _MINHASH_SQL = (

@@ -59,3 +59,63 @@ def test_mixed_components(spark):
 def test_empty_graph(spark):
     empty = _edges(spark, []).limit(0)
     assert connected_components(empty).count() == 0
+
+
+# --- MinHash band-join skew guard -----------------------------------
+
+
+def _skewed_bands(spark):
+    """500 docs; docs 0..49 all share ONE (band, band_val) bucket (the
+    boilerplate-page scenario), plus two cold 3-doc buckets; the rest
+    are singletons that pair with nothing."""
+    rows = [(d, 0, "HOT") for d in range(50)]
+    rows += [(d, 1, "c1") for d in (100, 101, 102)]
+    rows += [(d, 2, "c2") for d in (200, 201, 202)]
+    rows += [(d, 3, f"u{d}") for d in range(300, 500)]
+    return spark.createDataFrame(rows, "doc_id long, band int, band_val string")
+
+
+def test_band_pairs_hot_band_exact(spark):
+    """The salted hot path must emit EXACTLY the naive all-pairs set —
+    skew handling changes task placement, never the answer."""
+    from scrapelect_spark.operators.dedup import band_pairs
+
+    bands = _skewed_bands(spark)
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in band_pairs(bands, hot_threshold=10, salt_buckets=8).collect()
+    )
+    expect = sorted(
+        [(a, b) for a in range(50) for b in range(a + 1, 50)]
+        + [(100, 101), (100, 102), (101, 102)]
+        + [(200, 201), (200, 202), (201, 202)]
+    )
+    assert got == expect
+
+
+def test_band_pairs_hot_path_joins_on_salt(spark):
+    """The hot bucket's self-join must include the salt in its join
+    keys — that is what spreads an m²-pair bucket over many tasks."""
+    from scrapelect_spark.operators.dedup import band_pairs
+
+    df = band_pairs(_skewed_bands(spark), hot_threshold=10, salt_buckets=8)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert any("salt" in l for l in join_lines), plan
+
+
+def test_band_pairs_all_cold_matches_naive(spark):
+    """With no hot buckets the guard is pure equi-join passthrough."""
+    from scrapelect_spark.operators.dedup import band_pairs
+
+    bands = _skewed_bands(spark)
+    # threshold above the hot bucket size -> everything cold
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in band_pairs(bands, hot_threshold=10_000).collect()
+    )
+    ref = sorted(
+        (r.doc_a, r.doc_b)
+        for r in band_pairs(bands, hot_threshold=10, salt_buckets=4).collect()
+    )
+    assert got == ref
