@@ -178,22 +178,57 @@ def test_crawl_to_images_table(spark, gallery):
     assert all(v.caption_match == "y" for v in verdict)
 
 
-def test_jpeg_stub_captured_per_row(spark):
+def test_jpeg_real_decode_and_error_capture(spark):
+    """JPEG is a REAL decode path now (sources/jpeg.py): a valid
+    baseline JFIF payload yields dims + phash through the same Arrow
+    plumbing as PNG; corrupt payloads still fail per-row, not per-job."""
     from scrapelect_spark.operators.multimodal import with_image_features
+    from scrapelect_spark.sources.jpeg import encode_jpeg
     from scrapelect_spark.sources.png import encode_png
 
     arr = make_image("j1", 8, 8)
+    jarr = np.tile(np.arange(24, dtype=np.uint8)[None, :, None] * 10, (16, 1, 3))
     df = spark.createDataFrame(
         [
             ("a", bytearray(encode_png(arr)), "png", "cap a"),
-            ("b", bytearray(b"\xff\xd8\xff\xe0fakejpeg"), "jpeg", "cap b"),
+            ("b", bytearray(encode_jpeg(jarr, quality=90)), "jpeg", "cap b"),
+            ("c", bytearray(b"\xff\xd8\xff\xe0fakejpeg"), "jpeg", "cap c"),
         ],
         "image_id string, bytes binary, fmt string, caption string",
     )
     rows = {r.image_id: r for r in with_image_features(df).collect()}
     assert rows["a"].decode_error is None and rows["a"].phash is not None
-    assert "JPEG decode requires" in rows["b"].decode_error
-    assert rows["b"].phash is None
+    assert rows["b"].decode_error is None
+    assert (rows["b"].w, rows["b"].h) == (24, 16)
+    assert rows["b"].phash is not None
+    assert rows["c"].decode_error is not None
+    assert rows["c"].phash is None
+
+
+def test_verify_against_reference_lossy_jpeg(spark):
+    """The BASELINE.json input_hint invariant, exercised on the REAL
+    lossy path: JPEG-encoded corpus rows vs reference pixels must score
+    finite PSNR ≥ 40 dB (at an encode quality that preserves it) with
+    caption equality — the exact per-row check a reference-parity run
+    performs on an image+caption corpus."""
+    from scrapelect_spark.operators.multimodal import verify_against_reference
+    from scrapelect_spark.sources.jpeg import encode_jpeg
+
+    pixels = {f"img{i}": make_image(f"img{i}") for i in range(4)}
+    captions = {i: make_caption(i) for i in pixels}
+    rows = [
+        (i, bytearray(encode_jpeg(pixels[i], quality=98)), "jpeg", captions[i])
+        for i in pixels
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, caption string"
+    )
+    verdict = verify_against_reference(df, pixels, captions).collect()
+    assert len(verdict) == 4
+    for v in verdict:
+        assert v.psnr_db != float("inf")  # genuinely lossy
+        assert v.psnr_db >= 40.0
+        assert v.caption_match == "y"
 
 
 def test_resize_images(spark):
