@@ -378,10 +378,45 @@ LIMIT 10
 """
 
 
+def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN *quality* as a hard gate number: recall@10 of the Hamming-1
+    multiprobe search against the exact brute-force top-10 on the same
+    corpus.  Both inputs are deterministic (DECIMAL-sum cosines, ties
+    broken by vec_id), so recall is a stable scalar the DuckDB twin
+    reproduces exactly — a recall regression (e.g. a broken bucket
+    function) breaks the hash, not just a vibe.
+
+    Expectation note: the synthetic corpus is near-uniform random
+    vectors — the adversarial case for any LSH family (bucket
+    membership barely correlates with cosine rank when there is no
+    cluster structure), so the pinned recall is modest (0.2-0.3 at
+    Hamming-1/9-of-256 probing; raising the radius to 3 only buys 0.6
+    while scanning 36% of buckets).  On real embedding corpora with
+    cluster structure the same index recalls far higher at the same
+    probe budget; the gate's job is to pin the number, not flatter it."""
+    exact = ann_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = ann_lsh_multiprobe(spark, sf_dir).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return hits.agg(F.count("*").alias("n")).select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n").cast("long").alias("hits"),
+        F.round(F.col("n") / 10.0, 6).alias("recall_at_10"),
+    )
+
+
+_RECALL_SQL = f"""
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       ROUND(COUNT(*) / 10.0, 6) AS recall_at_10
+FROM ({_TOPK_SQL}) e JOIN ({_multiprobe_sql()}) a USING (vec_id)
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
+    "ann_multiprobe_recall": ann_multiprobe_recall,
     "embedding_int8_quantize": embedding_int8_quantize,
 }
 
@@ -389,5 +424,6 @@ ORACLE_SQL = {
     "ann_cosine_topk": _TOPK_SQL,
     "ann_lsh_bucketed": _lsh_sql(),
     "ann_lsh_multiprobe": _multiprobe_sql(),
+    "ann_multiprobe_recall": _RECALL_SQL,
     "embedding_int8_quantize": _QUANT_SQL,
 }
