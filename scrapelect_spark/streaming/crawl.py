@@ -43,7 +43,6 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Iterator, Optional
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,10 +63,9 @@ from .canonicalize import canonicalize_url, host_of, resolve_and_canonicalize
 from .politeness import repartition_for_fetch, select_batch
 from .robots import RobotsPolicy
 from .urlseen import (
-    BloomFilter,
-    PartitionedSeenSketch,
-    build_sketches,
-    merge_sketches,
+    empty_sketch_df,
+    maybe_seen_cogrouped,
+    merged_sketch_df,
 )
 
 ALLOWED_SCHEMES = ("http", "https", "file")
@@ -160,7 +158,10 @@ class Crawler:
             name: SnapshotTable(f"{workdir}/{name}")
             for name in ("frontier", "seen", "pages", "records", "sketches")
         }
-        self.sketch: PartitionedSeenSketch | None = None
+        # URL-seen blooms as a (bucket, sketch) DataFrame — executor-
+        # resident, cogrouped per bucket at use sites; the driver never
+        # holds the sketch bytes (at 10^10 URLs that dict is ~12 GiB)
+        self.sketch_df: DataFrame | None = None
         # hot crawl state kept as materialized (localCheckpoint'ed)
         # DataFrames between batches: the queued frontier and the exact
         # seen set.  The snapshot tables stay the durable source of
@@ -217,42 +218,37 @@ class Crawler:
         return self.tables[name].read(self.spark, snapshot_id=sid)
 
     # --- seen sketches --------------------------------------------
-    def _new_bloom(self) -> BloomFilter:
-        return BloomFilter(self.cfg.bloom_bits_per_bucket, self.cfg.bloom_hashes)
-
-    def _merge_new_urls_into_sketch(self, url_bucket_rows: list[tuple[str, int]]) -> None:
-        if self.sketch is None:
-            self.sketch = PartitionedSeenSketch({})
-        by_bucket: dict[int, list[str]] = {}
-        for url, bucket in url_bucket_rows:
-            by_bucket.setdefault(int(bucket), []).append(url)
-        for bucket, urls in by_bucket.items():
-            f = (
-                BloomFilter.from_bytes(self.sketch.raw[bucket])
-                if bucket in self.sketch.raw
-                else self._new_bloom()
-            )
-            f.add_many(np.array(urls, dtype=object))
-            self.sketch.raw[bucket] = f.to_bytes()
-            self.sketch._cache.pop(bucket, None)
+    def _merge_sketch_df(self, new_urls: DataFrame) -> DataFrame:
+        """Next sketch DataFrame = current OR bloom(new urls), built
+        per bucket on executors (cogrouped applyInPandas — each task
+        touches exactly one bucket's bloom bytes)."""
+        base = (
+            self.sketch_df
+            if self.sketch_df is not None
+            else empty_sketch_df(self.spark)
+        )
+        return merged_sketch_df(
+            base,
+            new_urls,
+            num_bits=self.cfg.bloom_bits_per_bucket,
+            num_hashes=self.cfg.bloom_hashes,
+        ).localCheckpoint()
 
     def _restore_sketches(self) -> None:
         df = self._pinned("sketches")
         if df is None:
-            self.sketch = PartitionedSeenSketch({})
+            self.sketch_df = empty_sketch_df(self.spark)
             return
-        # latest sketch per bucket
+        # latest sketch per bucket — stays a DataFrame end to end; no
+        # driver materialization of the bloom bytes
         from pyspark.sql import Window
 
         w = Window.partitionBy("bucket").orderBy(F.col("batch").desc())
-        rows = (
+        self.sketch_df = (
             df.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") == 1)
             .select("bucket", "sketch")
-            .collect()
-        )
-        self.sketch = PartitionedSeenSketch(
-            {r.bucket: bytes(r.sketch) for r in rows}
+            .localCheckpoint()
         )
 
     # --- batch stages ---------------------------------------------
@@ -274,9 +270,8 @@ class Crawler:
         fr_snap = self.tables["frontier"].commit(frontier_df, metrics={"batch": 0})
         seen_df = self._with_bucket(frontier_df.select("url")).select("url", "bucket")
         seen_snap = self.tables["seen"].commit(seen_df, metrics={"batch": 0})
-        # one job for all seed buckets (JVM murmur3), not one per URL
-        seed_buckets = [(r.url, r.bucket) for r in seen_df.collect()]
-        self._merge_new_urls_into_sketch(seed_buckets)
+        # seed blooms built executor-side; no URL ever crosses back
+        self.sketch_df = self._merge_sketch_df(seen_df)
         sk_snap = self._commit_sketches(0)
         root = self.root.commit(
             None,
@@ -297,11 +292,9 @@ class Crawler:
         return root
 
     def _commit_sketches(self, batch: int):
-        assert self.sketch is not None
-        rows = [(int(b), bytearray(raw), batch) for b, raw in self.sketch.raw.items()]
-        schema = "bucket int, sketch binary, batch long"
-        df = self.spark.createDataFrame(
-            [(b, bytes(s), bt) for b, s, bt in rows], schema=schema
+        assert self.sketch_df is not None
+        df = self.sketch_df.select(
+            "bucket", "sketch", F.lit(batch).cast("long").alias("batch")
         )
         return self.tables["sketches"].commit(
             df, mode="overwrite", metrics={"batch": batch}
@@ -347,25 +340,17 @@ class Crawler:
         return process
 
     def _maybe_seen_filter(self, candidates: DataFrame) -> DataFrame:
-        """Split candidates via broadcast sketches: provably-new rows
-        bypass the anti-join; 'maybe seen' rows get the exact check."""
-        sketch_bc = self.spark.sparkContext.broadcast(
-            self.sketch.raw if self.sketch else {}
+        """Split candidates against the sketch *table*: cogrouped by
+        bucket, so each task deserializes exactly one bucket's bloom —
+        never the whole sketch set (at the 10^10-URL design point the
+        set is ~12 GiB; a broadcast/closure capture is the OOM).
+        Provably-new rows ('n') bypass the exact anti-join."""
+        sketch_df = (
+            self.sketch_df
+            if self.sketch_df is not None
+            else empty_sketch_df(self.spark)
         )
-        schema = StructType(
-            candidates.schema.fields
-            + [StructField("maybe_seen", StringType(), False)]
-        )
-
-        def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            sk = PartitionedSeenSketch(sketch_bc.value)
-            for pdf in batches:
-                flags = sk.maybe_seen(pdf["url"], pdf["bucket"])
-                pdf = pdf.copy()
-                pdf["maybe_seen"] = np.where(flags, "y", "n")
-                yield pdf
-
-        return candidates.mapInPandas(check, schema=schema)
+        return maybe_seen_cogrouped(candidates, sketch_df)
 
     def _robots_excluded_col(self, df: DataFrame) -> DataFrame:
         policy_bc = self.spark.sparkContext.broadcast(self.robots)
@@ -395,7 +380,7 @@ class Crawler:
         state = self.root.current_snapshot()
         if state is None:
             state = self._seed_commit()
-        if self.sketch is None:
+        if self.sketch_df is None:
             self._restore_sketches()
 
         if self._queued_df is None:
@@ -603,15 +588,12 @@ class Crawler:
                 new_frontier.select("url", "bucket").coalesce(frontier_parts),
                 metrics={"batch": batch},
             )
-            # sketch delta built executor-side (applyInPandas per
-            # bucket); only serialized bloom bytes + counts cross to
-            # the driver for the OR-merge, and the counts double as
-            # n_new (no extra job)
-            delta_f = pool.submit(
-                build_sketches,
-                new_frontier.select("url", "bucket"),
-                num_bits=self.cfg.bloom_bits_per_bucket,
-                num_hashes=self.cfg.bloom_hashes,
+            # sketch merge runs entirely executor-side (cogrouped
+            # applyInPandas per bucket: old bloom ⊕ new urls); the
+            # driver only keeps the DataFrame handle, and the per-
+            # bucket counts it carries double as n_new
+            sketch_f = pool.submit(
+                self._merge_sketch_df, new_frontier.select("url", "bucket")
             )
             queued_f = pool.submit(
                 lambda: remaining.unionByName(newly_queued).localCheckpoint()
@@ -623,14 +605,13 @@ class Crawler:
             )
             fr_snap = fr_f.result()
             seen_snap = seen_f.result()
-            delta = delta_f.result()
+            merged_sketches = sketch_f.result()
             next_queued_df = queued_f.result()
             next_seen_df = seen_df_f.result()
-        n_new = int(sum(delta.bucket_counts.values()))
-        if n_new > 0:
-            self.sketch = merge_sketches(
-                self.sketch or PartitionedSeenSketch({}), delta
-            )
+        n_new = int(
+            merged_sketches.agg(F.sum("n_added")).collect()[0][0] or 0
+        )
+        self.sketch_df = merged_sketches.select("bucket", "sketch")
         sk_snap = self._commit_sketches(batch)
 
         root = self.root.commit(

@@ -263,3 +263,94 @@ def merge_sketches(
         else:
             out[bucket] = raw
     return PartitionedSeenSketch(out)
+
+
+# --- DataFrame-resident sketches (the 10^10-URL scale path) ----------
+#
+# At the design point (~12 GiB of bloom bits across P buckets) the
+# sketch set must NOT live in a driver dict or a per-batch closure:
+# it stays a (bucket, sketch) DataFrame on the executors, and both the
+# candidate pre-filter and the per-batch merge are *cogrouped by
+# bucket* — each task deserializes exactly the one bloom its bucket
+# needs (asserted inside the UDFs), and only per-bucket counts ever
+# reach the driver.
+
+
+def empty_sketch_df(spark):
+    return spark.createDataFrame([], "bucket int, sketch binary")
+
+
+def merged_sketch_df(
+    old_sketch_df,
+    new_urls_df,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+):
+    """(bucket, sketch, n_added) = ``old_sketch_df`` OR-merged with
+    blooms of ``new_urls_df`` (url, bucket), built per bucket on
+    executors via cogrouped applyInPandas.  Byte-identical to
+    build-then-merge (bloom OR is order-free); the driver sees only
+    the resulting DataFrame handle."""
+
+    def merge(key, sk_pdf: pd.DataFrame, url_pdf: pd.DataFrame) -> pd.DataFrame:
+        # invariant: one sketch row per bucket — per-task sketch bytes
+        # are exactly one bucket's bloom
+        if len(sk_pdf) > 1:
+            raise AssertionError(
+                f"bucket {key[0]}: {len(sk_pdf)} sketch rows (expected <= 1)"
+            )
+        if len(sk_pdf):
+            f = BloomFilter.from_bytes(bytes(sk_pdf["sketch"].iloc[0]))
+        else:
+            f = BloomFilter(num_bits, num_hashes)
+        urls = url_pdf["url"].to_numpy(dtype=object)
+        if len(urls):
+            f.add_many(urls)
+        return pd.DataFrame(
+            {
+                "bucket": [int(key[0])],
+                "sketch": [f.to_bytes()],
+                "n_added": [len(urls)],
+            }
+        )
+
+    return (
+        old_sketch_df.groupBy("bucket")
+        .cogroup(new_urls_df.select("url", "bucket").groupBy("bucket"))
+        .applyInPandas(merge, "bucket int, sketch binary, n_added long")
+    )
+
+
+def maybe_seen_cogrouped(candidates, sketch_df, url_col: str = "url"):
+    """Tag each candidate row ``maybe_seen`` ('y'/'n') by probing ONLY
+    its bucket's bloom: candidates are cogrouped with the sketch table
+    on ``bucket``, so a task holds one bucket's sketch at a time —
+    never the whole set (the scale fix for closure-captured sketches).
+    'n' rows are provably new (bloom: no false negatives)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(candidates.schema.fields)
+        + [StructField("maybe_seen", StringType(), False)]
+    )
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    def check(key, cand_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(sk_pdf) > 1:
+            raise AssertionError(
+                f"bucket {key[0]}: {len(sk_pdf)} sketch rows (expected <= 1)"
+            )
+        out = cand_pdf[cand_cols].copy()
+        if len(sk_pdf):
+            f = BloomFilter.from_bytes(bytes(sk_pdf["sketch"].iloc[0]))
+            flags = f.might_contain_many(out[url_col].to_numpy(dtype=object))
+        else:
+            flags = np.zeros(len(out), dtype=bool)
+        out["maybe_seen"] = np.where(flags, "y", "n")
+        return out
+
+    return (
+        candidates.groupBy("bucket")
+        .cogroup(sketch_df.select("bucket", "sketch").groupBy("bucket"))
+        .applyInPandas(check, out_schema)
+    )

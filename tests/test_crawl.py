@@ -306,3 +306,83 @@ def test_periodic_compaction_preserves_crawl_exactly(spark, tmp_path):
     c2.run(max_batches=4)
     assert c2.visit_log() == a.visit_log()
     assert c2.seen_set() == a.seen_set()
+
+
+def test_sketch_df_cogrouped_one_bucket_per_task(spark):
+    """The scale invariant for the DataFrame-resident URL-seen sketch:
+    tasks see exactly one bucket's bloom bytes (the cogroup key), never
+    the whole set — and the bloom keeps its no-false-negative contract
+    through the cogrouped path."""
+    from scrapelect_spark.streaming.urlseen import (
+        empty_sketch_df,
+        maybe_seen_cogrouped,
+        merged_sketch_df,
+    )
+    import pyspark.sql.functions as SF
+
+    seen = spark.createDataFrame(
+        [(f"http://h{i % 7}.test/p/{i}", i % 4) for i in range(200)],
+        "url string, bucket int",
+    )
+    sk = merged_sketch_df(empty_sketch_df(spark), seen, num_bits=1 << 14)
+    rows = sk.collect()
+    # one sketch row per bucket — the per-task payload is one bloom
+    assert sorted(r.bucket for r in rows) == [0, 1, 2, 3]
+    assert sum(r.n_added for r in rows) == 200
+
+    cands = spark.createDataFrame(
+        [(f"http://h{i % 7}.test/p/{i}", i % 4) for i in range(150)]  # seen
+        + [(f"http://new{i}.test/x", i % 4) for i in range(50)],  # fresh
+        "url string, bucket int",
+    )
+    flagged = {
+        r.url: r.maybe_seen
+        for r in maybe_seen_cogrouped(cands, sk.select("bucket", "sketch")).collect()
+    }
+    # bloom contract: every truly-seen url MUST flag 'y' (no false negatives)
+    for i in range(150):
+        assert flagged[f"http://h{i % 7}.test/p/{i}"] == "y"
+    # fresh urls are mostly 'n' (false positives allowed, not required)
+    fresh_n = sum(
+        1 for i in range(50) if flagged[f"http://new{i}.test/x"] == "n"
+    )
+    assert fresh_n >= 40
+
+    # the invariant is ENFORCED, not assumed: duplicate sketch rows for
+    # one bucket must fail loudly inside the task
+    bad = sk.select("bucket", "sketch").unionByName(
+        sk.select("bucket", "sketch").limit(1)
+    )
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception, match="sketch rows|PythonException"):
+        maybe_seen_cogrouped(cands, bad).collect()
+
+
+def test_sketch_merge_matches_rebuild(spark):
+    """Incremental merge (old ⊕ delta) must be byte-identical to a
+    from-scratch build over the union — the property that makes
+    per-batch sketch updates exact across resumes."""
+    from scrapelect_spark.streaming.urlseen import (
+        empty_sketch_df,
+        merged_sketch_df,
+    )
+
+    a = spark.createDataFrame(
+        [(f"http://a.test/{i}", i % 3) for i in range(100)],
+        "url string, bucket int",
+    )
+    b = spark.createDataFrame(
+        [(f"http://b.test/{i}", i % 3) for i in range(80)],
+        "url string, bucket int",
+    )
+    kw = dict(num_bits=1 << 14, num_hashes=5)
+    empty = empty_sketch_df(spark)
+    incremental = merged_sketch_df(
+        merged_sketch_df(empty, a, **kw).select("bucket", "sketch"), b, **kw
+    )
+    scratch = merged_sketch_df(empty, a.unionByName(b), **kw)
+    inc = {r.bucket: bytes(r.sketch) for r in incremental.collect()}
+    full = {r.bucket: bytes(r.sketch) for r in scratch.collect()}
+    assert inc == full
