@@ -9,9 +9,11 @@ The crawl loop's fetch is pluggable:
   ``mapInPandas``, with per-partition per-host rate limiting.  The
   politeness scheduler has already bounded per-host volume per batch
   and the salted repartition groups a host's URLs into few partitions,
-  so the in-partition delay enforces the crawl-delay budget.  Unused
-  in tests (no network in the sandbox) but import-safe and shaped for
-  the cluster deployment.
+  so the in-partition delay enforces the crawl-delay budget.
+  Exercised for real against a loopback http.server — the HTTP crawl
+  matches the corpus-join crawl byte-for-byte, robots exclusions never
+  hit the wire, and every request carries the reference UA
+  (tests/test_http_loopback.py).
 """
 
 from __future__ import annotations

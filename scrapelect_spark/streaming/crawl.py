@@ -142,6 +142,7 @@ class Crawler:
         program: str | None = None,
         robots: RobotsPolicy | None = None,
         config: CrawlConfig | None = None,
+        fetcher=None,  # CorpusFetcher (default) | HttpFetcher | custom
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
@@ -153,6 +154,11 @@ class Crawler:
             self.statements = parse_program(program)
             warm_selectors(self.statements)
         self.corpus = corpus
+        if fetcher is None:
+            from ..sources.fetch import CorpusFetcher
+
+            fetcher = CorpusFetcher(corpus, broadcast=self.cfg.broadcast_corpus)
+        self.fetcher = fetcher
         self.root = SnapshotTable(f"{workdir}/crawl")
         self.tables = {
             name: SnapshotTable(f"{workdir}/{name}")
@@ -445,11 +451,9 @@ class Crawler:
         }
         n_fetched = int(sum(part_counts.values()))
 
-        # fetch = join against the corpus (sandbox stand-in for HTTP)
-        corpus = self.corpus
-        if self.cfg.broadcast_corpus:
-            corpus = F.broadcast(corpus)
-        fetched = claimed.join(corpus, on="url", how="left")
+        # fetch stage is pluggable: CorpusFetcher (corpus join — the
+        # sandbox/replay path) or HttpFetcher (real GETs in mapInPandas)
+        fetched = self.fetcher.fetch(claimed)
 
         processed = fetched.select(
             "url", "html", "page_seq_assigned", "depth"
