@@ -29,19 +29,32 @@ def force(df) -> int:
     return 0
 
 
-def bench_queries(spark) -> dict[str, float]:
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     """Every gate query is benched — a regression in any CORRECTNESS
-    row is visible round-over-round (VERDICT r1 'what's wrong' #5)."""
+    row is visible round-over-round (VERDICT r1 'what's wrong' #5).
+
+    Noise control (VERDICT r2 item #8): per-query best-of-REPS after a
+    warm run; returns (best, spread) where spread = max-min across the
+    timed reps, so round-over-round deltas are attributable (host
+    steal-time swings wall clock ±40% here)."""
     from scrapelect_spark.operators.catalog import QUERIES
 
-    times: dict[str, float] = {}
+    best: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
         fn(spark, SF_DIR).count()  # warm: plan + scan caches
-        t0 = time.perf_counter()
-        force(fn(spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 3)
-    return times
+        reps = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            force(fn(spark, SF_DIR))
+            reps.append(time.perf_counter() - t0)
+        best[name] = round(min(reps), 3)
+        spread[name] = round(max(reps) - min(reps), 3)
+    return best, spread
 
 
 def bench_extract(spark, n_pages: int = 4000) -> float:
@@ -153,7 +166,7 @@ def main() -> None:
     from scrapelect_spark.session import get_spark
 
     spark = get_spark(app_name="scrapelect-bench", cpus=CPUS)
-    queries = bench_queries(spark)
+    queries, spread = bench_queries(spark)
     extract_pps = bench_extract(spark)
     with tempfile.TemporaryDirectory() as td:
         crawl_pps = bench_crawl(spark, td)
@@ -165,6 +178,8 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "queries_spread": spread,
+        "bench_reps": REPS,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": int(CPUS),
         "crawl_pages_per_sec": crawl_pps,

@@ -454,14 +454,18 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    cur_cnt = cur.count()
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
-        # fixpoint test on the canonical (distinct, src<dst) edge sets
+        # fixpoint test on the canonical (distinct, src<dst) edge sets;
+        # cheap count comparison first — the exceptAll job only runs on
+        # the (rare) rounds where the cardinality already matches
+        nxt_cnt = nxt.count()
         same = (
-            nxt.count() == cur.count()
+            nxt_cnt == cur_cnt
             and nxt.exceptAll(cur).limit(1).count() == 0
         )
-        cur = nxt
+        cur, cur_cnt = nxt, nxt_cnt
         if same:
             break
     else:
