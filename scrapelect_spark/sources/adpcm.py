@@ -1,0 +1,219 @@
+"""Pure-Python IMA ADPCM codec — a real *lossy* audio path.
+
+Retires the lossy-audio stub: IMA/DVI ADPCM (4 bits per sample, 4:1
+compression vs PCM16) is a fully public spec (IMA Recommended
+Practices for Digital Audio; the same tables appear in RFC 3551 §4.5.1
+and the WAV fmt=0x11 format).  The codec is a per-sample feedback loop
+(predictor + adaptive step size), so it is implemented as a plain
+Python loop — gate payloads are a few thousand samples per document,
+and the loop is the algorithm, not a shortcut.
+
+mp3/ogg/flac stay out of scope — they need real codec libraries; the
+``audio_features`` per-row error capture covers them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+def _encode_core(samples, pred: int, index: int) -> tuple[list[int], int, int]:
+    """Quantize samples against (pred, index); returns (codes, pred,
+    index).  Bit-identical to CPython audioop.lin2adpcm's quantizer
+    (verified in tests) — only the nibble packing differs (we pack low
+    nibble first, the WAV fmt=0x11 convention)."""
+    codes = []
+    for sample in samples:
+        step = _STEP_TABLE[index]
+        delta = int(sample) - pred
+        code = 0
+        if delta < 0:
+            code = 8
+            delta = -delta
+        if delta >= step:
+            code |= 4
+            delta -= step
+        if delta >= step >> 1:
+            code |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            code |= 1
+        # decoder-identical reconstruction keeps predictors in lockstep
+        diffq = step >> 3
+        if code & 4:
+            diffq += step
+        if code & 2:
+            diffq += step >> 1
+        if code & 1:
+            diffq += step >> 2
+        pred = _clamp16(pred - diffq if code & 8 else pred + diffq)
+        index = min(88, max(0, index + _INDEX_TABLE[code]))
+        codes.append(code)
+    return codes, pred, index
+
+
+def _decode_code(code: int, pred: int, index: int) -> tuple[int, int]:
+    step = _STEP_TABLE[index]
+    diffq = step >> 3
+    if code & 4:
+        diffq += step
+    if code & 2:
+        diffq += step >> 1
+    if code & 1:
+        diffq += step >> 2
+    pred = _clamp16(pred - diffq if code & 8 else pred + diffq)
+    index = min(88, max(0, index + _INDEX_TABLE[code]))
+    return pred, index
+
+
+def _pack(codes: list[int]) -> bytes:
+    if len(codes) % 2:
+        codes = codes + [0]
+    return bytes(lo | (hi << 4) for lo, hi in zip(codes[0::2], codes[1::2]))
+
+
+def encode_adpcm(pcm16: np.ndarray) -> bytes:
+    """int16 samples → packed raw 4-bit IMA ADPCM nibbles (low nibble
+    first, zero-padded to a whole byte; zero initial state)."""
+    codes, _, _ = _encode_core(np.asarray(pcm16, dtype=np.int64), 0, 0)
+    return _pack(codes)
+
+
+def decode_adpcm(data: bytes, n_samples: int) -> np.ndarray:
+    """packed raw nibbles → int16 samples (first ``n_samples``)."""
+    pred = 0
+    index = 0
+    out = np.empty(n_samples, dtype=np.int16)
+    k = 0
+    for byte in data:
+        for code in (byte & 0x0F, byte >> 4):
+            if k >= n_samples:
+                return out
+            pred, index = _decode_code(code, pred, index)
+            out[k] = pred
+            k += 1
+    if k < n_samples:
+        raise ValueError(f"ADPCM payload too short: {k} < {n_samples} samples")
+    return out
+
+
+# --- WAV fmt=0x11 container (IMA ADPCM in WAV, mono) ------------------
+
+
+def encode_wav_ima(
+    pcm16: np.ndarray, rate: int, block_align: int = 256
+) -> bytes:
+    """int16 mono samples → a standard IMA-ADPCM WAV file
+    (wFormatTag=0x11): block-structured data (4-byte header carrying
+    the verbatim first sample + step index per block, then low-first
+    nibbles), fact chunk with the true sample count."""
+    import struct
+
+    samples = np.asarray(pcm16, dtype=np.int64)
+    n = len(samples)
+    if n == 0:
+        raise ValueError("no samples")
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    index = 0
+    blocks = []
+    for start in range(0, n, spb):
+        chunk = samples[start : start + spb]
+        pred = int(chunk[0])
+        hdr = struct.pack("<hBB", pred, index, 0)
+        codes, _, index = _encode_core(chunk[1:], pred, index)
+        body = _pack(codes)
+        blocks.append(hdr + body.ljust(block_align - 4, b"\x00"))
+    data = b"".join(blocks)
+    avg_bps = rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, avg_bps, block_align, 4, 2, spb
+    )
+    fact = struct.pack("<I", n)
+
+    def chunk_(tag, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    body = b"WAVE" + chunk_(b"fmt ", fmt) + chunk_(b"fact", fact) + chunk_(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ima(data: bytes) -> tuple[np.ndarray, int]:
+    """IMA-ADPCM WAV bytes → (int16 samples, sample rate)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = fact_n = raw = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln % 2)
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+            ext = body[18:] if len(body) > 18 else b""
+            spb = struct.unpack("<H", ext[:2])[0] if len(ext) >= 2 else None
+            fmt = fmt + (spb,)
+        elif tag == b"fact":
+            (fact_n,) = struct.unpack("<I", body[:4])
+        elif tag == b"data":
+            raw = body
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    tag_, nch, rate, _avg, block_align, bits, spb = fmt
+    if tag_ != 0x11:
+        raise ValueError(f"not IMA ADPCM (format tag 0x{tag_:X})")
+    if nch != 1 or bits != 4:
+        raise NotImplementedError("only mono 4-bit IMA ADPCM supported")
+    if spb is None:
+        spb = (block_align - 4) * 2 + 1
+    out = []
+    total = fact_n if fact_n is not None else (1 << 62)
+    for bstart in range(0, len(raw), block_align):
+        block = raw[bstart : bstart + block_align]
+        if len(block) < 4 or len(out) >= total:
+            break
+        pred, index, _ = struct.unpack("<hBB", block[:4])
+        index = min(88, max(0, index))
+        out.append(pred)
+        k = 1
+        for byte in block[4:]:
+            for code in (byte & 0x0F, byte >> 4):
+                if k >= spb or len(out) >= total:
+                    break
+                pred, index = _decode_code(code, pred, index)
+                out.append(pred)
+                k += 1
+    if fact_n is not None and len(out) < fact_n:
+        raise ValueError(f"truncated data: {len(out)} < {fact_n} samples")
+    return np.array(out[:total] if fact_n else out, dtype=np.int16), int(rate)
+
+
+def snr_db(original: np.ndarray, decoded: np.ndarray) -> float:
+    """Signal-to-noise ratio of a lossy roundtrip, in dB."""
+    x = np.asarray(original, dtype=np.float64)
+    e = x - np.asarray(decoded, dtype=np.float64)
+    p_sig = float(np.sum(x * x))
+    p_err = float(np.sum(e * e))
+    if p_err == 0:
+        return float("inf")
+    return 10.0 * np.log10(p_sig / p_err)

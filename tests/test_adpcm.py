@@ -1,0 +1,129 @@
+"""IMA ADPCM codec + WAV fmt=0x11 container tests: roundtrip SNR,
+block structure, odd lengths, quantizer bit-parity with CPython's C
+implementation (audioop, nibble order aside), and rejects."""
+
+import numpy as np
+import pytest
+
+from scrapelect_spark.sources.adpcm import (
+    decode_adpcm,
+    decode_wav_ima,
+    encode_adpcm,
+    encode_wav_ima,
+    snr_db,
+)
+
+RATE = 16000
+
+
+def sine(n, amp=0.3, hz=440):
+    t = np.arange(n)
+    return np.round(amp * 32767 * np.sin(2 * np.pi * hz * t / RATE)).astype(
+        np.int16
+    )
+
+
+def test_raw_roundtrip_snr():
+    x = sine(4000)
+    y = decode_adpcm(encode_adpcm(x), 4000)
+    assert snr_db(x, y) >= 25.0
+
+
+def test_compression_ratio():
+    x = sine(4000)
+    assert len(encode_adpcm(x)) == 2000  # 4 bits/sample = 4:1 vs PCM16
+
+
+def test_quantizer_matches_cpython_audioop():
+    """Our quantizer must be bit-identical to CPython's C ADPCM coder
+    (audioop.lin2adpcm) — the only difference is nibble order (we pack
+    low-first per the WAV fmt=0x11 convention; audioop packs
+    high-first)."""
+    audioop = pytest.importorskip("audioop")  # removed in 3.13
+    x = sine(4000, amp=0.5)
+    mine = encode_adpcm(x)
+    ref, _ = audioop.lin2adpcm(x.astype("<i2").tobytes(), 2, None)
+    swapped = bytes(((b & 0x0F) << 4) | (b >> 4) for b in mine)
+    assert swapped == ref
+
+
+@pytest.mark.parametrize("n", [1, 2, 504, 505, 506, 4000, 4001, 10000])
+def test_wav_container_roundtrip_lengths(n):
+    """Exact sample-count recovery across block boundaries (505
+    samples/block at block_align=256) and odd lengths."""
+    x = sine(n, amp=0.4)
+    y, rate = decode_wav_ima(encode_wav_ima(x, RATE))
+    assert rate == RATE and len(y) == n
+    if n >= 1000:
+        assert snr_db(x, y) >= 20.0
+
+
+def test_wav_container_headers():
+    import struct
+
+    data = encode_wav_ima(sine(2000), RATE)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    i = data.find(b"fmt ")
+    tag, nch, rate, _avg, align, bits = struct.unpack(
+        "<HHIIHH", data[i + 8 : i + 24]
+    )
+    assert (tag, nch, rate, bits) == (0x11, 1, RATE, 4)
+    j = data.find(b"fact")
+    (nsamp,) = struct.unpack("<I", data[j + 8 : j + 12])
+    assert nsamp == 2000
+
+
+def test_lossy_is_lossy():
+    """ADPCM must actually lose information (finite SNR) — the gate is
+    pinning a lossy roundtrip, not an identity."""
+    x = sine(4000, amp=0.5)
+    y, _ = decode_wav_ima(encode_wav_ima(x, RATE))
+    assert not np.array_equal(x, y)
+    assert 20.0 <= snr_db(x, y) < 60.0
+
+
+def test_rejects():
+    with pytest.raises(ValueError):
+        decode_wav_ima(b"RIFFxxxxAVI listmovi")
+    with pytest.raises(ValueError):
+        decode_wav_ima(b"plainly not a riff")
+    with pytest.raises(ValueError):
+        encode_wav_ima(np.array([], dtype=np.int16), RATE)
+    with pytest.raises(ValueError):
+        decode_adpcm(b"\x00\x00", 100)  # too short for 100 samples
+
+
+def test_pcm_wav_rejected_by_ima_decoder():
+    from scrapelect_spark.sources.wav import encode_wav
+
+    pcm = encode_wav(np.zeros(100), RATE)
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav_ima(pcm)
+
+
+def test_audio_features_ima_fallback(spark):
+    """audio_features must route lossy WAV (fmt tag 0x11) through the
+    IMA decoder when the PCM reader rejects it — same Arrow plumbing,
+    real duration + RMS, no error row."""
+    from scrapelect_spark.operators.multimodal import audio_features
+    from scrapelect_spark.sources.wav import encode_wav
+
+    x = sine(4000, amp=0.5)
+    ima = encode_wav_ima(x, RATE)
+    pcm = encode_wav(x.astype(np.float64) / 32768.0, RATE)
+    df = spark.createDataFrame(
+        [
+            ("pcm", bytearray(pcm), "wav"),
+            ("ima", bytearray(ima), "wav"),
+            ("mp3", bytearray(b"ID3\x03junk"), "mp3"),
+        ],
+        "audio_id string, bytes binary, fmt string",
+    )
+    rows = {r.audio_id: r for r in audio_features(df).collect()}
+    assert rows["pcm"].decode_error is None
+    assert rows["ima"].decode_error is None
+    assert rows["ima"].duration_s == pytest.approx(4000 / RATE)
+    # RMS of the decoded lossy sine ~ amp/sqrt(2), within ADPCM noise
+    assert rows["ima"].rms == pytest.approx(0.5 / np.sqrt(2), rel=0.02)
+    assert rows["pcm"].rms == pytest.approx(0.5 / np.sqrt(2), rel=0.02)
+    assert "codec library" in rows["mp3"].decode_error
