@@ -426,13 +426,44 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr.unionByName(own).distinct()
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+def _union_find_local(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Exact union-find with min-label roots — the driver-local solve
+    for candidate graphs small enough to collect."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 50, local_threshold: int = 200_000
+) -> DataFrame:
     """Connected components of an undirected edge list
     (columns ``src``, ``dst``) via alternating large-star/small-star
     contraction — O(log n) rounds instead of O(graph diameter), so a
     chain-shaped component of any length converges in the same handful
     of shuffles as a clique.  Returns (``doc_id``, ``cluster``) with
     cluster = the component's minimum node id.
+
+    Candidate graphs at or below ``local_threshold`` edges (the count
+    is needed for the fixpoint test anyway) are solved exactly with
+    driver-local union-find instead — near-dup *candidate* graphs are
+    typically 2-4 orders of magnitude smaller than the corpus, and a
+    sub-second local solve beats 4-6 distributed rounds of scheduler
+    latency.  Pass ``local_threshold=0`` to force the distributed path
+    (the scale tests do).
 
     Raises :class:`ConvergenceError` if ``max_rounds`` is exhausted
     before the edge set reaches a fixpoint (never silently returns a
@@ -455,6 +486,21 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         .localCheckpoint()
     )
     cur_cnt = cur.count()
+    if cur_cnt <= local_threshold:
+        labels = _union_find_local(
+            [(r.src, r.dst) for r in cur.collect()]
+        )
+        spark = edges.sparkSession
+        if not labels:
+            return nodes.select(
+                "doc_id", F.col("doc_id").alias("cluster")
+            )
+        lab_df = spark.createDataFrame(
+            list(labels.items()), ["doc_id", "root"]
+        )
+        return nodes.join(lab_df, "doc_id", "left").select(
+            "doc_id", F.coalesce(F.col("root"), F.col("doc_id")).alias("cluster")
+        )
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
         # fixpoint test on the canonical (distinct, src<dst) edge sets;

@@ -496,6 +496,71 @@ ORDER BY doc_id
 """
 
 
+def image_resize_nn(spark, sf_dir: str) -> DataFrame:
+    """Gate for the ``resize_images`` operator: constant-gray PNGs of
+    doc-derived dims, nearest-neighbor-resized to 6×5, decoded back —
+    constancy survives any correct sampler, so the oracle can predict
+    target dims AND pixel value in closed form."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.png import decode_png, encode_png
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, fmts = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                arr = np.full(
+                    (8 + doc_id % 3, 8 + doc_id % 4), doc_id % 256, np.uint8
+                )
+                ids.append(str(doc_id))
+                blobs.append(encode_png(arr))
+                fmts.append("png")
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs, "fmt": fmts})
+
+    images = d.select("doc_id").mapInPandas(
+        synth, schema="image_id string, bytes binary, fmt string"
+    )
+    resized = resize_images(images, target_w=6, target_h=5)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for image_id, raw in zip(pdf["image_id"], pdf["bytes"]):
+                arr = decode_png(bytes(raw))
+                uni = np.unique(arr)
+                vals.append(int(uni[0]) if len(uni) == 1 else -1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["image_id"].astype("int64"),
+                    "w": pdf["w"],
+                    "h": pdf["h"],
+                    "pixel": vals,
+                }
+            )
+
+    return (
+        resized.mapInPandas(
+            verify, schema="doc_id long, w long, h long, pixel long"
+        )
+        .orderBy("doc_id")
+    )
+
+
+_RESIZE_SQL = """
+SELECT doc_id,
+  CAST(6 AS BIGINT) AS w,
+  CAST(5 AS BIGINT) AS h,
+  doc_id % 256 AS pixel
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 def _video_frame(doc_id: int, frame_idx: int) -> np.ndarray:
     """Frame f = the doc's gradient, brightness-shifted by 5·f (smooth
     content — stays decodable above the 40 dB bar at q90)."""
@@ -657,6 +722,7 @@ QUERIES = {
     "audio_adpcm_roundtrip": audio_adpcm_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
+    "image_resize_nn": image_resize_nn,
     "video_frame_sample": video_frame_sample,
 }
 
@@ -665,5 +731,6 @@ ORACLE_SQL = {
     "audio_adpcm_roundtrip": _ADPCM_SQL,
     "image_png_roundtrip": _IMAGE_SQL,
     "image_jpeg_roundtrip": _JPEG_SQL,
+    "image_resize_nn": _RESIZE_SQL,
     "video_frame_sample": _VIDEO_SQL,
 }

@@ -35,6 +35,8 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
 def encode_png(arr: np.ndarray) -> bytes:
     """Encode HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]  # decode_png's gray shape round-trips
     if arr.ndim == 2:
         color_type, channels = 0, 1
         arr = arr[:, :, None]

@@ -26,7 +26,9 @@ def test_chain_200_converges_in_log_rounds(spark):
     bound = 2 * math.ceil(math.log2(n)) + 2  # 18 rounds
     labels = {
         r.doc_id: r.cluster
-        for r in connected_components(chain, max_rounds=bound).collect()
+        for r in connected_components(
+            chain, max_rounds=bound, local_threshold=0
+        ).collect()
     }
     assert len(labels) == n
     assert set(labels.values()) == {0}
@@ -35,7 +37,27 @@ def test_chain_200_converges_in_log_rounds(spark):
 def test_convergence_error_raised_not_silent(spark):
     chain = _edges(spark, [(i, i + 1) for i in range(199)])
     with pytest.raises(ConvergenceError):
-        connected_components(chain, max_rounds=1)
+        connected_components(chain, max_rounds=1, local_threshold=0)
+
+
+def test_local_solve_matches_distributed(spark):
+    """The size-gated driver-local union-find must produce the exact
+    clustering the distributed star contraction does."""
+    pairs = (
+        [(i, i + 1) for i in range(40)]
+        + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+        + [(200, 201), (300, 300)]
+    )
+    e = _edges(spark, pairs)
+    local = {
+        (r.doc_id, r.cluster)
+        for r in connected_components(e).collect()  # takes the local path
+    }
+    dist = {
+        (r.doc_id, r.cluster)
+        for r in connected_components(e, local_threshold=0).collect()
+    }
+    assert local == dist
 
 
 def test_mixed_components(spark):
@@ -46,7 +68,9 @@ def test_mixed_components(spark):
     )
     labels = {
         r.doc_id: r.cluster
-        for r in connected_components(_edges(spark, pairs)).collect()
+        for r in connected_components(
+            _edges(spark, pairs), local_threshold=0
+        ).collect()
     }
     for i in range(11):
         assert labels[i] == 0
