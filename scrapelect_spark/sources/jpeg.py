@@ -545,6 +545,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            if fh == 0 or fw == 0 or fh * fw > (1 << 28):
+                # corrupt/adversarial SOF dims would drive a multi-GB
+                # coefficient allocation — refuse like real decoders do
+                raise ValueError(f"implausible JPEG dimensions {fw}x{fh}")
+            if nc not in (1, 3) or len(body) < 6 + 3 * nc:
+                raise ValueError(f"unsupported component count {nc}")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -566,6 +572,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0x0F))
             fh, fw, comps = frame
+            known = {c[0] for c in comps}
+            for cs, td, ta in scan:
+                if cs not in known:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                if (0, td) not in htabs or (1, ta) not in htabs:
+                    raise ValueError(f"SOS references missing Huffman table")
+            for cid, hs, vs, tq in comps:
+                if tq not in qtabs:
+                    raise ValueError(f"missing quantization table {tq}")
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"bad sampling factors {hs}x{vs}")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus_x = -(-fw // (8 * hmax))

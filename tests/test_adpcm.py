@@ -127,3 +127,24 @@ def test_audio_features_ima_fallback(spark):
     assert rows["ima"].rms == pytest.approx(0.5 / np.sqrt(2), rel=0.02)
     assert rows["pcm"].rms == pytest.approx(0.5 / np.sqrt(2), rel=0.02)
     assert "codec library" in rows["mp3"].decode_error
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_wav_mutation_fuzz_no_hang(seed):
+    """Corrupt IMA WAV streams decode or raise promptly — never hang
+    (a zero block_align must not spin the block walk)."""
+    import random
+
+    r = random.Random(seed)
+    data = bytearray(encode_wav_ima(sine(2000), RATE))
+    if r.random() < 0.5:
+        data[r.randrange(4, len(data))] = r.randrange(256)
+    else:
+        data = data[: r.randrange(4, len(data))]
+    import struct
+
+    try:
+        samples, rate = decode_wav_ima(bytes(data))
+        assert len(samples) <= 1 << 24 and rate >= 0
+    except (ValueError, NotImplementedError, KeyError, IndexError, struct.error):
+        pass  # clean rejection is the contract

@@ -73,3 +73,24 @@ def test_rejects_non_avi():
 def test_rejects_mismatched_frames():
     with pytest.raises(ValueError):
         encode_avi_mjpeg([grad(16, 16), grad(16, 24)])
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_mutation_fuzz_no_hang(seed):
+    """Corrupt AVI streams decode or raise promptly — never hang."""
+    import random
+
+    r = random.Random(seed)
+    data = bytearray(
+        encode_avi_mjpeg([grad(16, 16, f) for f in range(4)], quality=85)
+    )
+    if r.random() < 0.5:
+        data[r.randrange(4, len(data))] = r.randrange(256)
+    else:
+        data = data[: r.randrange(4, len(data))]
+    try:
+        for _idx, arr in decode_avi_mjpeg_frames(bytes(data), 1):
+            assert arr.ndim == 3 and arr.shape[0] * arr.shape[1] <= (1 << 28)
+        avi_meta(bytes(data))
+    except (ValueError, NotImplementedError, struct.error, IndexError, KeyError):
+        pass

@@ -124,3 +124,38 @@ def test_byte_stuffing_roundtrip():
     img[::2, ::2] = 0  # checkerboard: dense high-frequency content
     out = decode_jpeg(encode_jpeg(img, quality=95))
     assert out.shape == img.shape
+
+
+@pytest.mark.parametrize("seed", range(120))
+def test_mutation_fuzz_no_hang_no_crash(seed):
+    """Corrupt streams must either decode or raise promptly — never
+    hang, never allocate absurd buffers (SOF dims are sanity-capped).
+    One random byte mutated / truncated per seed, deterministic."""
+    import random
+
+    r = random.Random(seed)
+    base = bytearray(encode_jpeg(gradient(24, 32), quality=90))
+    kind = r.random()
+    data = bytearray(base)
+    if kind < 0.45:  # flip one byte
+        i = r.randrange(2, len(data) - 2)
+        data[i] = r.randrange(256)
+    elif kind < 0.8:  # truncate
+        data = data[: r.randrange(4, len(data))]
+    else:  # splice garbage
+        i = r.randrange(2, len(data) - 2)
+        data[i : i + 4] = bytes(r.randrange(256) for _ in range(4))
+    try:
+        out = decode_jpeg(bytes(data))
+        assert out.dtype == np.uint8 and out.ndim == 3
+        assert out.shape[0] * out.shape[1] <= (1 << 28)
+    except (ValueError, NotImplementedError, struct.error, IndexError):
+        pass  # clean rejection is the contract
+
+
+def test_implausible_dims_rejected():
+    data = bytearray(encode_jpeg(gradient(16, 16)))
+    i = data.find(b"\xFF\xC0")
+    data[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)  # h, w
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(bytes(data))
