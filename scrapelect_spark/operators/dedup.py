@@ -579,8 +579,53 @@ FROM reach GROUP BY doc_id ORDER BY doc_id
 )
 
 
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after detection: APPLY the dedup decision to the
+    corpus.  Fingerprint = md5 of the first 50 chars (the boilerplate-
+    header dedup shape — this corpus has 24 natural prefix collisions),
+    keep the lowest doc_id per fingerprint, and report per-source
+    kept/dropped counts — the numbers a training-data pipeline logs
+    after every dedup pass."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = d.withColumn(
+        "fp", F.md5(F.substring(F.col("text"), 1, 50))
+    ).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("kept"),
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+_DEDUP_APPLY_SQL = """
+WITH ranked AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY md5(substr(text, 1, 50))
+                            ORDER BY doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS total,
+  SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS kept,
+  SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS dropped
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_apply": dedup_apply,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_jaccard_adjacent": dedup_jaccard_adjacent,
@@ -590,6 +635,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": _EXACT_SQL,
+    "dedup_apply": _DEDUP_APPLY_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _simhash_sql(),
     "dedup_jaccard_adjacent": _JACCARD_SQL,

@@ -253,6 +253,128 @@ ORDER BY hour, event_type
 # --- crawl-shaped relational ops (frontier algebra over testdata) ---
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter — two fact-dim broadcast joins + one fact-fact join,
+    aggregated per customer."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — broadcast
+    part join, conditional aggregation, exact DECIMAL sums feeding one
+    per-row double division."""
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    agg = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_rev"),
+            F.sum(rev).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.col("promo_rev").cast("double")
+            / F.col("total_rev").cast("double")
+            * 100.0,
+            6,
+        ).alias("promo_revenue_pct"),
+        F.col("total_rev").cast("double").alias("total_revenue"),
+    )
+
+
+_Q14_SQL = """
+SELECT
+  ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))
+            ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE)
+        * 100.0, 6) AS promo_revenue_pct,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+"""
+
+
+def q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape ADAPTED to this schema (lineitem has no
+    commitdate/receiptdate): count orders per priority, in one
+    quarter, having at least one line shipped more than 60 days after
+    the order date — the EXISTS-semi-join + grouped count pattern."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o.o_orderkey
+      AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def frontier_new_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier dedup shape: candidate parts anti-joined against the
     seen set (parts shipped before 1995) — crawl.py runs this exact op
@@ -416,6 +538,9 @@ QUERIES = {
     "frontier_new_urls": frontier_new_urls,
     "perhost_politeness_topk": perhost_politeness_topk,
     "priority_claim_order": priority_claim_order,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q4_priority_late": q4_priority_late,
 }
 
 ORACLE_SQL = {
@@ -430,4 +555,7 @@ ORACLE_SQL = {
     "frontier_new_urls": _FRONTIER_NEW_SQL,
     "perhost_politeness_topk": _PERHOST_SQL,
     "priority_claim_order": _PRIORITY_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "q14_promo_revenue": _Q14_SQL,
+    "q4_priority_late": _Q4_SQL,
 }

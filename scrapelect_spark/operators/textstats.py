@@ -248,12 +248,63 @@ FROM s ORDER BY doc_id
 """
 
 
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data admission filter as one gate: keep documents
+    with ≥ 40 tokens AND mean token length ≤ 7 chars (331/500 pass on
+    the gate corpus — selective, not vacuous), reporting per-source
+    totals the way a corpus-curation run logs its yield."""
+    d = load(spark, sf_dir, "documents")
+    feat = d.select(
+        "source",
+        F.size(_tok_col()).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+    ).withColumn(
+        "keep",
+        (F.col("n_tokens") >= 40)
+        & (F.col("n_chars") / F.col("n_tokens") <= 7.0),
+    )
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_CORPUS_FILTER_SQL = r"""
+WITH feat AS (
+  SELECT source,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    CAST(n_chars AS DOUBLE) AS n_chars
+  FROM documents
+),
+flagged AS (
+  SELECT source, n_tokens,
+    (n_tokens >= 40 AND n_chars / n_tokens <= 7.0) AS keep
+  FROM feat
+)
+SELECT source,
+  COUNT(*) AS total,
+  SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS kept,
+  SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS kept_tokens
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
     "text_langid_heuristic": text_langid_heuristic,
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
+    "corpus_quality_filter": corpus_quality_filter,
 }
 
 ORACLE_SQL = {
@@ -262,4 +313,5 @@ ORACLE_SQL = {
     "text_langid_heuristic": _langid_sql(),
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_pii_scrub": _PII_SQL,
+    "corpus_quality_filter": _CORPUS_FILTER_SQL,
 }

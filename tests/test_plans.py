@@ -235,3 +235,38 @@ def test_q6_full_pushdown(spark):
     assert set(c.split("#")[0] for c in cols.split(",")) == {
         "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
     }
+
+
+def test_q10_broadcasts_dims_and_pushes_filters(spark):
+    """Q10's customer/nation joins must broadcast (never shuffle the
+    lineitem fact side for a dim join) and both date + returnflag
+    filters must reach the scans."""
+    from scrapelect_spark.operators.relational import q10_returned_items
+
+    df = q10_returned_items(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q14_broadcasts_part_and_pushes_dates(spark):
+    from scrapelect_spark.operators.relational import q14_promo_revenue
+
+    df = q14_promo_revenue(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_q4_semi_join_no_cartesian(spark):
+    """The EXISTS is a (left semi) join keyed on l_orderkey — the
+    date-offset predicate must not force a nested-loop plan."""
+    from scrapelect_spark.operators.relational import q4_priority_late
+
+    df = q4_priority_late(spark, SF)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
