@@ -412,8 +412,37 @@ FROM ({_TOPK_SQL}) e JOIN ({_multiprobe_sql()}) a USING (vec_id)
 """
 
 
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification-by-retrieval: majority label among the query's
+    exact top-10 cosine neighbors (ties broken by smaller label) — the
+    standard label-propagation / eval harness op over an embedding
+    index, using the embeddings table's ``label`` column."""
+    e = load(spark, sf_dir, "embeddings")
+    top = ann_cosine_topk(spark, sf_dir).select("vec_id")
+    votes = (
+        top.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    return votes.orderBy(F.desc("votes"), "label").limit(1).select(
+        F.col("label").cast("long").alias("predicted_label"),
+        "votes",
+    )
+
+
+_KNN_SQL = f"""
+SELECT CAST(e.label AS BIGINT) AS predicted_label,
+       COUNT(*) AS votes
+FROM ({_TOPK_SQL}) t JOIN embeddings e USING (vec_id)
+GROUP BY e.label
+ORDER BY votes DESC, e.label
+LIMIT 1
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "knn_label_vote": knn_label_vote,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_multiprobe_recall": ann_multiprobe_recall,
@@ -422,6 +451,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_cosine_topk": _TOPK_SQL,
+    "knn_label_vote": _KNN_SQL,
     "ann_lsh_bucketed": _lsh_sql(),
     "ann_lsh_multiprobe": _multiprobe_sql(),
     "ann_multiprobe_recall": _RECALL_SQL,
