@@ -46,7 +46,11 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     spread: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
-        fn(spark, SF_DIR).count()  # warm: plan + scan caches
+        # warm with the SAME materialization as the timed reps: a
+        # count() alone leaves persisted indexes / codegen partially
+        # cold and the first timed rep reads 2x steady state
+        # (BENCH/BASELINE.md round-3 watch item)
+        force(fn(spark, SF_DIR))
         reps = []
         for _ in range(REPS):
             t0 = time.perf_counter()
