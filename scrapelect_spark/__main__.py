@@ -87,8 +87,26 @@ def run(file: str, url: str, out=None, err=None) -> int:
     return 0
 
 
+def _usage() -> str:
+    prog = "python -m scrapelect_spark"
+    return (
+        f"Usage: {prog} [run] <file.scrp> <url>\n"
+        f"       {prog} repl [url]\n"
+        f"       {prog} --version | --help"
+    )
+
+
 def main(argv: Optional[list[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] in ("--version", "-V"):
+        from . import __version__
+
+        # clap's `version` flag parity (main.rs:14 #[command(version)])
+        print(f"scrapelect-spark {__version__} (engine parity: scrapelect v0.4.0)")
+        return 0
+    if argv and argv[0] in ("--help", "-h"):
+        print(_usage())
+        return 0
     if argv and argv[0] == "repl":
         from .repl import main as repl_main
 
@@ -96,12 +114,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     if argv and argv[0] == "run":
         argv = argv[1:]
     if len(argv) != 2:
-        prog = "python -m scrapelect_spark"
-        print(
-            f"Usage: {prog} [run] <file.scrp> <url>\n"
-            f"       {prog} repl [url]",
-            file=sys.stderr,
-        )
+        print(_usage(), file=sys.stderr)
         return 2
     return run(argv[0], argv[1])
 

@@ -94,3 +94,15 @@ def test_interpret_error_report(tmp_path):
 def test_usage_on_bad_args():
     assert main([]) == 2
     assert main(["run", "only-one-arg"]) == 2
+
+
+def test_version_and_help_flags():
+    """clap's auto flags parity (main.rs #[command(version)])."""
+    p = subprocess.run(
+        [sys.executable, "-m", "scrapelect_spark", "--version"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert p.returncode == 0 and p.stdout.startswith("scrapelect-spark ")
+    assert "scrapelect v0.4.0" in p.stdout
+    assert main(["--help"]) == 0
+    assert main(["-V"]) == 0
