@@ -151,7 +151,9 @@ def band_pairs(
 
     cold_pairs = pair_join(cold, cold, [])
     hot_a = hot.withColumn(
-        "salt", (F.col("doc_id") % salt_buckets).cast("int")
+        # pmod, not %: Spark's % preserves sign, and a negative doc_id
+        # would get a salt no replica of side B carries — dropping pairs
+        "salt", F.pmod(F.col("doc_id"), F.lit(salt_buckets)).cast("int")
     )
     hot_b = hot.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -156,7 +156,12 @@ def encode_wav_ima(
 
 
 def decode_wav_ima(data: bytes) -> tuple[np.ndarray, int]:
-    """IMA-ADPCM WAV bytes → (int16 samples, sample rate)."""
+    """IMA-ADPCM WAV bytes → (int16 samples, sample rate).
+
+    Without a ``fact`` chunk the true sample count is unknowable (the
+    final block's zero-padding nibbles are indistinguishable from real
+    codes), so — like other decoders — whole blocks are emitted; our
+    encoder always writes ``fact``, which bounds the output exactly."""
     import struct
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":

@@ -38,9 +38,9 @@ def encode_avi_mjpeg(
     if not frames:
         raise ValueError("no frames")
     h, w = frames[0].shape[:2]
-    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
     if any(f.shape[:2] != (h, w) for f in frames):
         raise ValueError("frames differ in size")
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
     n = len(jpegs)
     max_bytes = max(len(j) for j in jpegs)
 
@@ -132,14 +132,22 @@ def avi_meta(data: bytes) -> tuple[int, int, int, int]:
 
 
 def avi_frame_chunks(data: bytes) -> Iterator[bytes]:
-    """Yield each video frame's compressed bytes ('00dc'/'00db')."""
+    """Yield each video frame's compressed bytes ('00dc'/'00db'),
+    including frames grouped inside interleave LIST 'rec ' chunks
+    (the layout muxers emit when interleaving audio+video)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
+
+    def walk(pos: int, end: int) -> Iterator[bytes]:
+        for f2, s2, l2 in _walk_chunks(data, pos, end):
+            if f2 == b"LIST" and data[s2 : s2 + 4] == b"rec ":
+                yield from walk(s2 + 4, s2 + l2)
+            elif f2[2:4] in (b"dc", b"db"):
+                yield data[s2 : s2 + l2]
+
     for fourcc, start, length in _walk_chunks(data, 12, len(data)):
         if fourcc == b"LIST" and data[start : start + 4] == b"movi":
-            for f2, s2, l2 in _walk_chunks(data, start + 4, start + length):
-                if f2[2:4] in (b"dc", b"db"):
-                    yield data[s2 : s2 + l2]
+            yield from walk(start + 4, start + length)
 
 
 def decode_avi_mjpeg_frames(

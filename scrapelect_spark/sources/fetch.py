@@ -84,6 +84,7 @@ class HttpFetcher:
         schema = StructType(list(claimed.schema.fields) + FETCH_SCHEMA_EXTRA)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import urllib.error
             import urllib.request
             from urllib.parse import urlsplit
 
@@ -101,8 +102,12 @@ class HttpFetcher:
                         body = resp.read(max_bytes)
                         charset = resp.headers.get_content_charset() or "utf-8"
                         return body.decode(charset, errors="replace"), resp.status
+                except urllib.error.HTTPError as e:
+                    # keep the real status (404/500/...) so live fetches
+                    # and CorpusFetcher replays agree on the column
+                    return None, int(e.code)
                 except Exception:
-                    return None, 0
+                    return None, 0  # timeout / DNS / connection refused
 
             for pdf in batches:
                 html, status = [], []

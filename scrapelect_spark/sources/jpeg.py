@@ -29,6 +29,11 @@ import struct
 
 import numpy as np
 
+#: decoder safety cap (4096×4096): above this, coefficient grids reach
+#: hundreds of MB and the per-block Python loop runs minutes — one
+#: poisoned row must fail per-row, not stall an executor task
+MAX_PIXELS = 1 << 24
+
 # --- constants (ITU T.81 Annex K) ------------------------------------
 
 ZIGZAG = np.array([
@@ -545,10 +550,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
-            if fh == 0 or fw == 0 or fh * fw > (1 << 28):
+            if fh == 0 or fw == 0 or fh * fw > MAX_PIXELS:
                 # corrupt/adversarial SOF dims would drive a multi-GB
-                # coefficient allocation — refuse like real decoders do
-                raise ValueError(f"implausible JPEG dimensions {fw}x{fh}")
+                # coefficient allocation and a multi-minute Python
+                # block loop — refuse like real decoders cap
+                raise ValueError(
+                    f"JPEG dimensions {fw}x{fh} exceed the decoder pixel "
+                    f"cap ({MAX_PIXELS})"
+                )
             if nc not in (1, 3) or len(body) < 6 + 3 * nc:
                 raise ValueError(f"unsupported component count {nc}")
             comps = []
@@ -572,6 +581,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0x0F))
             fh, fw, comps = frame
+            if ns != len(comps):
+                # a baseline file may legally split components across
+                # several scans (non-interleaved); decoding only the
+                # first scan would silently return Y-only pixels —
+                # refuse into per-row error capture instead
+                raise NotImplementedError(
+                    f"non-interleaved baseline JPEG ({ns} of "
+                    f"{len(comps)} components in scan) not supported"
+                )
+            if len(comps) == 1:
+                # single-component frames: sampling factors are
+                # irrelevant (the scan is one data unit per MCU,
+                # T.81 A.2.2) — normalize so the MCU grid is the
+                # plain 8x8 block grid
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             known = {c[0] for c in comps}
             for cs, td, ta in scan:
                 if cs not in known:

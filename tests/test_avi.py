@@ -94,3 +94,42 @@ def test_mutation_fuzz_no_hang(seed):
         avi_meta(bytes(data))
     except (ValueError, NotImplementedError, struct.error, IndexError, KeyError):
         pass
+
+
+def test_rec_list_nested_frames():
+    """Interleaved AVIs group frame chunks inside LIST 'rec ' — the
+    walker must descend into them (muxer layout, OpenDML)."""
+    frames = [grad(16, 16, 3 * f) for f in range(4)]
+    flat = encode_avi_mjpeg(frames, quality=88)
+    # rebuild: wrap each 00dc chunk in its own LIST 'rec '
+    import struct as _s
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + _s.pack("<I", len(body)) + body + pad
+
+    chunks = list(avi_frame_chunks(flat))
+    movi_body = b"movi" + b"".join(
+        chunk(b"LIST", b"rec " + chunk(b"00dc", c)) for c in chunks
+    )
+    # splice the rec-wrapped movi into a fresh RIFF with the old hdrl
+    i = flat.find(b"LIST", 12)
+    # copy everything up to the original movi LIST
+    j = flat.find(b"movi") - 8
+    head = flat[12:j]
+    body = b"AVI " + head[: 0] + flat[12:j] + chunk(b"LIST", movi_body)
+    data = b"RIFF" + _s.pack("<I", len(body)) + body
+    out = list(decode_avi_mjpeg_frames(data, every_n=1))
+    assert [i for i, _ in out] == [0, 1, 2, 3]
+    for k, (idx, arr) in enumerate(out):
+        assert psnr(frames[idx], arr) >= 40.0
+
+
+def test_shape_mismatch_raises_before_encoding():
+    import time
+
+    big = [grad(64, 64)] * 50 + [grad(64, 32)]
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="differ in size"):
+        encode_avi_mjpeg(big)
+    assert time.perf_counter() - t0 < 0.5  # no 50-frame encode first

@@ -143,3 +143,21 @@ def test_band_pairs_all_cold_matches_naive(spark):
         for r in band_pairs(bands, hot_threshold=10, salt_buckets=4).collect()
     )
     assert got == ref
+
+
+def test_band_pairs_negative_ids_hot_path(spark):
+    """pmod salting: negative doc_ids in a hot bucket must still emit
+    every pair (sign-preserving % would drop them silently)."""
+    from scrapelect_spark.operators.dedup import band_pairs
+
+    rows = [(d, 0, "HOT") for d in range(-10, 10)]
+    bands = spark.createDataFrame(rows, "doc_id long, band int, band_val string")
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in band_pairs(bands, hot_threshold=5, salt_buckets=8).collect()
+    )
+    ids = list(range(-10, 10))
+    expect = sorted(
+        (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+    )
+    assert got == expect

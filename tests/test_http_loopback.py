@@ -139,4 +139,7 @@ def test_http_fetcher_status_columns(spark, server):
     ok = rows[f"{base}/page3.html"]
     assert ok.status == 200 and "three" in ok.html
     bad = rows[f"{base}/nope.html"]
-    assert bad.html is None and bad.status == 0
+    # the real HTTP status is preserved (matches CorpusFetcher's 404
+    # for the same missing page on replay); 0 is reserved for
+    # timeouts/DNS/connection failures
+    assert bad.html is None and bad.status == 404

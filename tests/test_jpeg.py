@@ -157,5 +157,44 @@ def test_implausible_dims_rejected():
     data = bytearray(encode_jpeg(gradient(16, 16)))
     i = data.find(b"\xFF\xC0")
     data[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)  # h, w
-    with pytest.raises(ValueError, match="implausible"):
+    with pytest.raises(ValueError, match="pixel cap"):
+        decode_jpeg(bytes(data))
+
+
+def test_multi_scan_rejected_not_silently_luma_only():
+    """A baseline file whose scan covers fewer components than the
+    frame (non-interleaved layout) must refuse — decoding only the
+    first scan would silently return Y-only pixels."""
+    data = bytearray(encode_jpeg(gradient(16, 16), quality=90))
+    i = data.find(b"\xFF\xDA")
+    assert data[i + 4] == 3  # ns
+    data[i + 4] = 1
+    # shrink the SOS segment length to match one component
+    data[i + 2 : i + 4] = struct.pack(">H", 6 + 2 * 1)
+    # drop the two extra component entries so Ss/Se/Ah-Al line up
+    del data[i + 7 : i + 11]
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(bytes(data))
+
+
+def test_single_component_sampling_factors_ignored():
+    """T.81 A.2.2: a single-component scan is one data unit per MCU —
+    declared sampling factors (e.g. 2x2) must not desync the grid."""
+    g = gradient(24, 24)[:, :, 0]
+    data = bytearray(encode_jpeg(g, quality=90))
+    plain = decode_jpeg(bytes(data))
+    i = data.find(b"\xFF\xC0")
+    assert data[i + 11] == 0x11  # (hs<<4)|vs of the only component
+    data[i + 11] = 0x22
+    assert np.array_equal(decode_jpeg(bytes(data)), plain)
+
+
+def test_pixel_cap():
+    from scrapelect_spark.sources.jpeg import MAX_PIXELS
+
+    data = bytearray(encode_jpeg(gradient(16, 16)))
+    i = data.find(b"\xFF\xC0")
+    data[i + 5 : i + 9] = struct.pack(">HH", 8192, 8192)  # 64M px > cap
+    assert 8192 * 8192 > MAX_PIXELS
+    with pytest.raises(ValueError, match="pixel"):
         decode_jpeg(bytes(data))
