@@ -625,9 +625,47 @@ ORDER BY source
 """
 
 
+def dedup_near_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pass end to end: MinHash→LSH candidate pairs →
+    connected components → keep the minimum doc per cluster — reported
+    as the corpus yield numbers a pipeline logs (total, dup members
+    dropped, kept)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    labels = connected_components(
+        _minhash_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+    )
+    dropped = labels.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    kept = d.join(dropped, "doc_id", "left_anti")
+    return d.agg(F.count(F.lit(1)).cast("long").alias("total")).crossJoin(
+        kept.agg(F.count(F.lit(1)).cast("long").alias("kept"))
+    ).select(
+        "total",
+        (F.col("total") - F.col("kept")).cast("long").alias("dropped"),
+        "kept",
+    )
+
+
+_NEAR_YIELD_SQL = (
+    _CLUSTERS_SQL.replace(
+        "SELECT doc_id, MIN(lab) AS cluster\nFROM reach GROUP BY doc_id ORDER BY doc_id",
+        """, labels AS (
+  SELECT doc_id, MIN(lab) AS cluster FROM reach GROUP BY doc_id
+)
+SELECT
+  (SELECT COUNT(*) FROM documents WHERE doc_id < 300) AS total,
+  (SELECT COUNT(*) FROM labels WHERE doc_id <> cluster) AS dropped,
+  (SELECT COUNT(*) FROM documents WHERE doc_id < 300)
+    - (SELECT COUNT(*) FROM labels WHERE doc_id <> cluster) AS kept""",
+    )
+)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_apply": dedup_apply,
+    "dedup_near_yield": dedup_near_yield,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_jaccard_adjacent": dedup_jaccard_adjacent,
@@ -638,6 +676,7 @@ QUERIES = {
 ORACLE_SQL = {
     "dedup_exact": _EXACT_SQL,
     "dedup_apply": _DEDUP_APPLY_SQL,
+    "dedup_near_yield": _NEAR_YIELD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _simhash_sql(),
     "dedup_jaccard_adjacent": _JACCARD_SQL,
