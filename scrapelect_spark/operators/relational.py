@@ -375,6 +375,47 @@ ORDER BY o_orderpriority
 """
 
 
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers — the grouped-HAVING
+    semi-filter on a fact table feeding a fact-fact-dim join.  Exact
+    DECIMAL quantity sums make the HAVING cut order-independent."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(28,8))) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 def frontier_new_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier dedup shape: candidate parts anti-joined against the
     seen set (parts shipped before 1995) — crawl.py runs this exact op
@@ -541,6 +582,7 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q4_priority_late": q4_priority_late,
+    "q18_large_volume": q18_large_volume,
 }
 
 ORACLE_SQL = {
@@ -558,4 +600,5 @@ ORACLE_SQL = {
     "q10_returned_items": _Q10_SQL,
     "q14_promo_revenue": _Q14_SQL,
     "q4_priority_late": _Q4_SQL,
+    "q18_large_volume": _Q18_SQL,
 }
