@@ -41,9 +41,9 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(bytes(data))
     if fmt in ("jpeg", "jpg"):
-        # REAL path: pure-numpy baseline JFIF decoder (sources/jpeg.py)
-        # — Huffman + dequant + IDCT + YCbCr→RGB; progressive/12-bit
-        # raise NotImplementedError and flow into per-row error capture.
+        # REAL path: pure-numpy JFIF decoder (sources/jpeg.py) —
+        # baseline AND progressive (SOF2) processes; hierarchical/
+        # lossless/arithmetic/12-bit raise into per-row error capture.
         return decode_jpeg(bytes(data))
     raise NotImplementedError(f"unsupported image format {fmt!r}")
 

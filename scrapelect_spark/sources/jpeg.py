@@ -5,20 +5,25 @@ The runtime has no PIL/libjpeg, but the ``input_hint`` corpus schema
 allclose, PSNR ≥ 40 dB for lossy formats") presuppose lossy images — so
 the decode path must be REAL, not a stub.  This module implements the
 baseline sequential DCT process (ITU-T T.81 / ISO 10918-1, the profile
-virtually all web JPEGs use):
+virtually all web JPEGs use) plus the progressive DCT process (SOF2):
 
 - encoder: level shift → 8×8 DCT-II (one einsum over all blocks) →
   Annex-K quantization tables scaled by the libjpeg quality formula →
   zigzag → differential-DC / run-length-AC Huffman coding with the
   Annex-K standard tables → JFIF container (SOI APP0 DQT SOF0 DHT SOS
-  EOI), with optional 4:2:0 chroma subsampling;
-- decoder: marker parse (APPn/COM skip, DQT 8/16-bit, DHT, DRI, SOF0/1,
-  SOS), canonical Huffman decode with byte unstuffing and RSTn restart
-  handling, dequant + vectorized IDCT, sampling-factor chroma
-  upsampling, YCbCr→RGB (BT.601 full-range per JFIF).
+  EOI), with optional 4:2:0 chroma subsampling, restart markers, and a
+  progressive mode (SOF2 with a spectral-selection +
+  DC-successive-approximation scan script);
+- decoder: marker parse (APPn/COM skip, DQT 8/16-bit, DHT, DRI,
+  SOF0/1/2, multi-scan SOS), canonical Huffman decode with byte
+  unstuffing and RSTn restart handling; progressive scans cover DC/AC
+  first and refinement passes, EOB runs, and non-interleaved
+  per-component geometry (T.81 §G); dequant + vectorized IDCT,
+  sampling-factor chroma upsampling, YCbCr→RGB (BT.601 full-range).
 
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-``NotImplementedError`` — baseline-only is the declared scope.
+Hierarchical, lossless, arithmetic coding, and 12-bit precision raise
+``NotImplementedError`` — the two DCT Huffman processes above are the
+declared scope (they cover essentially all web JPEGs).
 
 Everything here is from the public spec; tables are ITU T.81 Annex K.
 """
@@ -283,11 +288,14 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode HxW (grayscale) or HxWx3 (RGB) uint8 → baseline JFIF.
+    """Encode HxW (grayscale) or HxWx3 (RGB) uint8 → JFIF.
     ``subsampling``: "444" (no chroma subsampling) or "420";
     ``restart_interval``: emit a DRI segment + RSTn marker every that
-    many MCUs (0 = none)."""
+    many MCUs (0 = none; sequential only); ``progressive``: emit the
+    progressive DCT process (SOF2) with a spectral-selection +
+    DC-successive-approximation scan script."""
     arr = np.asarray(arr)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
@@ -357,24 +365,34 @@ def encode_jpeg(
                 g, ((0, need_bh - bh), (0, need_bw - bw), (0, 0)), mode="edge"
             )
         grids.append(g)
-    mcu_index = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                writer.align()
-                writer.raw(
-                    bytes([0xFF, 0xD0 + (mcu_index // restart_interval - 1) % 8])
-                )
-                preds = [0] * len(comps)
-            mcu_index += 1
-            for ci, (cid, hs, vs, qid) in enumerate(comps):
-                dc = dc_y if ci == 0 else dc_c
-                ac = ac_y if ci == 0 else ac_c
-                for by in range(vs):
-                    for bx in range(hs):
-                        blk = grids[ci][my * vs + by, mx * hs + bx][None, :]
-                        preds[ci] = _encode_blocks(writer, blk, dc, ac, preds[ci])
-    entropy = writer.flush()
+    scans: list[bytes] = []  # (SOS header + entropy) per scan
+    if progressive:
+        if restart_interval:
+            raise ValueError("restart_interval with progressive not supported")
+        scans = _progressive_scans(
+            comps, grids, mcus_x, mcus_y, hmax, vmax, w, h,
+            dc_y, ac_y, dc_c, ac_c,
+        )
+        entropy = b""
+    else:
+        mcu_index = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                    writer.align()
+                    writer.raw(
+                        bytes([0xFF, 0xD0 + (mcu_index // restart_interval - 1) % 8])
+                    )
+                    preds = [0] * len(comps)
+                mcu_index += 1
+                for ci, (cid, hs, vs, qid) in enumerate(comps):
+                    dc = dc_y if ci == 0 else dc_c
+                    ac = ac_y if ci == 0 else ac_c
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = grids[ci][my * vs + by, mx * hs + bx][None, :]
+                            preds[ci] = _encode_blocks(writer, blk, dc, ac, preds[ci])
+        entropy = writer.flush()
 
     # --- container ---
     out = bytearray(b"\xFF\xD8")  # SOI
@@ -386,7 +404,8 @@ def encode_jpeg(
     ncomp = len(comps)
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof = 0xC2 if progressive else 0xC0
+    out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for cid, hs, vs, qid in comps:
         out += bytes([cid, (hs << 4) | vs, qid])
     tables = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
@@ -397,14 +416,114 @@ def encode_jpeg(
     for tc, bits, vals in tables:
         out += b"\xFF\xC4" + struct.pack(">H", 3 + 16 + len(vals)) + bytes([tc])
         out += bytes(bits) + bytes(vals)
-    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    for ci, (cid, hs, vs, qid) in enumerate(comps):
-        td = 0 if ci == 0 else 1
-        out += bytes([cid, (td << 4) | td])
-    out += b"\x00\x3F\x00"
-    out += entropy
+    if progressive:
+        for seg in scans:
+            out += seg
+    else:
+        out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+        for ci, (cid, hs, vs, qid) in enumerate(comps):
+            td = 0 if ci == 0 else 1
+            out += bytes([cid, (td << 4) | td])
+        out += b"\x00\x3F\x00"
+        out += entropy
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
+
+
+def _sos_header(scan_comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+    """SOS segment: [(cid, td, ta)], spectral band, approximation."""
+    ns = len(scan_comps)
+    out = bytearray(b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ns, ns))
+    for cid, td, ta in scan_comps:
+        out += bytes([cid, (td << 4) | ta])
+    out += bytes([ss, se, (ah << 4) | al])
+    return bytes(out)
+
+
+def _progressive_scans(
+    comps, grids, mcus_x, mcus_y, hmax, vmax, w, h, dc_y, ac_y, dc_c, ac_c
+) -> list[bytes]:
+    """Progressive scan script: interleaved DC first (Al=1) → per-
+    component AC bands 1-5 and 6-63 (Al=0, EOB0-terminated — standard
+    Annex-K tables can't code EOBn, which is an encoder choice) →
+    interleaved DC refinement (Ah=1, Al=0)."""
+    segs: list[bytes] = []
+
+    # 1. DC first pass, interleaved, point transform Al=1
+    writer = _BitWriter()
+    preds = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, hs, vs, qid) in enumerate(comps):
+                dct = dc_y if ci == 0 else dc_c
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = int(grids[ci][my * vs + by, mx * hs + bx][0])
+                        t = dc >> 1  # arithmetic shift = T.81 point transform
+                        s, code = _magnitude(t - preds[ci])
+                        preds[ci] = t
+                        c, ln = dct[s]
+                        writer.write(c, ln)
+                        if s:
+                            writer.write(code, s)
+    segs.append(
+        _sos_header(
+            [(cid, (0 if ci == 0 else 1), 0)
+             for ci, (cid, _, _, _) in enumerate(comps)],
+            0, 0, 0, 1,
+        )
+        + writer.flush()
+    )
+
+    # 2. AC bands per component, Al=0, over the TRUE block grid
+    for ci, (cid, hs, vs, qid) in enumerate(comps):
+        act = ac_y if ci == 0 else ac_c
+        bw_c = -(-(-(-w * hs // hmax)) // 8)
+        bh_c = -(-(-(-h * vs // vmax)) // 8)
+        for ss, se in ((1, 5), (6, 63)):
+            writer = _BitWriter()
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    blk = grids[ci][by, bx]
+                    run = 0
+                    for k in range(ss, se + 1):
+                        v = int(blk[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = act[0xF0]  # ZRL
+                            writer.write(c, ln)
+                            run -= 16
+                        s, code = _magnitude(v)
+                        c, ln = act[(run << 4) | s]
+                        writer.write(c, ln)
+                        writer.write(code, s)
+                        run = 0
+                    if run > 0:
+                        c, ln = act[0x00]  # EOB0
+                        writer.write(c, ln)
+            segs.append(
+                _sos_header([(cid, 0, (0 if ci == 0 else 1))], ss, se, 0, 0)
+                + writer.flush()
+            )
+
+    # 3. DC refinement: raw bit Al=0 per block, interleaved
+    writer = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, hs, vs, qid) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = int(grids[ci][my * vs + by, mx * hs + bx][0])
+                        writer.write(dc & 1, 1)
+    segs.append(
+        _sos_header(
+            [(cid, 0, 0) for cid, _, _, _ in comps], 0, 0, 1, 0
+        )
+        + writer.flush()
+    )
+    return segs
 
 
 # --- decoder ----------------------------------------------------------
@@ -497,15 +616,175 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skipping
+    entropy bytes, 0xFF00 stuffing, and fill 0xFF bytes)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00 or nxt == 0xFF:
+            pos += 2 if nxt == 0x00 else 1
+            continue
+        return pos
+    return n
+
+
+def _dc_block(reader, blk, htabs, td, ah, al, preds, cs):
+    if ah == 0:
+        s = reader.huff(htabs[(0, td)])
+        diff = _extend(reader.bits(s), s) if s else 0
+        preds[cs] += diff
+        blk[0] = preds[cs] << al
+    else:
+        if reader.bits(1):
+            blk[0] = int(blk[0]) | (1 << al)
+
+
+def _decode_dc_scan(
+    reader, scan, by_id, grids, htabs, mcus_x, mcus_y, hmax, vmax,
+    fw, fh, ah, al, restart_interval,
+):
+    """DC scan (Ss=0,Se=0): interleaved MCU walk when the scan covers
+    several components; a single-component DC scan walks that
+    component's TRUE block grid (one data unit per MCU, T.81 A.2.3).
+    Ah=0 → first pass (diff-coded, point-transformed), Ah>0 → one
+    refinement bit per block."""
+    preds = {cs: 0 for cs, _, _ in scan}
+    if len(scan) == 1 and len(by_id) > 1:
+        cs, td, ta = scan[0]
+        cid, hs, vs, tq = by_id[cs]
+        bw_c = -(-(-(-fw * hs // hmax)) // 8)
+        bh_c = -(-(-(-fh * vs // vmax)) // 8)
+        blk_index = 0
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                if (
+                    restart_interval
+                    and blk_index
+                    and blk_index % restart_interval == 0
+                ):
+                    reader.restart()
+                    preds = {cs: 0}
+                blk_index += 1
+                _dc_block(reader, grids[cs][by, bx], htabs, td, ah, al, preds, cs)
+        return
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.restart()
+                preds = {cs: 0 for cs, _, _ in scan}
+            mcu_index += 1
+            for cs, td, ta in scan:
+                cid, hs, vs, tq = by_id[cs]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = grids[cs][my * vs + by, mx * hs + bx]
+                        _dc_block(reader, blk, htabs, td, ah, al, preds, cs)
+
+
+def _decode_ac_scan(
+    reader, cs, comp, grids, act, ss, se, ah, al, bw_c, bh_c, restart_interval
+):
+    """AC scan (Ss≥1): single-component block raster over the
+    component's true block grid; Ah=0 → first pass with EOB runs,
+    Ah>0 → successive-approximation refinement (T.81 G.1.2.3)."""
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    blk_index = 0
+    for by in range(bh_c):
+        for bx in range(bw_c):
+            if restart_interval and blk_index and blk_index % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            blk_index += 1
+            blk = grids[cs][by, bx]
+            if ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.huff(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run overflow")
+                    blk[k] = _extend(reader.bits(s), s) << al
+                    k += 1
+            else:  # refinement pass
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.huff(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            # r == 15 (ZRL): skip 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError("bad AC refinement size")
+                            val = p1 if reader.bits(1) else m1
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if reader.bits(1) and (abs(c) & p1) == 0:
+                                    blk[k] = c + (p1 if c > 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # correction bits for the rest of this block's band
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if reader.bits(1) and (abs(c) & p1) == 0:
+                                blk[k] = c + (p1 if c > 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF bytes → HxWxC uint8 (C=1 gray, 3 RGB)."""
+    """Decode JFIF bytes → HxWxC uint8 (C=1 gray, 3 RGB).
+
+    Supports the baseline sequential process (SOF0/1) and the
+    progressive DCT process (SOF2: spectral selection + successive
+    approximation, DC and AC first/refinement scans, EOB runs,
+    restart markers) — together these cover essentially all web
+    JPEGs.  Hierarchical/lossless/arithmetic/12-bit still raise."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], _HuffTable] = {}
     frame = None
+    progressive = False
     restart_interval = 0
+    grids: dict[int, np.ndarray] = {}
+    geo = None  # (mcus_x, mcus_y, hmax, vmax)
+    saw_scan = False
     n = len(data)
     while pos < n:
         if data[pos] != 0xFF:
@@ -546,7 +825,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[p + 17 : p + 17 + nv])
                 htabs[(tc, th)] = _HuffTable(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -564,11 +844,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if nc == 1:
+                # single-component frames: sampling factors are
+                # irrelevant (one data unit per MCU, T.81 A.2.2) —
+                # normalize so the MCU grid is the 8x8 block grid
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            for cid, hs, vs, tq in comps:
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"bad sampling factors {hs}x{vs}")
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02X}) not supported"
+                f"unsupported JPEG process (SOF marker 0x{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -580,115 +868,149 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             fh, fw, comps = frame
-            if ns != len(comps):
-                # a baseline file may legally split components across
-                # several scans (non-interleaved); decoding only the
-                # first scan would silently return Y-only pixels —
-                # refuse into per-row error capture instead
-                raise NotImplementedError(
-                    f"non-interleaved baseline JPEG ({ns} of "
-                    f"{len(comps)} components in scan) not supported"
-                )
-            if len(comps) == 1:
-                # single-component frames: sampling factors are
-                # irrelevant (the scan is one data unit per MCU,
-                # T.81 A.2.2) — normalize so the MCU grid is the
-                # plain 8x8 block grid
-                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            if not progressive:
+                if ns != len(comps):
+                    # a baseline file may legally split components
+                    # across several scans (non-interleaved); decoding
+                    # only the first would silently return Y-only
+                    # pixels — refuse into per-row error capture
+                    raise NotImplementedError(
+                        f"non-interleaved baseline JPEG ({ns} of "
+                        f"{len(comps)} components in scan) not supported"
+                    )
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("bad sequential scan parameters")
+            else:
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if ss > 0 and (ns != 1 or se < ss or se > 63):
+                    raise ValueError("bad progressive AC scan parameters")
+                if ss > 0 and ah == 0 and al > 13:
+                    raise ValueError("bad successive approximation")
             known = {c[0] for c in comps}
             for cs, td, ta in scan:
                 if cs not in known:
                     raise ValueError(f"SOS references unknown component {cs}")
-                if (0, td) not in htabs or (1, ta) not in htabs:
-                    raise ValueError(f"SOS references missing Huffman table")
+                # table presence per scan kind: sequential needs both;
+                # progressive DC-first needs DC only; DC-refine needs
+                # neither; AC scans need AC only
+                needs_dc = (not progressive) or (ss == 0 and ah == 0)
+                needs_ac = (not progressive) or ss > 0
+                if needs_dc and (0, td) not in htabs:
+                    raise ValueError("SOS references missing DC table")
+                if needs_ac and (1, ta) not in htabs:
+                    raise ValueError("SOS references missing AC table")
             for cid, hs, vs, tq in comps:
                 if tq not in qtabs:
                     raise ValueError(f"missing quantization table {tq}")
-                if not (1 <= hs <= 4 and 1 <= vs <= 4):
-                    raise ValueError(f"bad sampling factors {hs}x{vs}")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus_x = -(-fw // (8 * hmax))
             mcus_y = -(-fh // (8 * vmax))
+            geo = (hmax, vmax)
             by_id = {c[0]: c for c in comps}
-            # coefficient grids per scan component
-            grids = {}
-            for cs, td, ta in scan:
-                cid, hs, vs, tq = by_id[cs]
-                grids[cs] = np.zeros(
-                    (mcus_y * vs, mcus_x * hs, 64), dtype=np.float64
-                )
+            for cid, hs, vs, tq in comps:
+                if cid not in grids:
+                    grids[cid] = np.zeros(
+                        (mcus_y * vs, mcus_x * hs, 64), dtype=np.float64
+                    )
             reader = _BitReader(data, pos + seglen)
-            preds = {cs: 0 for cs, _, _ in scan}
-            mcu_index = 0
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    if (
-                        restart_interval
-                        and mcu_index
-                        and mcu_index % restart_interval == 0
-                    ):
-                        reader.restart()
-                        preds = {cs: 0 for cs, _, _ in scan}
-                    mcu_index += 1
-                    for cs, td, ta in scan:
-                        cid, hs, vs, tq = by_id[cs]
-                        dct = htabs[(0, td)]
-                        act = htabs[(1, ta)]
-                        for by in range(vs):
-                            for bx in range(hs):
-                                blk = np.zeros(64)
-                                s = reader.huff(dct)
-                                diff = _extend(reader.bits(s), s) if s else 0
-                                preds[cs] += diff
-                                blk[0] = preds[cs]
-                                k = 1
-                                while k < 64:
-                                    rs = reader.huff(act)
-                                    r, size = rs >> 4, rs & 0x0F
-                                    if size == 0:
-                                        if r == 15:
-                                            k += 16
-                                            continue
-                                        break  # EOB
-                                    k += r
-                                    if k > 63:
-                                        raise ValueError("AC run overflow")
-                                    blk[k] = _extend(reader.bits(size), size)
-                                    k += 1
-                                grids[cs][my * vs + by, mx * hs + bx] = blk
-            # dequant + IDCT, vectorized per component
-            planes = {}
-            for cs, td, ta in scan:
+            saw_scan = True
+            if not progressive:
+                # sequential: interleaved DC+AC per block
+                preds = {cs: 0 for cs, _, _ in scan}
+                mcu_index = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if (
+                            restart_interval
+                            and mcu_index
+                            and mcu_index % restart_interval == 0
+                        ):
+                            reader.restart()
+                            preds = {cs: 0 for cs, _, _ in scan}
+                        mcu_index += 1
+                        for cs, td, ta in scan:
+                            cid, hs, vs, tq = by_id[cs]
+                            dct = htabs[(0, td)]
+                            act = htabs[(1, ta)]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    blk = np.zeros(64)
+                                    s = reader.huff(dct)
+                                    diff = (
+                                        _extend(reader.bits(s), s) if s else 0
+                                    )
+                                    preds[cs] += diff
+                                    blk[0] = preds[cs]
+                                    k = 1
+                                    while k < 64:
+                                        rs = reader.huff(act)
+                                        r, size = rs >> 4, rs & 0x0F
+                                        if size == 0:
+                                            if r == 15:
+                                                k += 16
+                                                continue
+                                            break  # EOB
+                                        k += r
+                                        if k > 63:
+                                            raise ValueError("AC run overflow")
+                                        blk[k] = _extend(
+                                            reader.bits(size), size
+                                        )
+                                        k += 1
+                                    grids[cs][my * vs + by, mx * hs + bx] = blk
+            elif ss == 0:
+                _decode_dc_scan(
+                    reader, scan, by_id, grids, htabs, mcus_x, mcus_y,
+                    hmax, vmax, fw, fh, ah, al, restart_interval,
+                )
+            else:
+                cs, td, ta = scan[0]
                 cid, hs, vs, tq = by_id[cs]
-                g = grids[cs]
-                bh, bw = g.shape[:2]
-                coeff = np.zeros((bh * bw, 64))
-                coeff[:, ZIGZAG] = g.reshape(-1, 64)
-                coeff = coeff.reshape(-1, 8, 8) * qtabs[tq]
-                blocks = np.einsum("ji,njk,kl->nil", _A, coeff, _A)
-                plane = (
-                    blocks.reshape(bh, bw, 8, 8)
-                    .transpose(0, 2, 1, 3)
-                    .reshape(bh * 8, bw * 8)
+                # the component's TRUE block grid (not MCU-padded)
+                comp_w = -(-fw * hs // hmax)
+                comp_h = -(-fh * vs // vmax)
+                _decode_ac_scan(
+                    reader, cs, by_id[cs], grids, htabs[(1, ta)],
+                    ss, se, ah, al,
+                    -(-comp_w // 8), -(-comp_h // 8), restart_interval,
                 )
-                # upsample to full resolution by sample replication
-                plane = np.repeat(
-                    np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
-                )
-                planes[cs] = plane[:fh, :fw] + 128.0
-            if len(scan) == 1:
-                y = np.clip(np.round(planes[scan[0][0]]), 0, 255).astype(
-                    np.uint8
-                )
-                return y[:, :, None]
-            ycc = np.stack(
-                [planes[cs] for cs, _, _ in scan], axis=-1
-            )
-            return ycbcr_to_rgb(ycc)
+            # skip past this scan's entropy data to the next marker
+            pos = _next_marker(data, max(reader.pos, pos + seglen))
+            continue
         pos += seglen
-    raise ValueError("no scan data found")
+    if not saw_scan or frame is None:
+        raise ValueError("no scan data found")
+    # dequant + IDCT, vectorized per component
+    fh, fw, comps = frame
+    hmax, vmax = geo
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        g = grids[cid]
+        bh, bw = g.shape[:2]
+        coeff = np.zeros((bh * bw, 64))
+        coeff[:, ZIGZAG] = g.reshape(-1, 64)
+        coeff = coeff.reshape(-1, 8, 8) * qtabs[tq]
+        blocks = np.einsum("ji,njk,kl->nil", _A, coeff, _A)
+        plane = (
+            blocks.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # upsample to full resolution by sample replication
+        plane = np.repeat(
+            np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+        )
+        planes[cid] = plane[:fh, :fw] + 128.0
+    if len(comps) == 1:
+        y = np.clip(np.round(planes[comps[0][0]]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    ycc = np.stack([planes[cid] for cid, _, _, _ in comps], axis=-1)
+    return ycbcr_to_rgb(ycc)
 
 
 def jpeg_size(data: bytes) -> tuple[int, int]:

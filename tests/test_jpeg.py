@@ -93,12 +93,25 @@ def test_container_structure():
     assert (prec, h, w, nc) == (8, 16, 16, 3)
 
 
-def test_progressive_rejected():
+def test_mislabelled_progressive_rejected_cleanly():
+    """Progressive (SOF2) is SUPPORTED now (test_jpeg_progressive.py);
+    a baseline stream mislabelled as SOF2 is structurally invalid (a
+    progressive DC scan cannot have Se=63) and must raise, not
+    mis-decode."""
     data = bytearray(encode_jpeg(gradient(16, 16)))
     i = data.find(b"\xFF\xC0")
-    data[i + 1] = 0xC2  # pretend SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
+
+
+def test_lossless_and_arithmetic_rejected():
+    for sof in (0xC3, 0xC9, 0xCB):  # lossless / arith sequential / arith prog...
+        data = bytearray(encode_jpeg(gradient(16, 16)))
+        i = data.find(b"\xFF\xC0")
+        data[i + 1] = sof
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))
 
 
 def test_not_a_jpeg_rejected():
