@@ -560,7 +560,7 @@ class Crawler:
         # materialize the cache once (deterministic single fill) so the
         # five consumers below can run concurrently without racing to
         # compute it
-        new_frontier.count()
+        n_new = int(new_frontier.count())
 
         # per-batch commits coalesce so the append-log read path doesn't
         # accumulate thousands of tiny parquet files; the part count
@@ -612,9 +612,10 @@ class Crawler:
             merged_sketches = sketch_f.result()
             next_queued_df = queued_f.result()
             next_seen_df = seen_df_f.result()
-        n_new = int(
-            merged_sketches.agg(F.sum("n_added")).collect()[0][0] or 0
-        )
+        # n_new == the cache-materialization count above: the sketch
+        # merge ingests exactly new_frontier's (url, bucket) rows, so
+        # sum(n_added) over the merged DataFrame equals that count —
+        # no extra aggregation job per batch
         self.sketch_df = merged_sketches.select("bucket", "sketch")
         sk_snap = self._commit_sketches(batch)
 
