@@ -183,3 +183,51 @@ def sessionize_batch(events: DataFrame) -> DataFrame:
         )
         .drop("session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate query: the STREAMING hourly rollup flows through a
+# CORRECTNESS row with the same SQL oracle as its batch twin — complete-
+# mode output over availableNow triggers equals the batch aggregation,
+# so the gate pins incremental execution against DuckDB, not just
+# against our own batch code.
+# ---------------------------------------------------------------------------
+
+import itertools as _itertools
+
+_GATE_SEQ = _itertools.count()
+
+
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run ``hourly_counts_stream`` as a real Structured Streaming query
+    (file source split into 3 files → 3 incremental triggers, memory
+    sink, complete mode, availableNow) and return the final table."""
+    import tempfile
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = tempfile.mkdtemp(prefix="events-stream-gate-")
+    batch.repartition(3).write.mode("overwrite").parquet(d)
+    name = f"hourly_stream_gate_{next(_GATE_SEQ)}"
+    q = (
+        hourly_counts_stream(events_stream(spark, d))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("hour", "event_type")
+
+
+_HOURLY_STREAM_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+QUERIES = {"events_hourly_stream": events_hourly_stream}
+ORACLE_SQL = {"events_hourly_stream": _HOURLY_STREAM_SQL}
