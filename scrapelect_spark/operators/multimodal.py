@@ -7,12 +7,14 @@ phash).  All transforms are Arrow-batched ``mapInPandas`` — the decode
 loop runs per binary payload inside one Python call per batch, never
 per-row from Spark's side.
 
-Real vs stubbed (per round instructions): PNG decode/encode (pure
-numpy+zlib, sources/png.py), baseline JPEG decode/encode (pure numpy,
-sources/jpeg.py), and WAV/PCM16 (sources/wav.py) are REAL; video and
-lossy-audio decode remain declared stubs behind ``NotImplementedError``
-with the full Spark plumbing (schema, batching, partitioning) in place
-and tested against the real paths.
+Real vs stubbed (per round instructions): PNG (sources/png.py),
+baseline + progressive JPEG (sources/jpeg.py), MJPEG-in-AVI frame
+sampling (sources/avi.py), WAV/PCM16 (sources/wav.py), and lossy IMA
+ADPCM WAV (sources/adpcm.py) are all REAL pure-Python/numpy codecs.
+Remaining declared stubs: interframe video codecs (H.264…) and
+perceptual audio (mp3/ogg/flac) — they need real codec libraries; both
+degrade to per-row ``decode_error`` capture (gate row
+``image_decode_errors`` pins that path against the oracle).
 """
 
 from __future__ import annotations
@@ -561,6 +563,62 @@ ORDER BY doc_id
 """
 
 
+def image_decode_errors(spark, sf_dir: str) -> DataFrame:
+    """Gate for PERMISSIVE-CORPUS error capture: every 10th doc gets a
+    corrupt payload (truncated JPEG header), the rest valid PNGs — the
+    operator must flag exactly the corrupt rows per-row and keep
+    decoding the rest (one poisoned row must never fail the job).
+    The oracle predicts the failure pattern in closed form."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.png import encode_png
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, fmts, caps = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ids.append(str(doc_id))
+                caps.append("c")
+                if doc_id % 10 == 0:
+                    blobs.append(b"\xff\xd8\xff\xe0corrupt")
+                    fmts.append("jpeg")
+                else:
+                    arr = np.full((8, 8), doc_id % 256, dtype=np.uint8)
+                    blobs.append(encode_png(arr))
+                    fmts.append("png")
+            yield pd.DataFrame(
+                {"image_id": ids, "bytes": blobs, "fmt": fmts, "caption": caps}
+            )
+
+    images = d.select("doc_id").mapInPandas(
+        synth, schema="image_id string, bytes binary, fmt string, caption string"
+    )
+    feats = with_image_features(images)
+    return feats.select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        F.when(F.col("decode_error").isNull(), 0).otherwise(1)
+        .cast("long")
+        .alias("failed"),
+        F.when(F.col("phash").isNull(), 0).otherwise(1)
+        .cast("long")
+        .alias("has_phash"),
+    ).orderBy("doc_id")
+
+
+_DECODE_ERRORS_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS failed,
+  CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS BIGINT) AS has_phash
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 def _video_frame(doc_id: int, frame_idx: int) -> np.ndarray:
     """Frame f = the doc's gradient, brightness-shifted by 5·f (smooth
     content — stays decodable above the 40 dB bar at q90)."""
@@ -723,6 +781,7 @@ QUERIES = {
     "image_png_roundtrip": image_png_roundtrip,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "image_resize_nn": image_resize_nn,
+    "image_decode_errors": image_decode_errors,
     "video_frame_sample": video_frame_sample,
 }
 
@@ -732,5 +791,6 @@ ORACLE_SQL = {
     "image_png_roundtrip": _IMAGE_SQL,
     "image_jpeg_roundtrip": _JPEG_SQL,
     "image_resize_nn": _RESIZE_SQL,
+    "image_decode_errors": _DECODE_ERRORS_SQL,
     "video_frame_sample": _VIDEO_SQL,
 }

@@ -270,3 +270,15 @@ def test_q4_semi_join_no_cartesian(spark):
     plan = plan_of(df)
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_semi_filter_and_broadcast(spark):
+    """Q18's HAVING subquery must plan as a semi join on l_orderkey
+    (no nested loop) with the customer dim broadcast."""
+    from scrapelect_spark.operators.relational import q18_large_volume
+
+    df = q18_large_volume(spark, SF)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
