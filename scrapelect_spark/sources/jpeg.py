@@ -135,6 +135,15 @@ for _k in range(8):
     _A[_k] = _c * np.cos((2 * np.arange(8) + 1) * _k * np.pi / 16.0)
 
 
+
+def _comp_block_dims(fw: int, fh: int, hs: int, vs: int, hmax: int, vmax: int):
+    """A component's TRUE block grid (bw, bh): ceil(ceil(dim*s/smax)/8)
+    — the non-interleaved scan geometry (T.81 A.1.1 / A.2.3)."""
+    comp_w = -(-fw * hs // hmax)
+    comp_h = -(-fh * vs // vmax)
+    return -(-comp_w // 8), -(-comp_h // 8)
+
+
 def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     """libjpeg's quality → table scaling (public formula)."""
     quality = max(1, min(100, int(quality)))
@@ -478,8 +487,7 @@ def _progressive_scans(
     # 2. AC bands per component, Al=0, over the TRUE block grid
     for ci, (cid, hs, vs, qid) in enumerate(comps):
         act = ac_y if ci == 0 else ac_c
-        bw_c = -(-(-(-w * hs // hmax)) // 8)
-        bh_c = -(-(-(-h * vs // vmax)) // 8)
+        bw_c, bh_c = _comp_block_dims(w, h, hs, vs, hmax, vmax)
         for ss, se in ((1, 5), (6, 63)):
             writer = _BitWriter()
             for by in range(bh_c):
@@ -656,8 +664,7 @@ def _decode_dc_scan(
     if len(scan) == 1 and len(by_id) > 1:
         cs, td, ta = scan[0]
         cid, hs, vs, tq = by_id[cs]
-        bw_c = -(-(-(-fw * hs // hmax)) // 8)
-        bh_c = -(-(-(-fh * vs // vmax)) // 8)
+        bw_c, bh_c = _comp_block_dims(fw, fh, hs, vs, hmax, vmax)
         blk_index = 0
         for by in range(bh_c):
             for bx in range(bw_c):
@@ -783,7 +790,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     progressive = False
     restart_interval = 0
     grids: dict[int, np.ndarray] = {}
-    geo = None  # (mcus_x, mcus_y, hmax, vmax)
+    geo = None  # (hmax, vmax)
     saw_scan = False
     n = len(data)
     while pos < n:
@@ -972,12 +979,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, td, ta = scan[0]
                 cid, hs, vs, tq = by_id[cs]
                 # the component's TRUE block grid (not MCU-padded)
-                comp_w = -(-fw * hs // hmax)
-                comp_h = -(-fh * vs // vmax)
+                bw_c, bh_c = _comp_block_dims(fw, fh, hs, vs, hmax, vmax)
                 _decode_ac_scan(
                     reader, cs, by_id[cs], grids, htabs[(1, ta)],
-                    ss, se, ah, al,
-                    -(-comp_w // 8), -(-comp_h // 8), restart_interval,
+                    ss, se, ah, al, bw_c, bh_c, restart_interval,
                 )
             # skip past this scan's entropy data to the next marker
             pos = _next_marker(data, max(reader.pos, pos + seglen))

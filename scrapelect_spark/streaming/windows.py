@@ -201,33 +201,43 @@ _GATE_SEQ = _itertools.count()
 def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run ``hourly_counts_stream`` as a real Structured Streaming query
     (file source split into 3 files → 3 incremental triggers, memory
-    sink, complete mode, availableNow) and return the final table."""
+    sink, complete mode, availableNow) and return the final result.
+    The result is localCheckpoint'ed so the temp input dir and the
+    memory-sink table can be cleaned up immediately (bench runs the
+    query 4×; leaking a corpus copy per run grows /tmp unboundedly)."""
+    import shutil
     import tempfile
 
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     d = tempfile.mkdtemp(prefix="events-stream-gate-")
-    batch.repartition(3).write.mode("overwrite").parquet(d)
     name = f"hourly_stream_gate_{next(_GATE_SEQ)}"
-    q = (
-        hourly_counts_stream(events_stream(spark, d))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("hour", "event_type")
+    try:
+        batch.repartition(3).write.mode("overwrite").parquet(d)
+        q = (
+            hourly_counts_stream(events_stream(spark, d))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name).orderBy("hour", "event_type").localCheckpoint()
+        )
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)
 
 
-_HOURLY_STREAM_SQL = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
-  COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
-FROM events
-GROUP BY 1, 2
-ORDER BY hour, event_type
-"""
+def _hourly_stream_sql() -> str:
+    # the streaming gate's contract is "incremental == the batch twin's
+    # oracle" — reference the SAME SQL string so they can never drift
+    # (relational does not import streaming: no cycle)
+    from ..operators.relational import _HOURLY_SQL
+
+    return _HOURLY_SQL
+
 
 QUERIES = {"events_hourly_stream": events_hourly_stream}
-ORACLE_SQL = {"events_hourly_stream": _HOURLY_STREAM_SQL}
+ORACLE_SQL = {"events_hourly_stream": _hourly_stream_sql()}
