@@ -440,9 +440,102 @@ LIMIT 1
 """
 
 
+_POWER_ITERS = 10
+
+
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration for the corpus's top principal
+    direction — the iterative-algorithm class (Gram-matrix matvec per
+    round, like PageRank/ALS loops) made hash-exact against a DuckDB
+    twin: every multi-row reduction is an exact DECIMAL sum, per-round
+    normalization divides by max|w| (an exact MAX, then IEEE-identical
+    double division), and the driver carries only the 64-float vector
+    between rounds (the broadcast-style iteration pattern — at 10^9
+    vectors each round is one map-side-combined shuffle of D values
+    per partition).
+
+    Output: (ord, component) of the unnormalized-scale direction after
+    a fixed 10 rounds from the all-ones start, sign-fixed so component
+    ord=1 is non-negative, rounded to 6.
+    """
+    el = _elements(load(spark, sf_dir, "embeddings"))
+    v = {ord_: 1.0 for ord_ in range(1, 65)}
+    for _ in range(_POWER_ITERS):
+        v_df = F.broadcast(
+            spark.createDataFrame(list(v.items()), "ord long, v double")
+        )
+        dots = (
+            el.join(v_df, "ord")
+            .groupBy("vec_id")
+            .agg(F.sum((F.col("x") * F.col("v")).cast(DEC)).alias("dot"))
+            .select("vec_id", F.col("dot").cast("double").alias("dot"))
+        )
+        w_rows = (
+            el.join(F.broadcast(dots), "vec_id")
+            .groupBy("ord")
+            .agg(F.sum((F.col("x") * F.col("dot")).cast(DEC)).alias("w"))
+            .select("ord", F.col("w").cast("double").alias("w"))
+            .collect()
+        )
+        m = max(abs(r.w) for r in w_rows)
+        v = {r.ord: r.w / m for r in w_rows}
+    sign = -1.0 if v[1] < 0 else 1.0
+    out = [(int(o), float(val * sign)) for o, val in sorted(v.items())]
+    # F.round (HALF_UP), not Python round (half-even) — must match the
+    # oracle's ROUND semantics like every other gate
+    return spark.createDataFrame(out, "ord long, component double").select(
+        "ord", F.round("component", 6).alias("component")
+    )
+
+
+def _power_iteration_sql() -> str:
+    # MATERIALIZED is load-bearing: each level references the previous
+    # CTE more than once, and inlined CTEs re-evaluate — 10 levels of
+    # doubling turns a 0.2 s query into an exponential blowup
+    cte = [
+        """el AS MATERIALIZED (
+  SELECT vec_id, CAST(xf AS DOUBLE) AS x, ord
+  FROM (
+    SELECT vec_id, unnest(embedding) AS xf,
+           generate_subscripts(embedding, 1) AS ord
+    FROM embeddings
+  )
+)""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT ord, CAST(1.0 AS DOUBLE) AS v FROM el)",
+    ]
+    for i in range(1, _POWER_ITERS + 1):
+        cte.append(f"""d{i} AS MATERIALIZED (
+  SELECT e.vec_id,
+    CAST(SUM(CAST(e.x * v.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
+  FROM el e JOIN v{i - 1} v USING (ord) GROUP BY e.vec_id
+)""")
+        cte.append(f"""w{i} AS MATERIALIZED (
+  SELECT e.ord,
+    CAST(SUM(CAST(e.x * d.dot AS DECIMAL(28,12))) AS DOUBLE) AS w
+  FROM el e JOIN d{i} d USING (vec_id) GROUP BY e.ord
+)""")
+        cte.append(
+            f"v{i} AS MATERIALIZED (SELECT ord, w / (SELECT MAX(ABS(w)) "
+            f"FROM w{i}) AS v FROM w{i})"
+        )
+    n = _POWER_ITERS
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT ord,
+  ROUND(v * (CASE WHEN (SELECT v FROM v{n} WHERE ord = 1) < 0
+             THEN -1 ELSE 1 END), 6) AS component
+FROM v{n}
+ORDER BY ord
+"""
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "knn_label_vote": knn_label_vote,
+    "embedding_power_iteration": embedding_power_iteration,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_multiprobe_recall": ann_multiprobe_recall,
@@ -452,6 +545,7 @@ QUERIES = {
 ORACLE_SQL = {
     "ann_cosine_topk": _TOPK_SQL,
     "knn_label_vote": _KNN_SQL,
+    "embedding_power_iteration": _power_iteration_sql(),
     "ann_lsh_bucketed": _lsh_sql(),
     "ann_lsh_multiprobe": _multiprobe_sql(),
     "ann_multiprobe_recall": _RECALL_SQL,

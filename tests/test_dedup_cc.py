@@ -161,3 +161,44 @@ def test_band_pairs_negative_ids_hot_path(spark):
         (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
     )
     assert got == expect
+
+
+def test_power_iteration_matches_numpy(spark):
+    """The distributed power iteration must match the same fixed-round
+    iteration computed densely in numpy (float tolerance — numpy sums
+    are not DECIMAL-exact, the per-engine determinism is what the
+    DuckDB gate hashes)."""
+    import numpy as np
+
+    from scrapelect_spark.operators.simsearch import (
+        _POWER_ITERS,
+        embedding_power_iteration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    X = np.array(
+        [r.embedding for r in
+         spark.read.parquet(f"{sf}/embeddings.parquet")
+         .orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    v = np.ones(X.shape[1])
+    for _ in range(_POWER_ITERS):
+        w = X.T @ (X @ v)
+        v = w / np.abs(w).max()
+    if v[0] < 0:
+        v = -v
+    got = np.array(
+        [r.component for r in embedding_power_iteration(spark, sf).collect()]
+    )
+    assert np.allclose(got, v, atol=1e-5)
+    # genuinely converging: the Rayleigh quotient after 10 rounds sits
+    # ≥ 90% of λ_max (random data has a tiny eigengap, so direction
+    # cosine converges slowly — the energy captured is the right
+    # measure; measured 0.913 at 10 rounds vs 0.546 at the start)
+    G = X.T @ X
+    lam_max = np.linalg.eigvalsh(G)[-1]
+    rayleigh = (v @ G @ v) / (v @ v)
+    assert rayleigh / lam_max > 0.9
+    v0 = np.ones(X.shape[1])
+    assert rayleigh > (v0 @ G @ v0) / (v0 @ v0)
