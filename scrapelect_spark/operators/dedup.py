@@ -165,27 +165,24 @@ def band_pairs(
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     sh = _shingles(_words(d)).filter(F.col("sh").isNotNull())
-    seeds = spark.range(_MINHASH_K).withColumnRenamed("id", "k")
-    sigs = (
-        sh.crossJoin(F.broadcast(seeds))
-        .withColumn("hv", F.md5(F.concat(F.col("sh"), F.lit("#"), F.col("k"))))
-        .groupBy("doc_id", "k")
-        .agg(F.min("hv").alias("mh"))
+    # all K minhashes in ONE aggregation over the shingle rows (the
+    # crossJoin-with-seeds formulation shuffles the shingles K times
+    # and then needs an even/odd self-join to pair band halves; this
+    # shuffles them once and derives bands with zero joins)
+    sigs_wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{k}")))).alias(f"mh{k}")
+            for k in range(_MINHASH_K)
+        ]
     )
-    even = sigs.filter(F.col("k") % 2 == 0).select(
-        "doc_id", (F.col("k") / 2).cast("int").alias("band"), F.col("mh").alias("m0"),
-        F.col("k").alias("k0"),
+    n_bands = _MINHASH_K // _LSH_ROWS_PER_BAND
+    stack_args = ", ".join(
+        f"{b}, md5(concat(mh{2 * b}, mh{2 * b + 1}))" for b in range(n_bands)
     )
-    odd = sigs.filter(F.col("k") % 2 == 1).select(
-        F.col("doc_id").alias("doc_id_o"), F.col("k").alias("k1"), F.col("mh").alias("m1")
-    )
-    bands = (
-        even.join(
-            odd,
-            (even.doc_id == odd.doc_id_o) & (odd.k1 == even.k0 + 1),
-        )
-        .select("doc_id", "band", F.md5(F.concat("m0", "m1")).alias("band_val"))
-    )
+    bands = sigs_wide.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_val)"),
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "band_val")
     return band_pairs(bands).orderBy("doc_a", "doc_b")
 
 
@@ -472,6 +469,10 @@ def connected_components(
     wrong clustering; 50 rounds covers n ≈ 2^25 components even at the
     paper's conservative bound — real graphs converge in < 10).
     """
+    # materialize the edge list once — nodes and the canonical set both
+    # derive from it, and the input plan may be an expensive pipeline
+    # (the MinHash candidate generator) that must not run twice
+    edges = edges.select("src", "dst").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("doc_id"))
         .unionByName(edges.select(F.col("dst").alias("doc_id")))
@@ -479,8 +480,7 @@ def connected_components(
         .localCheckpoint()
     )
     cur = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
+        edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
         )
