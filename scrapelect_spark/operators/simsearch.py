@@ -458,7 +458,10 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed 10 rounds from the all-ones start, sign-fixed so component
     ord=1 is non-negative, rounded to 6.
     """
-    el = _elements(load(spark, sf_dir, "embeddings"))
+    # materialize the exploded elements once — every round scans them
+    # twice (dot pass + accumulate pass); without this the parquet scan
+    # + explode re-runs 20× across the loop
+    el = _elements(load(spark, sf_dir, "embeddings")).localCheckpoint()
     v = {ord_: 1.0 for ord_ in range(1, 65)}
     for _ in range(_POWER_ITERS):
         v_df = F.broadcast(
