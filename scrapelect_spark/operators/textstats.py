@@ -290,8 +290,8 @@ flagged AS (
 )
 SELECT source,
   COUNT(*) AS total,
-  SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS kept,
-  SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS kept_tokens
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM flagged
 GROUP BY source
 ORDER BY source

@@ -4,9 +4,11 @@ Retires the lossy-audio stub: IMA/DVI ADPCM (4 bits per sample, 4:1
 compression vs PCM16) is a fully public spec (IMA Recommended
 Practices for Digital Audio; the same tables appear in RFC 3551 §4.5.1
 and the WAV fmt=0x11 format).  The codec is a per-sample feedback loop
-(predictor + adaptive step size), so it is implemented as a plain
-Python loop — gate payloads are a few thousand samples per document,
-and the loop is the algorithm, not a shortcut.
+(predictor + adaptive step size), so the scan itself is sequential by
+construction; everything derivable from (step index, code) alone is
+tabulated once at import and the loops run fused over Python ints with
+numpy-vectorized nibble unpacking — rows are independent, so Spark
+parallelism is across documents, not within one.
 
 mp3/ogg/flac stay out of scope — they need real codec libraries; the
 ``audio_features`` per-row error capture covers them.
@@ -29,6 +31,31 @@ _STEP_TABLE = [
 ]
 _INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
 
+# The predictor update is a strict per-sample feedback loop (pred and
+# index both feed the next sample), so it cannot be vectorized across
+# samples — but everything derivable from (index, code) alone can be
+# tabulated once (VERDICT r3 item #5).  _SDIFF[index][code] is the
+# SIGNED reconstruction delta; _NEXT_INDEX[index][code] the next step
+# index.  The fused loops below run on plain Python ints (numpy scalar
+# arithmetic is ~5× slower per op) with all lookups pre-bound to locals.
+_SDIFF = [
+    [
+        (-1 if code & 8 else 1)
+        * (
+            (step >> 3)
+            + (step if code & 4 else 0)
+            + ((step >> 1) if code & 2 else 0)
+            + ((step >> 2) if code & 1 else 0)
+        )
+        for code in range(16)
+    ]
+    for step in _STEP_TABLE
+]
+_NEXT_INDEX = [
+    [min(88, max(0, index + _INDEX_TABLE[code])) for code in range(16)]
+    for index in range(len(_STEP_TABLE))
+]
+
 
 def _clamp16(v: int) -> int:
     return -32768 if v < -32768 else (32767 if v > 32767 else v)
@@ -39,10 +66,14 @@ def _encode_core(samples, pred: int, index: int) -> tuple[list[int], int, int]:
     index).  Bit-identical to CPython audioop.lin2adpcm's quantizer
     (verified in tests) — only the nibble packing differs (we pack low
     nibble first, the WAV fmt=0x11 convention)."""
+    if isinstance(samples, np.ndarray):
+        samples = samples.tolist()
+    step_table, sdiff, next_index = _STEP_TABLE, _SDIFF, _NEXT_INDEX
     codes = []
+    append = codes.append
     for sample in samples:
-        step = _STEP_TABLE[index]
-        delta = int(sample) - pred
+        step = step_table[index]
+        delta = sample - pred
         code = 0
         if delta < 0:
             code = 8
@@ -50,37 +81,51 @@ def _encode_core(samples, pred: int, index: int) -> tuple[list[int], int, int]:
         if delta >= step:
             code |= 4
             delta -= step
-        if delta >= step >> 1:
+        half = step >> 1
+        if delta >= half:
             code |= 2
-            delta -= step >> 1
+            delta -= half
         if delta >= step >> 2:
             code |= 1
         # decoder-identical reconstruction keeps predictors in lockstep
-        diffq = step >> 3
-        if code & 4:
-            diffq += step
-        if code & 2:
-            diffq += step >> 1
-        if code & 1:
-            diffq += step >> 2
-        pred = _clamp16(pred - diffq if code & 8 else pred + diffq)
-        index = min(88, max(0, index + _INDEX_TABLE[code]))
-        codes.append(code)
+        pred += sdiff[index][code]
+        if pred < -32768:
+            pred = -32768
+        elif pred > 32767:
+            pred = 32767
+        index = next_index[index][code]
+        append(code)
     return codes, pred, index
 
 
-def _decode_code(code: int, pred: int, index: int) -> tuple[int, int]:
-    step = _STEP_TABLE[index]
-    diffq = step >> 3
-    if code & 4:
-        diffq += step
-    if code & 2:
-        diffq += step >> 1
-    if code & 1:
-        diffq += step >> 2
-    pred = _clamp16(pred - diffq if code & 8 else pred + diffq)
-    index = min(88, max(0, index + _INDEX_TABLE[code]))
+def _decode_codes(codes, pred: int, index: int, out: list) -> tuple[int, int]:
+    """Fused decode of a code sequence, appending int16 samples to
+    ``out``; returns the carried (pred, index) state."""
+    sdiff, next_index = _SDIFF, _NEXT_INDEX
+    append = out.append
+    for code in codes:
+        pred += sdiff[index][code]
+        if pred < -32768:
+            pred = -32768
+        elif pred > 32767:
+            pred = 32767
+        index = next_index[index][code]
+        append(pred)
     return pred, index
+
+
+def _decode_code(code: int, pred: int, index: int) -> tuple[int, int]:
+    pred = _clamp16(pred + _SDIFF[index][code])
+    return pred, _NEXT_INDEX[index][code]
+
+
+def _unpack_nibbles(data: bytes) -> list[int]:
+    """Packed bytes → interleaved low-first nibble codes (vectorized)."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    codes = np.empty(2 * len(b), dtype=np.uint8)
+    codes[0::2] = b & 0x0F
+    codes[1::2] = b >> 4
+    return codes.tolist()
 
 
 def _pack(codes: list[int]) -> bytes:
@@ -98,20 +143,14 @@ def encode_adpcm(pcm16: np.ndarray) -> bytes:
 
 def decode_adpcm(data: bytes, n_samples: int) -> np.ndarray:
     """packed raw nibbles → int16 samples (first ``n_samples``)."""
-    pred = 0
-    index = 0
-    out = np.empty(n_samples, dtype=np.int16)
-    k = 0
-    for byte in data:
-        for code in (byte & 0x0F, byte >> 4):
-            if k >= n_samples:
-                return out
-            pred, index = _decode_code(code, pred, index)
-            out[k] = pred
-            k += 1
-    if k < n_samples:
-        raise ValueError(f"ADPCM payload too short: {k} < {n_samples} samples")
-    return out
+    codes = _unpack_nibbles(data)
+    if len(codes) < n_samples:
+        raise ValueError(
+            f"ADPCM payload too short: {len(codes)} < {n_samples} samples"
+        )
+    out: list[int] = []
+    _decode_codes(codes[:n_samples], 0, 0, out)
+    return np.array(out, dtype=np.int16)
 
 
 # --- WAV fmt=0x11 container (IMA ADPCM in WAV, mono) ------------------
@@ -191,7 +230,7 @@ def decode_wav_ima(data: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError("only mono 4-bit IMA ADPCM supported")
     if spb is None:
         spb = (block_align - 4) * 2 + 1
-    out = []
+    out: list[int] = []
     total = fact_n if fact_n is not None else (1 << 62)
     for bstart in range(0, len(raw), block_align):
         block = raw[bstart : bstart + block_align]
@@ -200,14 +239,10 @@ def decode_wav_ima(data: bytes) -> tuple[np.ndarray, int]:
         pred, index, _ = struct.unpack("<hBB", block[:4])
         index = min(88, max(0, index))
         out.append(pred)
-        k = 1
-        for byte in block[4:]:
-            for code in (byte & 0x0F, byte >> 4):
-                if k >= spb or len(out) >= total:
-                    break
-                pred, index = _decode_code(code, pred, index)
-                out.append(pred)
-                k += 1
+        codes = _unpack_nibbles(block[4:])[: spb - 1]
+        if len(out) + len(codes) > total:
+            codes = codes[: total - len(out)]
+        _decode_codes(codes, pred, index, out)
     if fact_n is not None and len(out) < fact_n:
         raise ValueError(f"truncated data: {len(out)} < {fact_n} samples")
     return np.array(out[:total] if fact_n else out, dtype=np.int16), int(rate)
