@@ -9,12 +9,13 @@ per-row from Spark's side.
 
 Real vs stubbed (per round instructions): PNG (sources/png.py),
 baseline + progressive JPEG (sources/jpeg.py), MJPEG-in-AVI frame
-sampling (sources/avi.py), WAV/PCM16 (sources/wav.py), and lossy IMA
-ADPCM WAV (sources/adpcm.py) are all REAL pure-Python/numpy codecs.
+sampling (sources/avi.py), WAV/PCM16 (sources/wav.py), lossy IMA
+ADPCM WAV (sources/adpcm.py), and lossless-compressed FLAC
+(sources/flac.py) are all REAL pure-Python/numpy codecs.
 Remaining declared stubs: interframe video codecs (H.264…) and
-perceptual audio (mp3/ogg/flac) — they need real codec libraries; both
-degrade to per-row ``decode_error`` capture (gate row
-``image_decode_errors`` pins that path against the oracle).
+perceptual audio (mp3/ogg) — they need real psychoacoustic/motion
+codec libraries; both degrade to per-row ``decode_error`` capture
+(gate row ``image_decode_errors`` pins that path against the oracle).
 """
 
 from __future__ import annotations
@@ -257,11 +258,14 @@ def audio_features(
 ) -> DataFrame:
     """Audio feature extraction over opaque binary columns — same
     Arrow plumbing as images.  REAL paths: WAV/PCM16 via stdlib
-    ``wave`` + numpy (sources/wav.py), and LOSSY WAV fmt=0x11
-    (IMA ADPCM, sources/adpcm.py) as the fallback when the PCM reader
-    rejects the format tag — both → duration + RMS.  mp3/ogg/flac
-    remain declared stubs; errors are captured per-row."""
+    ``wave`` + numpy (sources/wav.py), LOSSY WAV fmt=0x11 (IMA ADPCM,
+    sources/adpcm.py) as the fallback when the PCM reader rejects the
+    format tag, and LOSSLESS-COMPRESSED FLAC (sources/flac.py, rice
+    codes + CRC from the public spec) — all → duration + RMS.  mp3/ogg
+    remain declared stubs (they need psychoacoustic codec libraries);
+    errors are captured per-row."""
     from ..sources.adpcm import decode_wav_ima
+    from ..sources.flac import decode_flac
     from ..sources.wav import duration_rms
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -288,6 +292,17 @@ def audio_features(
                         # empty — fall back to the exception type name
                         msg = str(e) or type(e).__name__
                         err[i] = f"WAV decode failed: {msg}"
+                elif fmt == "flac":
+                    try:
+                        samples, rate = decode_flac(bytes(raw))
+                        if samples.ndim > 1:  # downmix for RMS
+                            samples = samples.mean(axis=1)
+                        dur[i] = len(samples) / rate
+                        x = samples.astype(np.float64) / 32768.0
+                        rms[i] = float(np.sqrt(np.mean(x * x)))
+                    except Exception as e:
+                        msg = str(e) or type(e).__name__
+                        err[i] = f"FLAC decode failed: {msg}"
                 else:
                     err[i] = f"audio decode for {fmt!r} requires a codec library"
             yield pd.DataFrame(
@@ -775,9 +790,83 @@ ORDER BY doc_id
 """
 
 
+def audio_flac_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Gate for the lossless-compressed audio path (FLAC,
+    sources/flac.py — VERDICT r3 stretch item #8): synthesize a sine
+    per doc, encode to FLAC (fixed predictors + rice), decode, and
+    assert SQL-side that the roundtrip is BIT-EXACT (lossless, unlike
+    the ADPCM gate's SNR floor) and that the stream actually
+    compressed (flac bytes < PCM16 bytes)."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.flac import decode_flac, encode_flac
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            dur = np.empty(n_rows, dtype=object)
+            exact = np.empty(n_rows, dtype=object)
+            smaller = np.empty(n_rows, dtype=object)
+            failed = np.empty(n_rows, dtype=object)
+            for i, doc_id in enumerate(pdf["doc_id"]):
+                doc_id = int(doc_id)
+                n = 4000 + (doc_id % 5) * 400
+                amp = ((doc_id % 9) + 1) / 16.0
+                t = np.arange(n)
+                x = np.round(
+                    amp * 32767 * np.sin(2 * np.pi * 330 * t / _WAV_RATE)
+                ).astype(np.int16)
+                try:
+                    blob = encode_flac(x, _WAV_RATE)
+                    y, rate = decode_flac(blob)
+                    dur[i] = len(y) / rate
+                    exact[i] = 1 if (
+                        rate == _WAV_RATE and np.array_equal(y, x.astype(np.int32))
+                    ) else 0
+                    smaller[i] = 1 if len(blob) < 2 * n else 0
+                    failed[i] = 0
+                except Exception:
+                    dur[i], exact[i], smaller[i], failed[i] = None, 0, 0, 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "duration_s": dur,
+                    "exact": exact,
+                    "compressed": smaller,
+                    "failed": failed,
+                }
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_verify,
+            schema="doc_id long, duration_s double, exact long, "
+            "compressed long, failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FLAC_SQL = """
+SELECT doc_id,
+  (4000 + (doc_id % 5) * 400) / 16000.0 AS duration_s,
+  CAST(1 AS BIGINT) AS exact,
+  CAST(1 AS BIGINT) AS compressed,
+  CAST(0 AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "audio_wav_features": audio_wav_features,
     "audio_adpcm_roundtrip": audio_adpcm_roundtrip,
+    "audio_flac_roundtrip": audio_flac_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "image_resize_nn": image_resize_nn,
@@ -788,6 +877,7 @@ QUERIES = {
 ORACLE_SQL = {
     "audio_wav_features": _AUDIO_SQL,
     "audio_adpcm_roundtrip": _ADPCM_SQL,
+    "audio_flac_roundtrip": _FLAC_SQL,
     "image_png_roundtrip": _IMAGE_SQL,
     "image_jpeg_roundtrip": _JPEG_SQL,
     "image_resize_nn": _RESIZE_SQL,
