@@ -90,15 +90,34 @@ _STATE_SCHEMA = StructType(
 GAP_MINUTES = 30
 
 
-def _sessionize_fn(
-    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+def _make_sessionize_fn(use_timeout: bool):
+    """Build the stateful per-user sessionizer.  ``use_timeout=True``
+    arms a processing-time timeout so idle open sessions eventually
+    flush (the production shape — but note Spark keeps scheduling
+    timeout batches, so an ``availableNow`` run never self-terminates);
+    ``use_timeout=False`` is the bounded-run shape where something else
+    (e.g. a sentinel event) closes trailing sessions."""
+
+    def _sessionize_fn(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        return _sessionize_impl(key, pdfs, state, use_timeout)
+
+    return _sessionize_fn
+
+
+def _sessionize_impl(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    use_timeout: bool,
 ) -> Iterator[pd.DataFrame]:
     """Stateful per-user sessionizer: emits closed sessions; keeps the
     open one in GroupState (timeout closes it on stream idle)."""
     gap_us = GAP_MINUTES * 60 * 1_000_000
     (user_id,) = key
 
-    if state.hasTimedOut:
+    if use_timeout and state.hasTimedOut:
         start_us, end_us, n, total = state.get
         state.remove()
         yield pd.DataFrame(
@@ -136,21 +155,30 @@ def _sessionize_fn(
             end_us, n, total = int(t), n + 1, total + float(v)
 
     state.update((int(start_us), int(end_us), int(n), float(total)))
-    state.setTimeoutDuration(60_000)
+    if use_timeout:
+        state.setTimeoutDuration(60_000)
     if out["user_id"]:
         yield pd.DataFrame(out)
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+#: production shape (kept under the historical name for tests)
+_sessionize_fn = _make_sessionize_fn(True)
+
+
+def sessionize_stream(events: DataFrame, *, state_timeout: bool = True) -> DataFrame:
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_fn,
+            _make_sessionize_fn(state_timeout),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if state_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
@@ -239,5 +267,124 @@ def _hourly_stream_sql() -> str:
     return _HOURLY_SQL
 
 
-QUERIES = {"events_hourly_stream": events_hourly_stream}
-ORACLE_SQL = {"events_hourly_stream": _hourly_stream_sql()}
+def events_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the CUSTOM STATEFUL operator (``applyInPandasWithState``
+    sessionizer) as a real append-mode stream and gate it against the
+    batch gaps-and-islands SQL — the previously pytest-only streaming
+    surface promoted to a CORRECTNESS row (round-3 leftover).
+
+    Append mode only emits *closed* sessions, so one sentinel event per
+    user is appended 10 h after the corpus max timestamp: it closes
+    every real trailing session, while the sentinel-only sessions stay
+    open in state and are never emitted — the closed set is then
+    exactly the oracle's session set.  Input files are split on event-
+    time tertiles (the log-stream shape: cross-batch order per user is
+    non-decreasing; within a batch the operator sorts), with strictly
+    increasing mtimes so the file source triggers them in order.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    u_cut = 120  # bounds gate cost; ~8k events at sf0.1
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") < u_cut)
+        .select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+    )
+    lo, hi = batch.agg(F.min("ts"), F.max("ts")).first()
+    c1 = lo + (hi - lo) / 3
+    c2 = lo + 2 * (hi - lo) / 3
+    sentinel_ts = hi + pd.Timedelta(hours=10)
+    sentinels = (
+        batch.select("user_id")
+        .distinct()
+        .select(
+            (F.lit(10**12) + F.col("user_id")).alias("event_id"),
+            "user_id",
+            F.lit(sentinel_ts).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="events-session-gate-")
+    name = f"session_stream_gate_{next(_GATE_SEQ)}"
+    try:
+        parts = [
+            batch.filter(F.col("ts") < c1),
+            batch.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+            batch.filter(F.col("ts") >= c2),
+            sentinels,
+        ]
+        now = time.time()
+        for k, p in enumerate(parts):
+            sub = os.path.join(d, f"_stage{k}")
+            p.coalesce(1).write.mode("overwrite").parquet(sub)
+            src = next(
+                f for f in os.listdir(sub) if f.endswith(".parquet")
+            )
+            dst = os.path.join(d, f"{k:03d}.parquet")
+            shutil.move(os.path.join(sub, src), dst)
+            shutil.rmtree(sub, ignore_errors=True)
+            os.utime(dst, (now + k, now + k))  # file-source trigger order
+        q = (
+            sessionize_stream(events_stream(spark, d), state_timeout=False)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name)
+            .select(
+                "user_id",
+                "session_start",
+                "session_end",
+                F.col("n_events").cast("long").alias("n_events"),
+            )
+            .orderBy("user_id", "session_start")
+            .localCheckpoint()
+        )
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_SESSION_STREAM_SQL = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+  WHERE user_id < 120
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(ns) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM x
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_start
+"""
+
+
+QUERIES = {
+    "events_hourly_stream": events_hourly_stream,
+    "events_sessionized_stream": events_sessionized_stream,
+}
+ORACLE_SQL = {
+    "events_hourly_stream": _hourly_stream_sql(),
+    "events_sessionized_stream": _SESSION_STREAM_SQL,
+}
