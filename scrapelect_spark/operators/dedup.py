@@ -543,6 +543,90 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).orderBy("doc_id")
 
 
+_DECON_N = 4  # n-gram width; real pipelines use 8-13 — the synthetic
+# corpus has little natural repetition, so the gate uses 4 to keep the
+# flagged set non-vacuous (17/490 docs at sf0.01) while the operator
+# itself is width-parametric
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = _DECON_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — the training-data admission step
+    that flags corpus documents sharing any ``n``-token n-gram with an
+    evaluation benchmark (the standard guard against test-set leakage
+    into a training corpus).
+
+    Scale shape: the benchmark side is small by construction (eval
+    suites are MBs; the corpus is the 100-TB side), so its distinct
+    n-gram set is broadcast and the corpus side streams through one
+    generate + broadcast-hash-join + partial-agg pipeline — no shuffle
+    of the corpus, no driver collection.  Returns
+    (``doc_id``, ``n_shared``) for flagged documents only.
+    """
+    tok = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def grams(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col), tok.alias("t"))
+            .filter(F.size("t") >= n)
+            .select(
+                id_col,
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(t, i, {n})))"
+                    )
+                ).alias("g"),
+            )
+        )
+
+    bench_grams = grams(benchmark).select("g").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").cast("long").alias("n_shared"))
+    )
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for :func:`decontaminate`: benchmark = every 50th
+    document (doc_id % 50 == 7 — deterministic, no external data),
+    corpus = the rest; report the flagged doc_ids with their shared
+    distinct-n-gram counts."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 7)
+    corpus = d.filter(F.col("doc_id") % 50 != 7)
+    return decontaminate(corpus, bench).orderBy("doc_id")
+
+
+_DECONTAMINATE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {_DECON_N - 2})) AS i FROM toks
+),
+grams AS (
+  SELECT doc_id,
+         list_aggr(t[i : i + {_DECON_N - 1}], 'string_agg', ' ') AS g
+  FROM pos
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 7)
+SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared
+FROM grams JOIN bench USING (g)
+WHERE doc_id % 50 <> 7
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def dedup_clusters_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`dedup_clusters` with ``local_threshold=0`` — the gate row
     that EXECUTES the distributed large-star/small-star contraction
@@ -685,6 +769,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_dist": dedup_clusters_dist,
+    "corpus_decontaminate": corpus_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -697,4 +782,5 @@ ORACLE_SQL = {
     "dedup_embedding_cosine": _EMB_COS_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     "dedup_clusters_dist": _CLUSTERS_SQL,
+    "corpus_decontaminate": _DECONTAMINATE_SQL,
 }

@@ -202,3 +202,59 @@ def test_power_iteration_matches_numpy(spark):
     assert rayleigh / lam_max > 0.9
     v0 = np.ones(X.shape[1])
     assert rayleigh > (v0 @ G @ v0) / (v0 @ v0)
+
+
+# ------------------------------------------------------------ decontaminate
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from scrapelect_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here with no overlap at all"),
+            (3, "again the quick brown fox appears in this sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_shared for r in decontaminate(corpus, bench).collect()}
+    # "the quick brown fox" is the only shared 4-gram
+    assert got == {1: 1, 3: 1}
+
+
+def test_decontaminate_no_overlap_empty(spark):
+    from scrapelect_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "v w x y z")], "doc_id long, text string")
+    assert decontaminate(corpus, bench).count() == 0
+
+
+def test_decontaminate_short_docs_never_flagged(spark):
+    """Documents shorter than n tokens produce no n-grams (and must not
+    crash the sequence() expression with a descending range)."""
+    from scrapelect_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "too short"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "too short"), (8, "two three four five six")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared for r in decontaminate(corpus, bench).collect()}
+    assert got == {2: 1}  # only "two three four five" is shared
+
+
+def test_decontaminate_custom_n(spark):
+    from scrapelect_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "beta gamma delta")], "doc_id long, text string")
+    assert decontaminate(corpus, bench, n=2).count() == 1
+    assert decontaminate(corpus, bench, n=3).count() == 0

@@ -336,3 +336,21 @@ def test_power_iteration_round_no_pervector_broadcast(spark):
     assert len(exchanges) == 1 and "ord" in exchanges[0], plan
     assert not any("vec_id" in l for l in exchanges), plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark n-gram set (small by construction) must broadcast;
+    the corpus side must reach the join via generate without a
+    shuffle — at 100 TB the corpus never moves for this operator."""
+    from scrapelect_spark.operators.dedup import corpus_decontaminate
+
+    df = corpus_decontaminate(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # only exchanges: broadcast of bench grams + the final doc_id agg /
+    # sort — no hashpartitioning exchange BELOW the join on the corpus
+    # side (the join's streamed child is generate→project→scan)
+    join_idx = plan.index("BroadcastHashJoin")
+    streamed = plan[join_idx:].split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in streamed, plan
