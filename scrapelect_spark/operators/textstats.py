@@ -298,6 +298,111 @@ ORDER BY source
 """
 
 
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation split — assignment is a pure
+    function of the document id (md5 first hex digit < 'e' → train,
+    i.e. 14/16 = 87.5% expected), so re-running the pipeline, adding
+    machines, or reordering input never moves a document across the
+    split boundary (the property that matters for held-out eval).
+    Reports per-(source, split) doc and token totals.
+
+    Scale shape: one narrow projection + one partial-agg shuffle on
+    (source, split) — no window, no join, no driver state."""
+    d = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "e", "train"
+    ).otherwise("val")
+    return (
+        d.select(
+            "source",
+            split.alias("split"),
+            F.size(_tok_col()).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+_HASH_SPLIT_SQL = r"""
+SELECT source,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+       THEN 'train' ELSE 'val' END AS split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+    AS total_tokens
+FROM documents
+GROUP BY 1, 2
+ORDER BY source, split
+"""
+
+
+_QUOTA_TOKENS = 5000
+
+
+def corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget (quota) sampling — the data-mixing step
+    that caps each source's contribution to a token budget: documents
+    are taken in a deterministic pseudo-random priority order (md5 of
+    doc_id, so the sample is stable across runs and machines) until
+    the running token total would exceed the budget.
+
+    Scale shape: one window partitioned by source (the same shuffle
+    the final aggregation reuses) — the cumulative sum is per-source
+    state-free streaming over sorted partitions, never a global sort."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = (
+        d.select(
+            "source",
+            "doc_id",
+            F.size(_tok_col()).cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _QUOTA_TOKENS)
+    )
+    return (
+        run.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sampled_docs"),
+            F.sum("n_tokens").cast("long").alias("sampled_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUOTA_SQL = rf"""
+WITH sized AS (
+  SELECT source, doc_id,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+run AS (
+  SELECT source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR))
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM sized
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sampled_tokens
+FROM run
+WHERE cum_tokens <= {_QUOTA_TOKENS}
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -305,6 +410,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
     "corpus_quality_filter": corpus_quality_filter,
+    "corpus_hash_split": corpus_hash_split,
+    "corpus_quota_sample": corpus_quota_sample,
 }
 
 ORACLE_SQL = {
@@ -314,4 +421,6 @@ ORACLE_SQL = {
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_pii_scrub": _PII_SQL,
     "corpus_quality_filter": _CORPUS_FILTER_SQL,
+    "corpus_hash_split": _HASH_SPLIT_SQL,
+    "corpus_quota_sample": _QUOTA_SQL,
 }
