@@ -523,6 +523,145 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 4
+_KMEANS_ROUNDS = 5
+
+
+def _kmeans_round(
+    spark: SparkSession, el: DataFrame, cent: dict[tuple[int, int], float]
+) -> DataFrame:
+    """One Lloyd round: assign every vector to its nearest centroid
+    (exact DECIMAL squared distance, ties → lowest k) and return the
+    K·D-row (k, ord, c, n) centroid update the driver collects.  Only
+    the K·D centroid table is broadcast; the N-row assignment joins
+    ``el`` co-partitioned on vec_id — never broadcast."""
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, o, c) for (k, o), c in sorted(cent.items())],
+            "k long, ord long, c double",
+        )
+    )
+    diff = F.col("x") - F.col("c")
+    d2 = (
+        el.join(cent_df, "ord")
+        .groupBy("vec_id", "k")
+        .agg(F.sum((diff * diff).cast(DEC)).alias("d2"))
+    )
+    assign = (
+        d2.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "k")).alias("m"))
+        .select("vec_id", F.col("m.k").alias("k"))
+    )
+    return (
+        el.join(assign, "vec_id")
+        .groupBy("k", "ord")
+        .agg(
+            (
+                F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1))
+            ).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd) over the embedding corpus — the
+    second oracle-checked ITERATIVE algorithm (clustering, after power
+    iteration's eigenvector): K=4 centroids seeded from vec_id 0..3,
+    5 rounds of assign + update, hash-exact against a DuckDB CTE-chain
+    twin via the same DECIMAL discipline (squared-distance and centroid
+    sums are exact DECIMAL(28,12); the only floats are the per-element
+    IEEE subtract/multiply and the final sum/count division, identical
+    in both engines; argmin ties break on centroid id).
+
+    Scale shape: ``el`` is hash-partitioned by vec_id once and cached;
+    HashPartitioning(vec_id) satisfies the (vec_id, k) grouping, the
+    assignment argmin groups by vec_id, and the el⋈assign join is
+    co-partitioned — so each round's only exchange is the K·D-group
+    centroid-update agg (map-side combined), exactly the power-iteration
+    shape.  The K·D centroid table is the broadcast side; the N-row
+    assignment is never broadcast and never collected.
+
+    Output: (k, n_members, ord, component) — final centroids with the
+    last assignment's cluster sizes.
+    """
+    el = (
+        _elements(load(spark, sf_dir, "embeddings"))
+        .repartition("vec_id")
+        .persist()
+    )
+    try:
+        el.count()
+        cent = {
+            (int(r.vec_id), int(r.ord)): float(r.x)
+            for r in el.filter(F.col("vec_id") < _KMEANS_K).collect()
+        }
+        sizes: dict[int, int] = {}
+        for _ in range(_KMEANS_ROUNDS):
+            upd = _kmeans_round(spark, el, cent).collect()
+            cent = {(int(r.k), int(r.ord)): float(r.c) for r in upd}
+            sizes = {int(r.k): int(r.n) for r in upd}
+        out = [
+            (k, sizes[k], o, c) for (k, o), c in sorted(cent.items())
+        ]
+        return (
+            spark.createDataFrame(
+                out, "k long, n_members long, ord long, component double"
+            )
+            .select("k", "n_members", "ord", F.round("component", 6).alias("component"))
+            .orderBy("k", "ord")
+        )
+    finally:
+        el.unpersist()
+
+
+def _kmeans_sql() -> str:
+    # same MATERIALIZED discipline as the power-iteration oracle: each
+    # level is referenced more than once and inlined CTEs re-evaluate
+    cte = [
+        """el AS MATERIALIZED (
+  SELECT vec_id, CAST(xf AS DOUBLE) AS x, ord
+  FROM (
+    SELECT vec_id, unnest(embedding) AS xf,
+           generate_subscripts(embedding, 1) AS ord
+    FROM embeddings
+  )
+)""",
+        f"c0 AS MATERIALIZED (SELECT vec_id AS k, ord, x AS c FROM el "
+        f"WHERE vec_id < {_KMEANS_K})",
+    ]
+    for i in range(1, _KMEANS_ROUNDS + 1):
+        cte.append(f"""d{i} AS MATERIALIZED (
+  SELECT e.vec_id, c.k,
+    SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(28,12))) AS d2
+  FROM el e JOIN c{i - 1} c USING (ord) GROUP BY e.vec_id, c.k
+)""")
+        cte.append(f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)""")
+        cte.append(f"""c{i} AS MATERIALIZED (
+  SELECT a.k, e.ord,
+    CAST(SUM(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM el e JOIN a{i} a USING (vec_id) GROUP BY a.k, e.ord
+)""")
+    last = _KMEANS_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT c.k, n.n_members, c.ord, ROUND(c.c, 6) AS component
+FROM c{last} c
+JOIN (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM a{last} GROUP BY k) n USING (k)
+ORDER BY c.k, c.ord
+"""
+    )
+
+
 def _power_iteration_sql() -> str:
     # MATERIALIZED is load-bearing: each level references the previous
     # CTE more than once, and inlined CTEs re-evaluate — 10 levels of
@@ -571,6 +710,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "knn_label_vote": knn_label_vote,
     "embedding_power_iteration": embedding_power_iteration,
+    "embedding_kmeans": embedding_kmeans,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_multiprobe_recall": ann_multiprobe_recall,
@@ -581,6 +721,7 @@ ORACLE_SQL = {
     "ann_cosine_topk": _TOPK_SQL,
     "knn_label_vote": _KNN_SQL,
     "embedding_power_iteration": _power_iteration_sql(),
+    "embedding_kmeans": _kmeans_sql(),
     "ann_lsh_bucketed": _lsh_sql(),
     "ann_lsh_multiprobe": _multiprobe_sql(),
     "ann_multiprobe_recall": _RECALL_SQL,

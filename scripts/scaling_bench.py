@@ -16,9 +16,25 @@ design point batches are millions of pages and that latency is noise):
 - crawl_stage — one politeness-claimed batch through fetch-join +
   link/record extraction (the per-micro-batch dataflow minus commits)
 - q1 — TPC-H Q1 aggregation over lineitem ×48 in memory
+- power_round — one power-iteration accumulate round over the
+  embedding elements ×16 (the iterative-algorithm class the round-3
+  verdict flagged; co-partitioned join + D-group agg, no broadcast)
+- cc_dist — full large-star/small-star connected components over a
+  2M-edge synthetic graph with local_threshold=0 (the distributed
+  contraction loop)
+- sessionize — gaps-and-islands sessionization over events ×24
+  (partitioned window + agg, the events_sessionized shape)
 - crawl_full — the end-to-end micro-batch loop incl. checkpoint
   commits (reported for honesty; its fixed per-batch commit cost is
   the sandbox artifact that amortizes at real batch sizes)
+
+The full *gate-suite* scaling at sf0.1 is recorded separately by
+scripts/scaling_gates.py (BENCH/scaling_gates_n2.json) — those
+queries are sized for CORRECTNESS, not load: at sf0.1 most finish in
+O(seconds) dominated by fixed per-job scheduler latency that does not
+shrink with cores, so their efficiencies are a sandbox artifact (the
+same Amdahl floor as crawl_full).  The compute-bound jobs here are
+the engine signal.
 
 Writes BENCH/scaling.json and prints it.
 """
@@ -47,8 +63,10 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # budget (local[2] vs local[8])
 SIZE = os.environ.get("SPARK_GRAFT_SCALE_SIZE", "large")
 SIZES = {
-    "large": {"n_ex": 48000, "n_cs": 24000, "q1_rep": 96},
-    "small": {"n_ex": 12000, "n_cs": 8000, "q1_rep": 24},
+    "large": {"n_ex": 48000, "n_cs": 24000, "q1_rep": 96,
+              "pi_rep": 48, "cc_edges": 4_000_000, "sess_rep": 64},
+    "small": {"n_ex": 12000, "n_cs": 8000, "q1_rep": 24,
+              "pi_rep": 16, "cc_edges": 2_000_000, "sess_rep": 24},
 }[SIZE]
 out = {}
 
@@ -132,6 +150,72 @@ for _ in range(4):
     best = min(best, time.perf_counter() - t0)
 out["q1_rows_per_sec"] = n_rows / best
 big.unpersist()
+
+# --- power_round: one accumulate round, embeddings x pi_rep ---
+from scrapelect_spark.operators.simsearch import _elements, _power_round
+REP = SIZES["pi_rep"]
+emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+rep = (emb.crossJoin(spark.range(REP).select(F.col("id").alias("rep")))
+       .select((F.col("vec_id") * REP + F.col("rep")).alias("vec_id"), "embedding"))
+el = _elements(rep).repartition("vec_id").persist()
+n_el = el.count()
+v = {o: 1.0 for o in range(1, 65)}
+_power_round(spark, el, v).write.format("noop").mode("overwrite").save()
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    _power_round(spark, el, v).write.format("noop").mode("overwrite").save()
+    best = min(best, time.perf_counter() - t0)
+out["power_round_rows_per_sec"] = n_el / best
+el.unpersist()
+
+# --- cc_dist: full distributed star-contraction over a synthetic graph ---
+from scrapelect_spark.operators.dedup import connected_components
+N_E = SIZES["cc_edges"]
+# deterministic pseudo-random sparse graph + a long chain (the
+# diameter case star-contraction exists for)
+edges = (spark.range(N_E)
+         .select((F.col("id") % (N_E // 4)).alias("src"),
+                 ((F.col("id") * 2097169 + 7) % (N_E // 4)).alias("dst"))
+         .union(spark.range(N_E // 50).select(
+             (F.lit(N_E) + F.col("id")).alias("src"),
+             (F.lit(N_E) + F.col("id") + 1).alias("dst")))
+         .repartition(cpus * 3).persist())
+edges.count()
+best = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    connected_components(edges, local_threshold=0).write.format("noop").mode("overwrite").save()
+    best = min(best, time.perf_counter() - t0)
+out["cc_dist_edges_per_sec"] = N_E / best
+edges.unpersist()
+
+# --- sessionize: gaps-and-islands window over events x sess_rep ---
+SREP = SIZES["sess_rep"]
+ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+big_ev = (ev.crossJoin(spark.range(SREP).select(F.col("id").alias("rep")))
+          .select((F.col("user_id") * SREP + F.col("rep")).alias("user_id"),
+                  "event_id", "ts", "value")
+          .repartition(cpus * 3).persist())
+n_ev = big_ev.count()
+from pyspark.sql import Window as W
+def sessionize(df):
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    x = df.select("user_id", "event_id", us.alias("us"))
+    x = x.withColumn("ns", F.when(
+        F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > 1800_000_000), 1
+    ).otherwise(0))
+    x = x.withColumn("sid", F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return x.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("n"))
+sessionize(big_ev).write.format("noop").mode("overwrite").save()
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    sessionize(big_ev).write.format("noop").mode("overwrite").save()
+    best = min(best, time.perf_counter() - t0)
+out["sessionize_events_per_sec"] = n_ev / best
+big_ev.unpersist()
 
 # --- crawl_full (end-to-end loop incl. commits) ---
 n_hosts, per_host = 32, 150

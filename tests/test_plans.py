@@ -354,3 +354,49 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     join_idx = plan.index("BroadcastHashJoin")
     streamed = plan[join_idx:].split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in streamed, plan
+
+
+def test_kmeans_round_no_pervector_broadcast(spark):
+    """k-means round plan, auto-broadcast disabled (at-scale stats):
+    the only broadcast is the K·D centroid table; the N-row assignment
+    joins el co-partitioned (SMJ/SHJ); the only per-round
+    ENSURE_REQUIREMENTS exchange is the K·D centroid-update agg."""
+    from scrapelect_spark.operators.simsearch import (
+        _elements,
+        _kmeans_round,
+        _KMEANS_K,
+    )
+    from scrapelect_spark.operators.tables import load
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        el = (
+            _elements(load(spark, SF, "embeddings"))
+            .repartition("vec_id")
+            .persist()
+        )
+        try:
+            el.count()
+            cent = {
+                (int(r.vec_id), int(r.ord)): float(r.x)
+                for r in el.filter(f"vec_id < {_KMEANS_K}").collect()
+            }
+            plan = plan_of(_kmeans_round(spark, el, cent))
+        finally:
+            el.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastExchange") == 1, plan
+    bcast_joins = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert len(bcast_joins) == 1 and "ord" in bcast_joins[0], plan
+    assert "vec_id" not in bcast_joins[0], plan
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "ENSURE_REQUIREMENTS" in l
+    ]
+    assert len(exchanges) == 1, plan
+    assert "k#" in exchanges[0] and "ord" in exchanges[0], plan
+    assert not any("vec_id" in l for l in exchanges), plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
