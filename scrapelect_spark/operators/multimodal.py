@@ -8,10 +8,11 @@ loop runs per binary payload inside one Python call per batch, never
 per-row from Spark's side.
 
 Real vs stubbed (per round instructions): PNG (sources/png.py),
-baseline + progressive JPEG (sources/jpeg.py), MJPEG-in-AVI frame
-sampling (sources/avi.py), WAV/PCM16 (sources/wav.py), lossy IMA
-ADPCM WAV (sources/adpcm.py), and lossless-compressed FLAC
-(sources/flac.py) are all REAL pure-Python/numpy codecs.
+baseline + progressive JPEG (sources/jpeg.py), GIF87a/89a incl.
+animation (sources/gif.py), MJPEG-in-AVI frame sampling
+(sources/avi.py), WAV/PCM16 (sources/wav.py), lossy IMA ADPCM WAV
+(sources/adpcm.py), and lossless-compressed FLAC (sources/flac.py)
+are all REAL pure-Python/numpy codecs.
 Remaining declared stubs: interframe video codecs (H.264…) and
 perceptual audio (mp3/ogg) — they need real psychoacoustic/motion
 codec libraries; both degrade to per-row ``decode_error`` capture
@@ -48,6 +49,13 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         # baseline AND progressive (SOF2) processes; hierarchical/
         # lossless/arithmetic/12-bit raise into per-row error capture.
         return decode_jpeg(bytes(data))
+    if fmt == "gif":
+        # REAL path: pure-Python GIF87a/89a (sources/gif.py — LZW,
+        # interlace, transparency, disposal); still images decode to
+        # their single frame, animations to their first composite.
+        from ..sources.gif import decode_gif
+
+        return decode_gif(bytes(data), max_frames=1)[0][0]
     raise NotImplementedError(f"unsupported image format {fmt!r}")
 
 
@@ -211,20 +219,31 @@ def frame_sample(video: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling over opaque binary columns — REAL for
     MJPEG-in-AVI (sources/avi.py walks the RIFF chunk list and JPEG-
     decodes only every ``every_n``-th frame; skipped frames cost a
-    chunk-header hop, not a decode).  Exploded output: one row per
-    sampled frame, frame pixels re-encoded as lossless PNG.  Interframe
-    codecs (H.264...) still raise into per-row ``decode_error`` —
-    they need a real codec library (declared scope boundary)."""
+    chunk-header hop, not a decode) and for animated GIF
+    (sources/gif.py; GIF frames are interdependent through disposal
+    compositing, so sampling decodes sequentially and emits every
+    ``every_n``-th composite — inherent to the format, unlike MJPEG's
+    independent frames).  Exploded output: one row per sampled frame,
+    frame pixels re-encoded as lossless PNG.  Interframe codecs
+    (H.264...) still raise into per-row ``decode_error`` — they need a
+    real codec library (declared scope boundary)."""
     from ..sources.avi import decode_avi_mjpeg_frames
+    from ..sources.gif import decode_gif
+
+    def sampled_frames(raw: bytes):
+        if raw[:4] == b"GIF8":
+            frames, _ = decode_gif(raw)
+            for idx in range(0, len(frames), every_n):
+                yield idx, frames[idx]
+        else:
+            yield from decode_avi_mjpeg_frames(raw, every_n=every_n)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in FRAME_SCHEMA.fields}
             for video_id, raw in zip(pdf["video_id"], pdf["bytes"]):
                 try:
-                    for idx, arr in decode_avi_mjpeg_frames(
-                        bytes(raw), every_n=every_n
-                    ):
+                    for idx, arr in sampled_frames(bytes(raw)):
                         out["video_id"].append(video_id)
                         out["frame_idx"].append(idx)
                         out["bytes"].append(encode_png(arr))
@@ -863,12 +882,109 @@ ORDER BY doc_id
 """
 
 
+def image_gif_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Gate for the GIF codec (sources/gif.py — LZW + palettes; the
+    web's third image format after JPEG/PNG): synthesize a paletted
+    animation per doc (1 + doc_id%3 frames, 2 + doc_id%7 colors,
+    deterministic pattern), encode to GIF89a, decode, and assert the
+    roundtrip is BIT-EXACT on every frame (GIF is lossless for ≤256
+    colors)."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.gif import decode_gif, encode_gif
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            w_out = np.empty(n_rows, dtype=object)
+            h_out = np.empty(n_rows, dtype=object)
+            nf_out = np.empty(n_rows, dtype=object)
+            exact = np.empty(n_rows, dtype=object)
+            failed = np.empty(n_rows, dtype=object)
+            for i, doc_id in enumerate(pdf["doc_id"]):
+                doc_id = int(doc_id)
+                h = 8 + doc_id % 5
+                w = 8 + doc_id % 7
+                nc = 2 + doc_id % 7
+                nf = 1 + doc_id % 3
+                pal = np.stack(
+                    [
+                        np.array(
+                            [
+                                (37 * k + doc_id) % 256,
+                                (91 * k + 3) % 256,
+                                (13 * k + 2 * doc_id) % 256,
+                            ]
+                        )
+                        for k in range(nc)
+                    ]
+                ).astype(np.uint8)
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames_in = [
+                    pal[(yy * w + xx + doc_id + 5 * f) % nc] for f in range(nf)
+                ]
+                try:
+                    blob = encode_gif(frames_in, delays_cs=4)
+                    frames, _ = decode_gif(blob)
+                    exact[i] = (
+                        1
+                        if len(frames) == nf
+                        and all(
+                            np.array_equal(a, b)
+                            for a, b in zip(frames, frames_in)
+                        )
+                        else 0
+                    )
+                    w_out[i], h_out[i], nf_out[i] = w, h, len(frames)
+                    failed[i] = 0
+                except Exception:
+                    w_out[i] = h_out[i] = nf_out[i] = None
+                    exact[i], failed[i] = 0, 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "w": w_out,
+                    "h": h_out,
+                    "n_frames": nf_out,
+                    "exact": exact,
+                    "failed": failed,
+                }
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_verify,
+            schema="doc_id long, w long, h long, n_frames long, "
+            "exact long, failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GIF_SQL = """
+SELECT doc_id,
+  8 + doc_id % 7 AS w,
+  8 + doc_id % 5 AS h,
+  1 + doc_id % 3 AS n_frames,
+  CAST(1 AS BIGINT) AS exact,
+  CAST(0 AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "audio_wav_features": audio_wav_features,
     "audio_adpcm_roundtrip": audio_adpcm_roundtrip,
     "audio_flac_roundtrip": audio_flac_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
+    "image_gif_roundtrip": image_gif_roundtrip,
     "image_resize_nn": image_resize_nn,
     "image_decode_errors": image_decode_errors,
     "video_frame_sample": video_frame_sample,
@@ -878,6 +994,7 @@ ORACLE_SQL = {
     "audio_wav_features": _AUDIO_SQL,
     "audio_adpcm_roundtrip": _ADPCM_SQL,
     "audio_flac_roundtrip": _FLAC_SQL,
+    "image_gif_roundtrip": _GIF_SQL,
     "image_png_roundtrip": _IMAGE_SQL,
     "image_jpeg_roundtrip": _JPEG_SQL,
     "image_resize_nn": _RESIZE_SQL,
