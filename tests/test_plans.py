@@ -400,3 +400,42 @@ def test_kmeans_round_no_pervector_broadcast(spark):
     assert "k#" in exchanges[0] and "ord" in exchanges[0], plan
     assert not any("vec_id" in l for l in exchanges), plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_quota_sample_window_is_partitioned(spark):
+    """The quota-sample running sum must be a PARTITIONED window (one
+    shuffle on source, reused by the final agg) — never an
+    unpartitioned WindowExec (the r1 scale bug class)."""
+    from scrapelect_spark.operators.textstats import corpus_quota_sample
+
+    df = corpus_quota_sample(spark, SF)
+    plan = plan_of(df)
+    wlines = [l for l in plan.splitlines() if "Window" in l and "partition" not in l.lower() and "Exchange" not in l]
+    # every Window operator line must carry a partition spec
+    for l in [x for x in plan.splitlines() if "Window " in x or x.strip().startswith("Window")]:
+        assert "source" in l, l
+    # exactly one hashpartitioning exchange feeds window + final agg
+    exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "ENSURE_REQUIREMENTS" in l
+    ]
+    assert len(exchanges) == 1 and "source" in exchanges[0], plan
+    del wlines
+
+
+def test_hash_split_single_shuffle(spark):
+    """hash-split is projection + one partial-agg shuffle — no window,
+    no join."""
+    from scrapelect_spark.operators.textstats import corpus_hash_split
+
+    df = corpus_hash_split(spark, SF)
+    plan = plan_of(df)
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "ENSURE_REQUIREMENTS" in l
+    ]
+    assert len(exchanges) == 1, plan
+    # partial aggregation happens before the shuffle (map-side combine)
+    assert plan.index("HashAggregate") < plan.index("Exchange hashpartitioning"), plan
