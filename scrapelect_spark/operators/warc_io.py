@@ -1,0 +1,119 @@
+"""WARC export/ingest operators — the crawl corpus in and out of the
+industry-standard archive container (sources/warc.py, ISO 28500 /
+the Common Crawl layout).
+
+Scale shape: export writes ONE gzip-member-per-record segment per
+partition (``mapInPandas`` over whole batches — the .warc.gz layout
+whose members stay independently decompressible, so a 100-TB archive
+splits by record offset exactly like Common Crawl's); ingest explodes
+segments back into (url, status, html) rows, Arrow-batched, per-row
+error capture for corrupt segments.  No driver state, no shuffle in
+either direction — both are Scan → MapInPandas pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load
+
+#: deterministic snapshot stamp for gate/test segments (a real crawl
+#: batch passes its own batch timestamp)
+GATE_DATE = "2024-01-01T00:00:00Z"
+
+
+def warc_export(
+    pages: DataFrame,
+    *,
+    date: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """(url, html) rows → one WARC segment per Arrow batch:
+    ``(segment binary, n_records long)``."""
+    from ..sources.warc import write_warc_segment
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seg = write_warc_segment(
+                list(zip(pdf[url_col], pdf[html_col])),
+                date=date,
+                gzip_members=gzip_members,
+            )
+            yield pd.DataFrame({"segment": [seg], "n_records": [len(pdf)]})
+
+    return pages.mapInPandas(run, schema="segment binary, n_records long")
+
+
+def warc_ingest(
+    segments: DataFrame, bytes_col: str = "segment"
+) -> DataFrame:
+    """WARC segments → one row per response record:
+    ``(url, status, html, ingest_error)``; warcinfo records are
+    skipped, corrupt segments produce a single error row."""
+    from ..sources.warc import read_warc, split_http_response
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "status": [], "html": [], "ingest_error": []}
+            for raw in pdf[bytes_col]:
+                try:
+                    for headers, payload in read_warc(bytes(raw)):
+                        if headers.get("warc-type") != "response":
+                            continue
+                        status, body = split_http_response(payload)
+                        out["url"].append(headers.get("warc-target-uri"))
+                        out["status"].append(status)
+                        out["html"].append(body.decode("utf-8", "replace"))
+                        out["ingest_error"].append(None)
+                except Exception as e:  # noqa: BLE001 — permissive corpus
+                    out["url"].append(None)
+                    out["status"].append(None)
+                    out["html"].append(None)
+                    out["ingest_error"].append(str(e) or type(e).__name__)
+            yield pd.DataFrame(out)
+
+    return segments.mapInPandas(
+        run, schema="url string, status long, html string, ingest_error string"
+    )
+
+
+def crawl_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the WARC path: every document becomes a page
+    (url = ``http://corpus.test/doc/<id>``, body = its text), exported
+    to per-partition .warc.gz segments and ingested back — url, HTTP
+    status, byte-exact body (md5) must survive the container
+    roundtrip."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pages = d.select(
+        F.concat(F.lit("http://corpus.test/doc/"), F.col("doc_id")).alias("url"),
+        F.col("text").alias("html"),
+    )
+    segments = warc_export(pages, date=GATE_DATE)
+    back = warc_ingest(segments)
+    return back.select(
+        "url",
+        "status",
+        F.md5(F.col("html")).alias("body_md5"),
+    ).orderBy("url")
+
+
+_WARC_SQL = """
+SELECT 'http://corpus.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+  CAST(200 AS BIGINT) AS status,
+  md5(text) AS body_md5
+FROM documents
+WHERE doc_id < 300
+ORDER BY url
+"""
+
+
+QUERIES = {"crawl_warc_roundtrip": crawl_warc_roundtrip}
+ORACLE_SQL = {"crawl_warc_roundtrip": _WARC_SQL}

@@ -1,0 +1,127 @@
+"""WARC reader/writer tests (sources/warc.py) + Spark export/ingest."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from scrapelect_spark.sources.warc import (
+    build_response_record,
+    read_warc,
+    split_http_response,
+    write_warc_segment,
+)
+
+DATE = "2024-03-04T05:06:07Z"
+
+
+def test_record_structure_and_framing():
+    rec = build_response_record(
+        "http://a.test/x", b"<html>hi</html>", date=DATE
+    )
+    assert rec.startswith(b"WARC/1.0\r\n")
+    assert rec.endswith(b"\r\n\r\n")
+    (headers, payload), = read_warc(rec)
+    assert headers["warc-type"] == "response"
+    assert headers["warc-target-uri"] == "http://a.test/x"
+    assert headers["warc-date"] == DATE
+    assert headers["warc-record-id"].startswith("<urn:uuid:")
+    status, body = split_http_response(payload)
+    assert status == 200 and body == b"<html>hi</html>"
+
+
+def test_segment_roundtrip_plain_and_gzip():
+    pages = [(f"http://h.test/p{i}", f"<html><h1>{i}</h1></html>") for i in range(7)]
+    for gz in (False, True):
+        seg = write_warc_segment(pages, date=DATE, gzip_members=gz)
+        recs = read_warc(seg)
+        assert recs[0][0]["warc-type"] == "warcinfo"
+        got = []
+        for h, p in recs[1:]:
+            status, body = split_http_response(p)
+            got.append((h["warc-target-uri"], body.decode()))
+        assert got == pages
+
+
+def test_gzip_members_are_independent():
+    """Each record is its own gzip member: cutting the stream at a
+    member boundary still yields decompressible prefixes (the property
+    that makes .warc.gz splittable)."""
+    pages = [("http://h.test/a", "aaa"), ("http://h.test/b", "bbb")]
+    seg = write_warc_segment(pages, date=DATE)
+    # locate the second member by scanning for the gzip magic
+    second = seg.index(b"\x1f\x8b", 2)
+    first_member = gzip.decompress(seg[:second])
+    assert first_member.startswith(b"WARC/1.0")
+    # and byte-determinism (mtime=0): same input → same bytes
+    assert seg == write_warc_segment(pages, date=DATE)
+
+
+def test_body_bytes_exact_including_crlf_content():
+    """A body that itself contains CRLFCRLF must survive — framing is
+    by Content-Length, never by scanning."""
+    tricky = b"x\r\n\r\nWARC/1.0\r\n\r\nend"
+    rec = build_response_record("http://t.test/", tricky, date=DATE)
+    (h, p), = read_warc(rec)
+    _, body = split_http_response(p)
+    assert body == tricky
+
+
+def test_non_200_status():
+    rec = build_response_record("http://t.test/m", b"gone", date=DATE, status=404)
+    (_, p), = read_warc(rec)
+    status, body = split_http_response(p)
+    assert status == 404 and body == b"gone"
+
+
+@pytest.mark.parametrize("mutilate", [
+    lambda b: b[10:],                     # no WARC/ magic
+    lambda b: b[:-6],                     # missing terminator
+    lambda b: b.replace(b"Content-Length", b"Content-Lemon", 1),
+])
+def test_corrupt_records_raise_valueerror(mutilate):
+    rec = build_response_record("http://t.test/", b"abc", date=DATE)
+    with pytest.raises(ValueError):
+        read_warc(mutilate(rec))
+
+
+def test_mutation_fuzz():
+    seg = write_warc_segment(
+        [("http://h.test/x", "hello world " * 20)], date=DATE
+    )
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        b = bytearray(seg)
+        i = int(rng.integers(0, len(b)))
+        b[i] ^= int(rng.integers(1, 256))
+        try:
+            read_warc(bytes(b))
+        except (ValueError, EOFError, OSError):  # gzip raises OSError
+            pass
+
+
+# ---------------------------------------------------------------- Spark
+
+
+def test_export_ingest_roundtrip_spark(spark):
+    from scrapelect_spark.operators.warc_io import warc_export, warc_ingest
+
+    rows = [(f"http://h.test/p{i}", f"<html><h1>{i}</h1>body {i}</html>")
+            for i in range(50)]
+    pages = spark.createDataFrame(rows, "url string, html string").repartition(4)
+    segs = warc_export(pages, date=DATE)
+    seg_rows = segs.collect()
+    assert sum(r.n_records for r in seg_rows) == 50
+    assert len(seg_rows) >= 1
+    back = warc_ingest(segs)
+    got = {(r.url, r.html) for r in back.collect()}
+    assert got == set(rows)
+    assert back.filter("ingest_error IS NOT NULL").count() == 0
+
+
+def test_ingest_error_capture_spark(spark):
+    from scrapelect_spark.operators.warc_io import warc_ingest
+
+    bad = spark.createDataFrame([(b"not a warc",)], "segment binary")
+    rows = warc_ingest(bad).collect()
+    assert len(rows) == 1 and rows[0].ingest_error is not None
