@@ -1,6 +1,6 @@
-"""WARC export/ingest operators — the crawl corpus in and out of the
-industry-standard archive container (sources/warc.py, ISO 28500 /
-the Common Crawl layout).
+"""Crawl-corpus I/O operators: WARC export/ingest (sources/warc.py,
+ISO 28500 / the Common Crawl layout) and sitemap seed ingestion
+(sources/sitemap.py, the sitemaps.org protocol).
 
 Scale shape: export writes ONE gzip-member-per-record segment per
 partition (``mapInPandas`` over whole batches — the .warc.gz layout
@@ -115,5 +115,120 @@ ORDER BY url
 """
 
 
-QUERIES = {"crawl_warc_roundtrip": crawl_warc_roundtrip}
-ORACLE_SQL = {"crawl_warc_roundtrip": _WARC_SQL}
+def sitemap_seed_frontier(
+    sitemaps: DataFrame, bytes_col: str = "sitemap", id_col: str = "sitemap_id"
+) -> DataFrame:
+    """Sitemap payloads (sources/sitemap.py — urlset or sitemapindex,
+    plain or gzip) → frontier-ready seed rows
+    ``(sitemap_id, url, priority, child_sitemap, parse_error)``.
+
+    Sitemap priority (0.0-1.0, higher = more important, default 0.5
+    per the protocol) maps to the crawler's integer priority where
+    LOWER claims first: ``priority = round((1 - p) * 100)``.  Index
+    sitemaps emit their child locs in ``child_sitemap`` rows for the
+    fetch stage to retrieve (networking stays in the fetcher);
+    malformed payloads produce one error row.  Scan → MapInPandas,
+    no shuffle."""
+    from ..sources.sitemap import parse_sitemap
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "sitemap_id": [], "url": [], "priority": [],
+                "child_sitemap": [], "parse_error": [],
+            }
+
+            def row(sid, url=None, prio=None, child=None, err=None):
+                out["sitemap_id"].append(sid)
+                out["url"].append(url)
+                out["priority"].append(prio)
+                out["child_sitemap"].append(child)
+                out["parse_error"].append(err)
+
+            for sid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    kind, items = parse_sitemap(bytes(raw))
+                    if kind == "sitemapindex":
+                        for loc in items:
+                            row(sid, child=loc)
+                    else:
+                        for e in items:
+                            p = e["priority"] if e["priority"] is not None else 0.5
+                            row(sid, url=e["loc"], prio=round((1 - p) * 100))
+                except Exception as e:  # noqa: BLE001 — untrusted input
+                    row(sid, err=str(e) or type(e).__name__)
+            yield pd.DataFrame(out)
+
+    return sitemaps.mapInPandas(
+        run,
+        schema="sitemap_id string, url string, priority long, "
+        "child_sitemap string, parse_error string",
+    )
+
+
+def crawl_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the sitemap path: every document publishes a sitemap
+    with 1 + doc_id%4 URLs (priority = ((doc_id+k)%10)/10, every 3rd
+    sitemap gzip-compressed), ingested through
+    :func:`sitemap_seed_frontier` — url + mapped integer priority must
+    match the closed-form oracle."""
+    from ..sources.sitemap import build_sitemap
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                entries = [
+                    {
+                        "loc": f"http://s{doc_id}.test/p/{k}",
+                        "priority": f"{((doc_id + k) % 10) / 10:.1f}",
+                        "lastmod": "2024-01-02",
+                    }
+                    for k in range(1 + doc_id % 4)
+                ]
+                ids.append(str(doc_id))
+                blobs.append(
+                    build_sitemap(entries, gzip_payload=(doc_id % 3 == 0))
+                )
+            yield pd.DataFrame({"sitemap_id": ids, "sitemap": blobs})
+
+    seeds = sitemap_seed_frontier(
+        d.select("doc_id").mapInPandas(
+            synth, schema="sitemap_id string, sitemap binary"
+        )
+    )
+    return (
+        seeds.select(
+            F.col("sitemap_id").cast("long").alias("doc_id"),
+            "url",
+            "priority",
+        )
+        .orderBy("doc_id", "url")
+    )
+
+
+_SITEMAP_SQL = """
+WITH ks AS (
+  SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS k
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+  'http://s' || CAST(doc_id AS VARCHAR) || '.test/p/' || CAST(k AS VARCHAR)
+    AS url,
+  CAST(100 - ((doc_id + k) % 10) * 10 AS BIGINT) AS priority
+FROM ks
+ORDER BY doc_id, url
+"""
+
+
+QUERIES = {
+    "crawl_warc_roundtrip": crawl_warc_roundtrip,
+    "crawl_sitemap_ingest": crawl_sitemap_ingest,
+}
+ORACLE_SQL = {
+    "crawl_warc_roundtrip": _WARC_SQL,
+    "crawl_sitemap_ingest": _SITEMAP_SQL,
+}

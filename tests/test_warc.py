@@ -125,3 +125,92 @@ def test_ingest_error_capture_spark(spark):
     bad = spark.createDataFrame([(b"not a warc",)], "segment binary")
     rows = warc_ingest(bad).collect()
     assert len(rows) == 1 and rows[0].ingest_error is not None
+
+
+# -------------------------------------------------------------- sitemaps
+
+
+def test_sitemap_urlset_fields():
+    from scrapelect_spark.sources.sitemap import build_sitemap, parse_sitemap
+
+    entries = [
+        {"loc": "http://a.test/1", "priority": "0.8", "lastmod": "2024-01-02",
+         "changefreq": "daily"},
+        {"loc": "http://a.test/2"},
+    ]
+    kind, got = parse_sitemap(build_sitemap(entries))
+    assert kind == "urlset"
+    assert got[0]["loc"] == "http://a.test/1" and got[0]["priority"] == 0.8
+    assert got[0]["lastmod"] == "2024-01-02" and got[0]["changefreq"] == "daily"
+    assert got[1]["priority"] is None
+
+
+def test_sitemap_gzip_roundtrip():
+    from scrapelect_spark.sources.sitemap import build_sitemap, parse_sitemap
+
+    blob = build_sitemap([{"loc": "http://z.test/"}], gzip_payload=True)
+    assert blob[:2] == b"\x1f\x8b"
+    kind, got = parse_sitemap(blob)
+    assert kind == "urlset" and got[0]["loc"] == "http://z.test/"
+
+
+def test_sitemap_index():
+    from scrapelect_spark.sources.sitemap import parse_sitemap
+
+    xml = (
+        '<?xml version="1.0"?>'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>http://h.test/s1.xml</loc></sitemap>"
+        "<sitemap><loc>http://h.test/s2.xml.gz</loc></sitemap>"
+        "</sitemapindex>"
+    ).encode()
+    kind, locs = parse_sitemap(xml)
+    assert kind == "sitemapindex"
+    assert locs == ["http://h.test/s1.xml", "http://h.test/s2.xml.gz"]
+
+
+def test_sitemap_dtd_rejected():
+    from scrapelect_spark.sources.sitemap import parse_sitemap
+
+    evil = b'<?xml version="1.0"?><!DOCTYPE lolz [<!ENTITY a "b">]><urlset/>'
+    with pytest.raises(ValueError, match="DTD"):
+        parse_sitemap(evil)
+
+
+@pytest.mark.parametrize("junk", [b"<notxml", b"<html></html>", b"\x1f\x8b\x00bad"])
+def test_sitemap_malformed_raises(junk):
+    from scrapelect_spark.sources.sitemap import parse_sitemap
+
+    with pytest.raises(ValueError):
+        parse_sitemap(junk)
+
+
+def test_sitemap_seed_frontier_spark(spark):
+    import pandas as pd
+    from scrapelect_spark.operators.warc_io import sitemap_seed_frontier
+    from scrapelect_spark.sources.sitemap import build_sitemap
+
+    good = build_sitemap([
+        {"loc": "http://a.test/1", "priority": "0.8"},
+        {"loc": "http://a.test/2"},
+    ])
+    index = (
+        '<?xml version="1.0"?>'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>http://a.test/child.xml</loc></sitemap></sitemapindex>"
+    ).encode()
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "sitemap_id": ["g", "i", "bad"],
+            "sitemap": [good, index, b"<garbage"],
+        })
+    )
+    rows = sitemap_seed_frontier(df).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.sitemap_id, []).append(r)
+    assert {(r.url, r.priority) for r in by_id["g"]} == {
+        ("http://a.test/1", 20), ("http://a.test/2", 50)
+    }
+    assert by_id["i"][0].child_sitemap == "http://a.test/child.xml"
+    assert by_id["bad"][0].parse_error is not None
