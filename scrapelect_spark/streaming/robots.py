@@ -16,6 +16,9 @@ from dataclasses import dataclass, field
 class HostRules:
     rules: list[tuple[str, bool]] = field(default_factory=list)  # (path-prefix, allow)
     crawl_delay: float | None = None
+    #: ``Sitemap:`` directives — host-wide per the protocol (they sit
+    #: outside user-agent groups); feed sources/sitemap.py ingestion
+    sitemaps: list[str] = field(default_factory=list)
 
     def allowed(self, path: str) -> bool:
         best_len = -1
@@ -33,6 +36,7 @@ def parse_robots(text: str, user_agent: str = "scrapelect v0.4.0") -> HostRules:
     ``*``)."""
     groups: dict[str, HostRules] = {}
     current: list[str] = []
+    sitemaps: list[str] = []
     ua_l = user_agent.lower()
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -55,10 +59,17 @@ def parse_robots(text: str, user_agent: str = "scrapelect v0.4.0") -> HostRules:
                     groups[ua].crawl_delay = float(value)
                 except ValueError:
                     pass
+        elif key == "sitemap" and value:
+            sitemaps.append(value)
+    chosen = None
     for ua, rules in groups.items():
         if ua != "*" and (ua in ua_l or ua_l.startswith(ua)):
-            return rules
-    return groups.get("*", HostRules())
+            chosen = rules
+            break
+    if chosen is None:
+        chosen = groups.get("*", HostRules())
+    chosen.sitemaps = sitemaps
+    return chosen
 
 
 class RobotsPolicy:

@@ -214,3 +214,26 @@ def test_sitemap_seed_frontier_spark(spark):
     }
     assert by_id["i"][0].child_sitemap == "http://a.test/child.xml"
     assert by_id["bad"][0].parse_error is not None
+
+
+def test_robots_sitemap_directive():
+    """Sitemap: lines are host-wide (outside UA groups) and surface on
+    the parsed rules regardless of which UA group matched."""
+    from scrapelect_spark.streaming.robots import parse_robots
+
+    txt = (
+        "Sitemap: http://h.test/sitemap.xml\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "User-agent: scrapelect\n"
+        "Disallow: /tmp/\n"
+        "Sitemap: http://h.test/sitemap2.xml.gz\n"
+    )
+    rules = parse_robots(txt)
+    assert rules.sitemaps == [
+        "http://h.test/sitemap.xml", "http://h.test/sitemap2.xml.gz"
+    ]
+    assert not rules.allowed("/tmp/x")  # the specific group still won
+    generic = parse_robots(txt, user_agent="otherbot")
+    assert generic.sitemaps == rules.sitemaps
+    assert not generic.allowed("/private/x")
