@@ -37,6 +37,68 @@ FETCH_SCHEMA_EXTRA = [
 ]
 
 
+def sniff_encoding(body: bytes, header_charset: str | None) -> str:
+    """Charset resolution for fetched pages, WHATWG-encoding-style:
+    BOM > valid Content-Type charset > ``<meta charset>`` prescan of
+    the first 1024 bytes > UTF-8.  Real crawled corpora are full of
+    latin-1/shift-jis pages whose only charset declaration is the meta
+    tag — header-only decoding silently mojibakes them."""
+    import codecs
+    import re
+
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if body[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if body[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    if header_charset:
+        try:
+            codecs.lookup(header_charset)
+            return header_charset
+        except LookupError:
+            pass
+    m = re.search(
+        rb"<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-]+)",
+        body[:1024],
+        re.IGNORECASE,
+    )
+    if m:
+        enc = m.group(1).decode("ascii", "replace")
+        try:
+            codecs.lookup(enc)
+            # WHATWG: utf-16 meta labels decode as utf-8 (the prescan
+            # itself only works if the document is ASCII-compatible)
+            if enc.lower().replace("_", "-") in ("utf-16", "utf-16le", "utf-16be"):
+                return "utf-8"
+            return enc
+        except LookupError:
+            pass
+    return "utf-8"
+
+
+def decode_content(body: bytes, content_encoding: str | None) -> bytes:
+    """Undo HTTP ``Content-Encoding`` (gzip / x-gzip / deflate — both
+    zlib-wrapped and raw).  Unknown or broken encodings fall back to
+    the raw bytes (permissive-corpus discipline: a mislabeled page
+    should degrade, not kill the batch)."""
+    import gzip
+    import zlib
+
+    enc = (content_encoding or "").strip().lower()
+    try:
+        if enc in ("gzip", "x-gzip"):
+            return gzip.decompress(body)
+        if enc == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+    except (OSError, EOFError, zlib.error):
+        pass
+    return body
+
+
 class CorpusFetcher:
     """fetch = left join against (url, html); broadcast when small."""
 
@@ -96,11 +158,19 @@ class HttpFetcher:
                 if wait > 0:
                     time.sleep(wait)
                 last_hit[host] = time.monotonic()
-                req = urllib.request.Request(url, headers={"User-Agent": ua})
+                req = urllib.request.Request(
+                    url,
+                    headers={"User-Agent": ua, "Accept-Encoding": "gzip"},
+                )
                 try:
                     with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-                        body = resp.read(max_bytes)
-                        charset = resp.headers.get_content_charset() or "utf-8"
+                        body = decode_content(
+                            resp.read(max_bytes),
+                            resp.headers.get("Content-Encoding"),
+                        )
+                        charset = sniff_encoding(
+                            body, resp.headers.get_content_charset()
+                        )
                         return body.decode(charset, errors="replace"), resp.status
                 except urllib.error.HTTPError as e:
                     # keep the real status (404/500/...) so live fetches

@@ -255,3 +255,91 @@ def test_http_crawl_matches_sequential_oracle_with_resume(
     dupes = {p: c for p, c in Counter(paths).items() if c > 1}
     assert not dupes, dupes
     assert {ua for _, ua in log} == {HttpFetcher.REFERENCE_UA}
+
+
+# ----------------------------------------------- charset + content-encoding
+
+
+def test_sniff_encoding_rules():
+    from scrapelect_spark.sources.fetch import sniff_encoding
+
+    assert sniff_encoding(b"\xef\xbb\xbfhello", None) == "utf-8-sig"
+    assert sniff_encoding(b"\xff\xfeh\x00", None) == "utf-16-le"
+    assert sniff_encoding(b"<html>", "latin-1") == "latin-1"
+    assert sniff_encoding(b"<html>", "not-a-charset") == "utf-8"
+    meta = b'<html><head><meta charset="iso-8859-1"></head>x'
+    assert sniff_encoding(meta, None) == "iso-8859-1"
+    httpequiv = (b'<meta http-equiv="Content-Type" '
+                 b'content="text/html; charset=windows-1252">')
+    assert sniff_encoding(httpequiv, None) == "windows-1252"
+    # WHATWG: utf-16 meta label decodes as utf-8
+    assert sniff_encoding(b'<meta charset="utf-16">', None) == "utf-8"
+    # meta outside the 1024-byte prescan window is ignored
+    far = b" " * 1100 + b'<meta charset="iso-8859-1">'
+    assert sniff_encoding(far, None) == "utf-8"
+    assert sniff_encoding(b"plain", None) == "utf-8"
+
+
+def test_decode_content_variants():
+    import gzip as _gz
+    import zlib as _zl
+
+    from scrapelect_spark.sources.fetch import decode_content
+
+    raw = b"<html>body</html>"
+    assert decode_content(_gz.compress(raw), "gzip") == raw
+    assert decode_content(_gz.compress(raw), "x-gzip") == raw
+    assert decode_content(_zl.compress(raw), "deflate") == raw
+    co = _zl.compressobj(wbits=-_zl.MAX_WBITS)
+    rawdeflate = co.compress(raw) + co.flush()
+    assert decode_content(rawdeflate, "deflate") == raw
+    assert decode_content(raw, None) == raw
+    assert decode_content(raw, "br") == raw  # unknown → raw passthrough
+    assert decode_content(b"\x1f\x8bbroken", "gzip") == b"\x1f\x8bbroken"
+
+
+def test_http_fetch_gzip_and_meta_charset(spark):
+    """A loopback server sending gzip bodies and latin-1 pages whose
+    only charset signal is the meta tag — the fetch stage must undo
+    the transfer coding and decode per the prescan."""
+    import gzip as _gz
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    latin = '<html><meta charset="iso-8859-1"><h1>caf\xe9</h1></html>'
+    pages = {
+        "/gz.html": ("gzip", _gz.compress("<html><h1>zipped</h1></html>".encode())),
+        "/latin.html": (None, latin.encode("iso-8859-1")),
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path not in pages:
+                self.send_response(404)
+                self.end_headers()
+                return
+            enc, body = pages[self.path]
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")  # NO charset
+            if enc:
+                self.send_header("Content-Encoding", enc)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        df = spark.createDataFrame(
+            [(f"{base}/gz.html",), (f"{base}/latin.html",)], "url string"
+        )
+        rows = {r.url.rsplit("/", 1)[1]: r for r in
+                HttpFetcher(timeout_s=5.0, crawl_delay_s=0.0).fetch(df).collect()}
+        assert "zipped" in rows["gz.html"].html
+        assert "caf\xe9" in rows["latin.html"].html  # é decoded correctly
+    finally:
+        srv.shutdown()
