@@ -56,6 +56,13 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from ..sources.gif import decode_gif
 
         return decode_gif(bytes(data), max_frames=1)[0][0]
+    if fmt == "bmp":
+        # REAL path: Windows DIB (sources/bmp.py — 1/4/8/24/32-bit,
+        # palettes, RLE8, top-down); BITFIELDS/RLE4 raise into the
+        # per-row error capture.
+        from ..sources.bmp import decode_bmp
+
+        return decode_bmp(bytes(data))
     raise NotImplementedError(f"unsupported image format {fmt!r}")
 
 
@@ -978,10 +985,80 @@ ORDER BY doc_id
 """
 
 
+def image_bmp_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Gate for the BMP codec (sources/bmp.py): deterministic RGB
+    pattern per doc, encode 24-bit BI_RGB, decode, assert bit-exact."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.bmp import decode_bmp, encode_bmp
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            w_out = np.empty(n_rows, dtype=object)
+            h_out = np.empty(n_rows, dtype=object)
+            exact = np.empty(n_rows, dtype=object)
+            failed = np.empty(n_rows, dtype=object)
+            for i, doc_id in enumerate(pdf["doc_id"]):
+                doc_id = int(doc_id)
+                h = 6 + doc_id % 6
+                w = 6 + doc_id % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (yy * 31 + doc_id) % 256,
+                        (xx * 57 + 2 * doc_id) % 256,
+                        (yy * xx + 3) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                try:
+                    out = decode_bmp(encode_bmp(img))
+                    exact[i] = 1 if np.array_equal(out, img) else 0
+                    w_out[i], h_out[i], failed[i] = w, h, 0
+                except Exception:
+                    w_out[i] = h_out[i] = None
+                    exact[i], failed[i] = 0, 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "w": w_out,
+                    "h": h_out,
+                    "exact": exact,
+                    "failed": failed,
+                }
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_verify,
+            schema="doc_id long, w long, h long, exact long, failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BMP_SQL = """
+SELECT doc_id,
+  6 + doc_id % 5 AS w,
+  6 + doc_id % 6 AS h,
+  CAST(1 AS BIGINT) AS exact,
+  CAST(0 AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "audio_wav_features": audio_wav_features,
     "audio_adpcm_roundtrip": audio_adpcm_roundtrip,
     "audio_flac_roundtrip": audio_flac_roundtrip,
+    "image_bmp_roundtrip": image_bmp_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "image_gif_roundtrip": image_gif_roundtrip,
@@ -995,6 +1072,7 @@ ORACLE_SQL = {
     "audio_adpcm_roundtrip": _ADPCM_SQL,
     "audio_flac_roundtrip": _FLAC_SQL,
     "image_gif_roundtrip": _GIF_SQL,
+    "image_bmp_roundtrip": _BMP_SQL,
     "image_png_roundtrip": _IMAGE_SQL,
     "image_jpeg_roundtrip": _JPEG_SQL,
     "image_resize_nn": _RESIZE_SQL,
