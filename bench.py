@@ -164,6 +164,28 @@ def bench_crawl_bigbatch(spark, tmpdir: str) -> float:
     )
 
 
+def compact_stdout_line(out: dict, budget: int = 1900) -> str:
+    """Serialize the bench record to one stdout line of at most
+    ``budget`` chars (the driver tails 2000 chars of stdout; clipping
+    the head loses the whole record — VERDICT r3 #3 / r4 #1). Compact
+    separators first; if still over budget, drop the FASTEST queries
+    from the stdout dict (the full dict is always in
+    BENCH/bench_latest_full.json) and say how many were dropped."""
+    out = dict(out, queries=dict(out["queries"]))
+    n_total = len(out["queries"])
+    line = json.dumps(out, separators=(",", ":"))
+    by_time = sorted(out["queries"], key=lambda k: out["queries"][k])
+    while len(line) > budget and by_time:
+        out["queries"].pop(by_time.pop(0))
+        out["queries_omitted"] = (
+            "fastest %d of %d in BENCH/bench_latest_full.json"
+            % (n_total - len(out["queries"]), n_total)
+        )
+        line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= budget, len(line)
+    return line
+
+
 def main() -> None:
     import tempfile
 
@@ -177,11 +199,10 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         crawl_big_pps = bench_crawl_bigbatch(spark, td)
     out = {
-        "metric": "headline query suite wall seconds (lower=better); "
-        "crawl/extract throughput in extra keys (higher=better)",
+        "metric": "suite wall sec (lower=better)",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
-        "queries": queries,
+        "queries": {k: round(v, 2) for k, v in queries.items()},
         "bench_reps": REPS,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": int(CPUS),
@@ -189,17 +210,24 @@ def main() -> None:
         "crawl_bigbatch_pages_per_sec": crawl_big_pps,
         "extract_pages_per_sec": extract_pps,
     }
-    # full record incl. per-query spread goes to a file; stdout carries
-    # only the compact line — round 3's spread-laden line overflowed the
-    # driver's tail capture and BENCH_r03.json recorded "parsed": null
+    # Full record (3-decimal times + per-query spread) goes to a file;
+    # stdout carries ONE compact line. The driver captures only the last
+    # 2000 chars of stdout: round 3's spread-laden line and round 4's
+    # 2032-char "compact" line both clipped the head and recorded
+    # "parsed": null. Hard budget: compact separators, 2-decimal times,
+    # and if the line would still exceed _STDOUT_BUDGET, drop the
+    # fastest queries from the stdout dict (they remain in the file).
+    _STDOUT_BUDGET = 1900
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     try:
         os.makedirs(bench_dir, exist_ok=True)
         with open(os.path.join(bench_dir, "bench_latest_full.json"), "w") as f:
-            json.dump({**out, "queries_spread": spread}, f, indent=1)
+            json.dump(
+                {**out, "queries": queries, "queries_spread": spread}, f, indent=1
+            )
     except OSError:
         pass
-    print(json.dumps(out), flush=True)
+    print(compact_stdout_line(out, _STDOUT_BUDGET), flush=True)
 
 
 if __name__ == "__main__":
