@@ -222,6 +222,13 @@ FRAME_SCHEMA = StructType(
 )
 
 
+#: hard cap on frames SCANNED per animation in frame_sample: each GIF
+#: composite is a full HxWx3 canvas (up to ~48 MB at the pixel cap), so
+#: a hostile many-frame animation must be bounded even though the lazy
+#: iterator keeps only one canvas at a time (ADVICE r4 item #3)
+MAX_SCAN_FRAMES = 10_000
+
+
 def frame_sample(video: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling over opaque binary columns — REAL for
     MJPEG-in-AVI (sources/avi.py walks the RIFF chunk list and JPEG-
@@ -235,13 +242,21 @@ def frame_sample(video: DataFrame, every_n: int = 10) -> DataFrame:
     (H.264...) still raise into per-row ``decode_error`` — they need a
     real codec library (declared scope boundary)."""
     from ..sources.avi import decode_avi_mjpeg_frames
-    from ..sources.gif import decode_gif
+    from ..sources.gif import iter_gif_frames
+
+    max_scan = MAX_SCAN_FRAMES
 
     def sampled_frames(raw: bytes):
         if raw[:4] == b"GIF8":
-            frames, _ = decode_gif(raw)
-            for idx in range(0, len(frames), every_n):
-                yield idx, frames[idx]
+            got = False
+            for idx, (rgb, _delay) in enumerate(iter_gif_frames(raw)):
+                if idx >= max_scan:
+                    break
+                if idx % every_n == 0:
+                    got = True
+                    yield idx, rgb
+            if not got:
+                raise ValueError("GIF contains no image data")
         else:
             yield from decode_avi_mjpeg_frames(raw, every_n=every_n)
 

@@ -48,10 +48,10 @@ def sniff_encoding(body: bytes, header_charset: str | None) -> str:
 
     if body[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig"
-    if body[:2] == b"\xff\xfe":
-        return "utf-16-le"
-    if body[:2] == b"\xfe\xff":
-        return "utf-16-be"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        # "utf-16" consumes the BOM; the endian-specific codecs would
+        # leave a spurious U+FEFF at the start of every page
+        return "utf-16"
     if header_charset:
         try:
             codecs.lookup(header_charset)
@@ -77,26 +77,59 @@ def sniff_encoding(body: bytes, header_charset: str | None) -> str:
     return "utf-8"
 
 
-def decode_content(body: bytes, content_encoding: str | None) -> bytes:
+#: hard cap on DECOMPRESSED page size — the compressed side is bounded
+#: by the fetcher's max_bytes read, but a 4 MiB gzip bomb can inflate
+#: to ~4 GiB; decompression must bound its own output.
+MAX_DECODED_BYTES = 32 << 20
+
+
+class ContentDecodeError(ValueError):
+    """Declared Content-Encoding could not be decoded (corrupt or
+    truncated stream, or output over :data:`MAX_DECODED_BYTES`)."""
+
+
+def decode_content(
+    body: bytes,
+    content_encoding: str | None,
+    max_out: int = MAX_DECODED_BYTES,
+) -> bytes:
     """Undo HTTP ``Content-Encoding`` (gzip / x-gzip / deflate — both
-    zlib-wrapped and raw).  Unknown or broken encodings fall back to
-    the raw bytes (permissive-corpus discipline: a mislabeled page
-    should degrade, not kill the batch)."""
-    import gzip
+    zlib-wrapped and raw), incrementally and with a hard output cap.
+
+    A stream that is corrupt, truncated (e.g. clipped by the fetcher's
+    ``max_bytes`` read cap), or that inflates past ``max_out`` raises
+    :class:`ContentDecodeError` — compressed bytes must never pass
+    through as page "text".  Only an UNKNOWN encoding label falls back
+    to the raw bytes (mislabeled pages degrade, they don't kill the
+    batch)."""
     import zlib
 
     enc = (content_encoding or "").strip().lower()
-    try:
-        if enc in ("gzip", "x-gzip"):
-            return gzip.decompress(body)
-        if enc == "deflate":
-            try:
-                return zlib.decompress(body)
-            except zlib.error:
-                return zlib.decompress(body, -zlib.MAX_WBITS)
-    except (OSError, EOFError, zlib.error):
-        pass
-    return body
+    if enc in ("gzip", "x-gzip"):
+        wbits_options = (16 + zlib.MAX_WBITS,)
+    elif enc == "deflate":
+        # zlib-wrapped per RFC 9110, but real servers also send raw
+        # deflate; a raw stream fails the zlib header immediately
+        wbits_options = (zlib.MAX_WBITS, -zlib.MAX_WBITS)
+    else:
+        return body
+
+    last_err: Exception | None = None
+    for wbits in wbits_options:
+        d = zlib.decompressobj(wbits)
+        try:
+            out = d.decompress(body, max_out + 1)
+        except zlib.error as e:
+            last_err = e
+            continue
+        if len(out) > max_out:
+            raise ContentDecodeError(
+                f"decompressed {enc} content exceeds {max_out} byte cap"
+            )
+        if not d.eof:
+            raise ContentDecodeError(f"truncated {enc} stream")
+        return out
+    raise ContentDecodeError(f"corrupt {enc} stream: {last_err}")
 
 
 class CorpusFetcher:
@@ -176,6 +209,10 @@ class HttpFetcher:
                     # keep the real status (404/500/...) so live fetches
                     # and CorpusFetcher replays agree on the column
                     return None, int(e.code)
+                except ContentDecodeError:
+                    # gzip bomb / truncated stream: the body is
+                    # unusable and must not leak through as page text
+                    return None, 0
                 except Exception:
                     return None, 0  # timeout / DNS / connection refused
 

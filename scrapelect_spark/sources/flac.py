@@ -564,8 +564,17 @@ def decode_flac(data: bytes, check_md5: bool = True):
         channels = [c[:total] for c in channels]
     out = np.array(channels, dtype=np.int64).T
     if check_md5 and md5_expect != b"\x00" * 16:
-        width = 2 if bps_si <= 16 else 4
-        raw = out.astype(f"<i{width}").tobytes()
+        # RFC 9639: the MD5 runs over ceil(bps/8) little-endian bytes
+        # per sample, channel-interleaved — 1 byte for 8-bit, 3 bytes
+        # for 17-24 bit (NOT padded to 2/4; ADVICE r4 item #2)
+        width = (bps_si + 7) // 8
+        if width == 3:
+            # order="C": astype's default order="K" would keep the .T
+            # view's F-layout and break the row-major uint8 view
+            a4 = out.astype("<i4", order="C")
+            raw = a4.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+        else:
+            raw = out.astype(f"<i{width}").tobytes()
         if hashlib.md5(raw).digest() != md5_expect:
             raise ValueError("decoded audio MD5 mismatch")
     out = out.astype(np.int32)

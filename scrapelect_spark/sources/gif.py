@@ -140,10 +140,13 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 _MAX_PIXELS = 1 << 24  # decoder cap, same guard as the JPEG codec
 
 
-def decode_gif(data: bytes, max_frames: int | None = None):
-    """GIF bytes → ``(frames, delays_cs)``: frames is a list of HxWx3
-    uint8 RGB arrays (full logical screen, composited per disposal),
-    delays_cs the per-frame delay in centiseconds (0 when absent)."""
+def iter_gif_frames(data: bytes):
+    """Lazily decode a GIF: yields ``(frame_rgb, delay_cs)`` per frame,
+    where frame_rgb is an HxWx3 uint8 composite of the full logical
+    screen (disposal methods 0-3 applied).  Memory stays O(one canvas)
+    regardless of frame count — consumers that sample (frame_sample)
+    or cap (decode_gif ``max_frames``) never materialize a hostile
+    many-frame animation (ADVICE r4 item #3)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     W, H, packed, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
@@ -158,8 +161,6 @@ def decode_gif(data: bytes, max_frames: int | None = None):
             raise ValueError("truncated global color table")
         pos += 3 * n
 
-    frames: list[np.ndarray] = []
-    delays: list[int] = []
     # canvas starts as the background color (or black without a GCT)
     if gct is not None and bg < len(gct):
         canvas = np.tile(gct[bg], (H, W, 1)).astype(np.uint8)
@@ -248,8 +249,7 @@ def decode_gif(data: bytes, max_frames: int | None = None):
             region = rgb
         prev_region = canvas[iy : iy + ih, ix : ix + iw].copy()
         canvas[iy : iy + ih, ix : ix + iw] = region
-        frames.append(canvas.copy())
-        delays.append(delay_cs)
+        yield canvas.copy(), delay_cs
         if disposal == 2:  # restore to background
             canvas[iy : iy + ih, ix : ix + iw] = bg_rgb
         elif disposal == 3:  # restore to previous
@@ -257,6 +257,18 @@ def decode_gif(data: bytes, max_frames: int | None = None):
         transparent = None
         disposal = 0
         delay_cs = 0
+
+
+def decode_gif(data: bytes, max_frames: int | None = None):
+    """GIF bytes → ``(frames, delays_cs)``: frames is a list of HxWx3
+    uint8 RGB arrays (full logical screen, composited per disposal),
+    delays_cs the per-frame delay in centiseconds (0 when absent).
+    ``max_frames`` bounds how many composites are materialized."""
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    for rgb, delay_cs in iter_gif_frames(data):
+        frames.append(rgb)
+        delays.append(delay_cs)
         if max_frames is not None and len(frames) >= max_frames:
             break
     if not frames:

@@ -24,6 +24,10 @@ import io
 
 _CRLF = b"\r\n"
 
+#: cap on a decompressed WARC segment (segments are written one Arrow
+#: batch at a time, well under this; only hostile input gets near it)
+_MAX_SEGMENT_BYTES = 256 << 20
+
 
 def _record_id(url: str, date: str, seq: int) -> str:
     h = hashlib.sha1(f"{url}|{date}|{seq}".encode()).hexdigest()
@@ -128,11 +132,16 @@ def read_warc(data: bytes):
         import zlib
 
         try:
-            buf = io.BytesIO()
             with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
-                # gzip module iterates members transparently
-                buf.write(gz.read())
-            data = buf.getvalue()
+                # gzip module iterates members transparently; cap the
+                # decompressed side so a hostile segment can't bomb
+                # executor memory (ADVICE r4: same cap as fetch stage)
+                out = gz.read(_MAX_SEGMENT_BYTES + 1)
+            if len(out) > _MAX_SEGMENT_BYTES:
+                raise ValueError(
+                    f"gzip segment inflates past {_MAX_SEGMENT_BYTES} bytes"
+                )
+            data = out
         except (OSError, EOFError, zlib.error) as e:
             raise ValueError(f"corrupt gzip segment: {e}") from None
     out = []

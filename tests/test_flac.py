@@ -223,14 +223,15 @@ def _subframe_constant_wasted(w, value, wasted, bps=16):
     w.write(value >> wasted, bps - wasted)
 
 
-def _build_stream(nch, bps, bs, ch_code, subframe_writers, rate=16000, total=None):
+def _build_stream(nch, bps, bs, ch_code, subframe_writers, rate=16000,
+                  total=None, md5=b"\x00" * 16):
     hdr = _BitWriter()
     hdr.write(0b11111111111110, 14)
     hdr.write(0, 2)
     hdr.write(0b0111, 4)  # 16-bit blocksize at end
     hdr.write(0b0101, 4)  # 16 kHz from table
     hdr.write(ch_code, 4)
-    hdr.write({8: 0b001, 16: 0b100}[bps], 3)
+    hdr.write({8: 0b001, 16: 0b100, 20: 0b101, 24: 0b110}[bps], 3)
     hdr.write(0, 1)
     hdr.align()
     head = bytearray(hdr.bytes())
@@ -253,7 +254,7 @@ def _build_stream(nch, bps, bs, ch_code, subframe_writers, rate=16000, total=Non
     info.write(nch - 1, 3)
     info.write(bps - 1, 5)
     info.write(total if total is not None else bs, 36)
-    streaminfo = info.bytes() + b"\x00" * 16  # MD5 unset → skipped
+    streaminfo = info.bytes() + md5  # all-zero MD5 → check skipped
     return b"fLaC" + bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo + frame
 
 
@@ -350,6 +351,75 @@ def test_reserved_subframe_type_rejected():
     blob = _build_stream(1, 16, 4, 0, [bad])
     with pytest.raises(ValueError, match="reserved subframe"):
         decode_flac(blob)
+
+
+def test_md5_width_follows_bps_8_and_24_bit():
+    """RFC 9639: MD5 runs over ceil(bps/8) LE bytes per sample — a
+    valid 8- or 24-bit stream with a populated MD5 must verify (ADVICE
+    r4: the old 2-else-4-byte pack rejected every such stream)."""
+    samples = list(range(-60, 68))
+
+    def verbatim8(w):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in samples:
+            w.write(int(v), 8)
+
+    md5 = hashlib.md5(np.array(samples, dtype="<i1").tobytes()).digest()
+    blob = _build_stream(1, 8, len(samples), 0, [verbatim8], md5=md5)
+    out, _ = decode_flac(blob)
+    assert out.tolist() == samples
+
+    s24 = [0, 1, -1, 123456, -123456, 8388607, -8388608]
+
+    def verbatim24(w):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in s24:
+            w.write(int(v), 24)
+
+    raw = b"".join(int(v).to_bytes(3, "little", signed=True) for v in s24)
+    blob = _build_stream(
+        1, 24, len(s24), 0, [verbatim24], md5=hashlib.md5(raw).digest()
+    )
+    out, _ = decode_flac(blob)
+    assert out.tolist() == s24
+    # the old (wrong) 4-byte pack must now be REJECTED for 24-bit
+    bad = hashlib.md5(np.array(s24, dtype="<i4").tobytes()).digest()
+    blob = _build_stream(1, 24, len(s24), 0, [verbatim24], md5=bad)
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(blob)
+
+
+def test_md5_width_24bit_stereo_interleaved():
+    """Stereo 24-bit: bytes are channel-interleaved per sample frame."""
+    left = [100000, -100000, 42]
+    right = [-1, 8000000, -8000000]
+
+    def verbatim(ch):
+        def sub(w):
+            w.write(0, 1)
+            w.write(1, 6)
+            w.write(0, 1)
+            for v in ch:
+                w.write(int(v), 24)
+
+        return sub
+
+    inter = b"".join(
+        int(v).to_bytes(3, "little", signed=True)
+        for pair in zip(left, right)
+        for v in pair
+    )
+    blob = _build_stream(
+        2, 24, 3, 1, [verbatim(left), verbatim(right)],
+        md5=hashlib.md5(inter).digest(),
+    )
+    out, _ = decode_flac(blob)
+    assert out[:, 0].tolist() == left
+    assert out[:, 1].tolist() == right
 
 
 def test_md5_verified_when_present():

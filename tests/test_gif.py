@@ -268,6 +268,47 @@ def test_frame_sample_over_animated_gif(spark):
         assert (r.h, r.w) == (10, 14)
 
 
+def test_iter_gif_frames_is_lazy():
+    """frame_sample's GIF path must not materialize all composites:
+    iter_gif_frames yields one frame at a time (ADVICE r4 item #3)."""
+    import itertools
+
+    from scrapelect_spark.sources.gif import iter_gif_frames
+
+    pal = RNG.integers(0, 256, (4, 3), dtype=np.uint8)
+    anim = [pal[RNG.integers(0, 4, (6, 6))] for _ in range(30)]
+    blob = encode_gif(anim)
+    it = iter_gif_frames(blob)
+    assert iter(it) is it  # a real generator, not a list
+    first = list(itertools.islice(it, 2))
+    assert len(first) == 2
+    assert np.array_equal(first[0][0], anim[0])
+    it.close()  # abandoning mid-stream is fine
+
+
+def test_frame_sample_caps_hostile_frame_count(spark):
+    """Animations longer than MAX_SCAN_FRAMES are truncated, not an
+    unbounded decode loop."""
+    import pandas as pd
+
+    from scrapelect_spark.operators import multimodal
+    from scrapelect_spark.operators.multimodal import frame_sample
+
+    pal = RNG.integers(0, 256, (4, 3), dtype=np.uint8)
+    anim = [pal[RNG.integers(0, 4, (4, 4))] for _ in range(9)]
+    blob = encode_gif(anim)
+    video = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["g"], "bytes": [blob]})
+    )
+    old = multimodal.MAX_SCAN_FRAMES
+    multimodal.MAX_SCAN_FRAMES = 5
+    try:
+        rows = frame_sample(video, every_n=2).collect()
+    finally:
+        multimodal.MAX_SCAN_FRAMES = old
+    assert sorted(r.frame_idx for r in rows) == [0, 2, 4]
+
+
 def test_frame_sample_gif_error_capture(spark):
     import pandas as pd
     from scrapelect_spark.operators.multimodal import frame_sample

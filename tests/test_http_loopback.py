@@ -264,7 +264,15 @@ def test_sniff_encoding_rules():
     from scrapelect_spark.sources.fetch import sniff_encoding
 
     assert sniff_encoding(b"\xef\xbb\xbfhello", None) == "utf-8-sig"
-    assert sniff_encoding(b"\xff\xfeh\x00", None) == "utf-16-le"
+    # BOM-aware codec so the BOM is consumed, not decoded as U+FEFF
+    assert sniff_encoding(b"\xff\xfeh\x00", None) == "utf-16"
+    assert sniff_encoding(b"\xfe\xff\x00h", None) == "utf-16"
+    assert b"\xff\xfeh\x00i\x00".decode(
+        sniff_encoding(b"\xff\xfeh\x00i\x00", None)
+    ) == "hi"
+    assert b"\xfe\xff\x00h\x00i".decode(
+        sniff_encoding(b"\xfe\xff\x00h\x00i", None)
+    ) == "hi"
     assert sniff_encoding(b"<html>", "latin-1") == "latin-1"
     assert sniff_encoding(b"<html>", "not-a-charset") == "utf-8"
     meta = b'<html><head><meta charset="iso-8859-1"></head>x'
@@ -295,7 +303,55 @@ def test_decode_content_variants():
     assert decode_content(rawdeflate, "deflate") == raw
     assert decode_content(raw, None) == raw
     assert decode_content(raw, "br") == raw  # unknown → raw passthrough
-    assert decode_content(b"\x1f\x8bbroken", "gzip") == b"\x1f\x8bbroken"
+
+
+def test_decode_content_rejects_bombs_and_truncation():
+    """ADVICE r4: compressed bytes must never pass through as text,
+    and decompression must bound its own output (gzip bomb)."""
+    import gzip as _gz
+
+    import pytest
+
+    from scrapelect_spark.sources.fetch import (
+        ContentDecodeError,
+        decode_content,
+    )
+
+    raw = b"<html>" + b"a" * 4096 + b"</html>"
+    gz = _gz.compress(raw)
+    # corrupt stream → error, NOT passthrough of compressed bytes
+    with pytest.raises(ContentDecodeError):
+        decode_content(b"\x1f\x8bbroken", "gzip")
+    # truncated stream (as produced by the fetcher's max_bytes read cap)
+    with pytest.raises(ContentDecodeError):
+        decode_content(gz[: len(gz) // 2], "gzip")
+    with pytest.raises(ContentDecodeError):
+        decode_content(b"garbage-not-deflate", "deflate")
+    # bomb: tiny compressed side, output capped by max_out
+    bomb = _gz.compress(b"\x00" * (1 << 20))
+    assert len(bomb) < 2048
+    with pytest.raises(ContentDecodeError, match="cap"):
+        decode_content(bomb, "gzip", max_out=1 << 16)
+    # exactly-at-cap output is fine
+    assert decode_content(_gz.compress(raw), "gzip", max_out=len(raw)) == raw
+
+
+def test_read_warc_caps_decompressed_segment():
+    import gzip as _gz
+
+    import pytest
+
+    from scrapelect_spark.sources import warc as warc_mod
+    from scrapelect_spark.sources.warc import read_warc
+
+    bomb = _gz.compress(b"\x00" * (4 << 20))
+    old = warc_mod._MAX_SEGMENT_BYTES
+    warc_mod._MAX_SEGMENT_BYTES = 1 << 20
+    try:
+        with pytest.raises(ValueError, match="inflates past"):
+            read_warc(bomb)
+    finally:
+        warc_mod._MAX_SEGMENT_BYTES = old
 
 
 def test_http_fetch_gzip_and_meta_charset(spark):
