@@ -153,36 +153,56 @@ def decode_adpcm(data: bytes, n_samples: int) -> np.ndarray:
     return np.array(out, dtype=np.int16)
 
 
-# --- WAV fmt=0x11 container (IMA ADPCM in WAV, mono) ------------------
+# --- WAV fmt=0x11 container (IMA ADPCM in WAV, mono + stereo) ---------
 
 
 def encode_wav_ima(
     pcm16: np.ndarray, rate: int, block_align: int = 256
 ) -> bytes:
-    """int16 mono samples → a standard IMA-ADPCM WAV file
-    (wFormatTag=0x11): block-structured data (4-byte header carrying
-    the verbatim first sample + step index per block, then low-first
-    nibbles), fact chunk with the true sample count."""
+    """int16 samples (1-D mono or ``(n, 2)`` stereo) → a standard
+    IMA-ADPCM WAV file (wFormatTag=0x11): block-structured data with a
+    4-byte header PER CHANNEL (verbatim first sample + step index),
+    then — stereo — channel data interleaved in 4-byte (8-nibble)
+    groups, left group first (the canonical fmt=0x11 layout); fact
+    chunk carries the true per-channel frame count."""
     import struct
 
     samples = np.asarray(pcm16, dtype=np.int64)
-    n = len(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2 or samples.shape[1] not in (1, 2):
+        raise ValueError("expected mono or stereo int16 samples")
+    n, nch = samples.shape
     if n == 0:
         raise ValueError("no samples")
-    spb = (block_align - 4) * 2 + 1  # samples per block
-    index = 0
+    data_per_ch = (block_align - 4 * nch) // nch  # payload bytes/channel
+    if data_per_ch <= 0 or (nch == 2 and data_per_ch % 4):
+        raise ValueError(f"bad block_align {block_align} for {nch}ch")
+    spb = data_per_ch * 2 + 1  # sample frames per block
+    indices = [0] * nch
     blocks = []
     for start in range(0, n, spb):
         chunk = samples[start : start + spb]
-        pred = int(chunk[0])
-        hdr = struct.pack("<hBB", pred, index, 0)
-        codes, _, index = _encode_core(chunk[1:], pred, index)
-        body = _pack(codes)
-        blocks.append(hdr + body.ljust(block_align - 4, b"\x00"))
+        hdr = b""
+        ch_codes = []
+        for c in range(nch):
+            pred = int(chunk[0, c])
+            hdr += struct.pack("<hBB", pred, indices[c], 0)
+            codes, _, indices[c] = _encode_core(chunk[1:, c], pred, indices[c])
+            codes += [0] * (data_per_ch * 2 - len(codes))  # pad final block
+            ch_codes.append(codes)
+        if nch == 1:
+            body = _pack(ch_codes[0])
+        else:
+            body = b"".join(
+                _pack(ch_codes[0][g : g + 8]) + _pack(ch_codes[1][g : g + 8])
+                for g in range(0, data_per_ch * 2, 8)
+            )
+        blocks.append(hdr + body)
     data = b"".join(blocks)
     avg_bps = rate * block_align // spb
     fmt = struct.pack(
-        "<HHIIHHHH", 0x11, 1, rate, avg_bps, block_align, 4, 2, spb
+        "<HHIIHHHH", 0x11, nch, rate, avg_bps, block_align, 4, 2, spb
     )
     fact = struct.pack("<I", n)
 
@@ -226,26 +246,46 @@ def decode_wav_ima(data: bytes) -> tuple[np.ndarray, int]:
     tag_, nch, rate, _avg, block_align, bits, spb = fmt
     if tag_ != 0x11:
         raise ValueError(f"not IMA ADPCM (format tag 0x{tag_:X})")
-    if nch != 1 or bits != 4:
-        raise NotImplementedError("only mono 4-bit IMA ADPCM supported")
+    if nch not in (1, 2) or bits != 4:
+        raise NotImplementedError("only mono/stereo 4-bit IMA ADPCM supported")
     if spb is None:
-        spb = (block_align - 4) * 2 + 1
-    out: list[int] = []
+        spb = ((block_align - 4 * nch) // nch) * 2 + 1
+    chans: list[list[int]] = [[] for _ in range(nch)]
     total = fact_n if fact_n is not None else (1 << 62)
     for bstart in range(0, len(raw), block_align):
         block = raw[bstart : bstart + block_align]
-        if len(block) < 4 or len(out) >= total:
+        if len(block) < 4 * nch or len(chans[0]) >= total:
             break
-        pred, index, _ = struct.unpack("<hBB", block[:4])
-        index = min(88, max(0, index))
-        out.append(pred)
-        codes = _unpack_nibbles(block[4:])[: spb - 1]
-        if len(out) + len(codes) > total:
-            codes = codes[: total - len(out)]
-        _decode_codes(codes, pred, index, out)
-    if fact_n is not None and len(out) < fact_n:
-        raise ValueError(f"truncated data: {len(out)} < {fact_n} samples")
-    return np.array(out[:total] if fact_n else out, dtype=np.int16), int(rate)
+        preds, indices = [], []
+        for c in range(nch):
+            pred, index, _ = struct.unpack("<hBB", block[4 * c : 4 * c + 4])
+            preds.append(pred)
+            indices.append(min(88, max(0, index)))
+            chans[c].append(pred)
+        if nch == 1:
+            codes = _unpack_nibbles(block[4:])[: spb - 1]
+            if len(chans[0]) + len(codes) > total:
+                codes = codes[: total - len(chans[0])]
+            _decode_codes(codes, preds[0], indices[0], chans[0])
+        else:
+            # channel data interleaved in 4-byte / 8-nibble groups
+            per_ch: list[list[int]] = [[], []]
+            body = block[8:]
+            for g in range(0, len(body) - len(body) % 4, 4):
+                per_ch[(g // 4) % 2].extend(_unpack_nibbles(body[g : g + 4]))
+            for c in range(nch):
+                codes = per_ch[c][: spb - 1]
+                if len(chans[c]) + len(codes) > total:
+                    codes = codes[: total - len(chans[c])]
+                _decode_codes(codes, preds[c], indices[c], chans[c])
+    if fact_n is not None and len(chans[0]) < fact_n:
+        raise ValueError(
+            f"truncated data: {len(chans[0])} < {fact_n} samples"
+        )
+    arr = np.array(
+        [c[:total] if fact_n else c for c in chans], dtype=np.int16
+    ).T
+    return (arr[:, 0] if nch == 1 else arr), int(rate)
 
 
 def snr_db(original: np.ndarray, decoded: np.ndarray) -> float:
