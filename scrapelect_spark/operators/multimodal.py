@@ -57,9 +57,8 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
         return decode_gif(bytes(data), max_frames=1)[0][0]
     if fmt == "bmp":
-        # REAL path: Windows DIB (sources/bmp.py — 1/4/8/24/32-bit,
-        # palettes, RLE8, top-down); BITFIELDS/RLE4 raise into the
-        # per-row error capture.
+        # REAL path: Windows DIB (sources/bmp.py — 1/4/8/16/24/32-bit,
+        # palettes, RLE8 + RLE4, BITFIELDS masks, top-down).
         from ..sources.bmp import decode_bmp
 
         return decode_bmp(bytes(data))

@@ -4,11 +4,12 @@ web crawl still encounters constantly.
 Written from the public format layout (BITMAPFILEHEADER +
 BITMAPINFOHEADER and its V4/V5 supersets share the same prefix):
 bottom-up BGR rows padded to 4 bytes, palettized 1/4/8-bit with BGRA
-color tables, 24/32-bit truecolor, and RLE8 compression (encoded
-runs, absolute mode, end-of-line/bitmap and delta escapes).  The
-encoder writes uncompressed 24-bit BI_RGB — the exact-roundtrip
-subset every decoder reads.  BITFIELDS and RLE4 raise ``ValueError``
-into the per-row error capture upstream.
+color tables, 16/24/32-bit truecolor, RLE8 + RLE4 compression
+(encoded runs, absolute mode, end-of-line/bitmap and delta escapes),
+and BI_BITFIELDS with arbitrary contiguous channel masks (565/555/
+8888 and friends; sub-8-bit channels scale to 0-255 by rounding).
+The encoder writes uncompressed 24-bit BI_RGB — the exact-roundtrip
+subset every decoder reads.
 """
 
 from __future__ import annotations
@@ -76,6 +77,73 @@ def _decode_rle8(data: bytes, w: int, h: int) -> np.ndarray:
     return out[::-1]  # stored bottom-up
 
 
+def _decode_rle4(data: bytes, w: int, h: int) -> np.ndarray:
+    """RLE4 → HxW palette indices.  Encoded runs alternate the two
+    nibbles of the value byte; absolute runs pack nibbles high-first
+    and are word-aligned; escapes match RLE8."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run: alternating high/low nibble
+            end = min(x + cnt, w)
+            if y < h and end > x:
+                seq = np.empty(end - x, dtype=np.uint8)
+                seq[0::2] = val >> 4
+                seq[1::2] = val & 0x0F
+                out[y, x:end] = seq
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if pos + 1 >= n:
+                raise ValueError("truncated RLE4 delta")
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: val nibbles, high-first, word-aligned
+            nbytes = (val + 1) // 2
+            if pos + nbytes > n:
+                raise ValueError("truncated RLE4 absolute run")
+            b = np.frombuffer(data[pos : pos + nbytes], dtype=np.uint8)
+            nib = np.empty(2 * nbytes, dtype=np.uint8)
+            nib[0::2] = b >> 4
+            nib[1::2] = b & 0x0F
+            end = min(x + val, w)
+            if y < h:
+                out[y, x:end] = nib[: end - x]
+            x = end
+            pos += (nbytes + 1) & ~1
+        if y >= h and x == 0:
+            break
+    return out[::-1]  # stored bottom-up
+
+
+def _apply_masks(vals: np.ndarray, masks: tuple[int, int, int]) -> np.ndarray:
+    """(h, w) uint32 pixel words + (r, g, b) channel masks → HxWx3
+    uint8 RGB.  Each channel scales to 0-255 with round-to-nearest
+    (identity for 8-bit masks, so 8888 BITFIELDS is lossless)."""
+    chans = []
+    for m in masks:
+        m = int(m)
+        if m == 0:
+            chans.append(np.zeros(vals.shape, dtype=np.uint8))
+            continue
+        shift = (m & -m).bit_length() - 1
+        width = (m >> shift).bit_length()
+        if (m >> shift) != (1 << width) - 1:
+            raise ValueError(f"non-contiguous BITFIELDS mask 0x{m:x}")
+        maxv = (1 << width) - 1
+        c = (vals >> shift) & maxv
+        chans.append(((c * 255 + maxv // 2) // maxv).astype(np.uint8))
+    return np.stack(chans, axis=-1)
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes → HxWx3 uint8 RGB."""
     if data[:2] != b"BM" or len(data) < 54:
@@ -93,11 +161,17 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"bad BMP dimensions {w}x{h}")
     if planes != 1:
         raise ValueError(f"bad plane count {planes}")
-    if comp == 3:
-        raise ValueError("BITFIELDS BMP not supported")
-    if comp == 2:
-        raise ValueError("RLE4 BMP not supported")
-    if comp not in (0, 1):
+    masks = None
+    if comp == 3:  # BI_BITFIELDS
+        if bpp not in (16, 32):
+            raise ValueError(f"BITFIELDS requires 16/32 bpp, got {bpp}")
+        # masks live at file offset 54 for every header: appended after
+        # a 40-byte BITMAPINFOHEADER, in-header (DIB offset 40) for
+        # the V2/V3/V4/V5 supersets
+        if len(data) < 66:
+            raise ValueError("truncated BITFIELDS masks")
+        masks = struct.unpack("<III", data[54:66])
+    elif comp not in (0, 1, 2):
         raise ValueError(f"unsupported BMP compression {comp}")
 
     palette = None
@@ -117,6 +191,15 @@ def decode_bmp(data: bytes) -> np.ndarray:
         if top_down:
             idx = idx[::-1]
         return palette[idx]
+    if comp == 2:
+        if bpp != 4:
+            raise ValueError("RLE4 requires 4 bpp")
+        idx = _decode_rle4(data[offset:], w, h)
+        if top_down:
+            idx = idx[::-1]
+        if np.any(idx >= len(palette)):
+            raise ValueError("BMP palette index out of range")
+        return palette[idx]
 
     stride = ((w * bpp + 31) // 32) * 4
     need = stride * h
@@ -129,7 +212,25 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if bpp == 24:
         rgb = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
         return rgb.copy()
+    if bpp == 16:
+        # BI_RGB 16-bit defaults to XRGB1555; BITFIELDS supplies masks
+        if masks is None:
+            masks = (0x7C00, 0x03E0, 0x001F)
+        vals = (
+            np.ascontiguousarray(rows[:, : w * 2])
+            .view("<u2")
+            .reshape(h, w)
+            .astype(np.uint32)
+        )
+        return _apply_masks(vals, masks)
     if bpp == 32:
+        if masks is not None:
+            vals = (
+                np.ascontiguousarray(rows[:, : w * 4])
+                .view("<u4")
+                .reshape(h, w)
+            )
+            return _apply_masks(vals, masks)
         rgba = rows[:, : w * 4].reshape(h, w, 4)
         return rgba[:, :, 2::-1].copy()  # BGRX → RGB
     if bpp == 8:

@@ -98,10 +98,88 @@ def test_rle8_delta_skips():
     assert np.array_equal(out[1], p[[0, 0, 0, 0]])
 
 
+def test_rle4():
+    pal = [(i * 16, 255 - i * 16, i) for i in range(16)]
+    p = np.array(pal, dtype=np.uint8)
+    # 6x2: row A = run of 5 alternating (3,8) + run 1x2; row B = absolute
+    rle = bytes(
+        [5, 0x38, 1, 0x20, 0, 0]  # run 3,8,3,8,3 then 2; EOL
+        + [0, 5, 0x12, 0x34, 0x50, 0x00, 1, 0x90, 0, 1]
+        # absolute 5 nibbles 1,2,3,4,5 (3 bytes + 1 pad), run 1x9, EOB
+    )
+    out = decode_bmp(_build(6, 2, 4, rle, palette=pal, comp=2))
+    assert np.array_equal(out[1], p[[3, 8, 3, 8, 3, 2]])  # bottom first
+    assert np.array_equal(out[0], p[[1, 2, 3, 4, 5, 9]])
+
+
+def test_rle4_delta_skips():
+    pal = [(i, 0, 0) for i in range(16)]
+    rle = bytes([0, 2, 2, 1, 2, 0x57, 0, 1])  # delta (2,1), run 5,7
+    out = decode_bmp(_build(4, 2, 4, rle, palette=pal, comp=2))
+    p = np.array(pal, dtype=np.uint8)
+    assert np.array_equal(out[0], p[[0, 0, 5, 7]])
+    assert np.array_equal(out[1], p[[0, 0, 0, 0]])
+
+
+def _build_bf(w, h, bpp, pixel_rows, masks):
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 3, len(pixel_rows), 0, 0, 0, 0
+    )
+    mask_bytes = struct.pack("<III", *masks)
+    offset = 14 + 40 + 12
+    head = struct.pack("<2sIHHI", b"BM", offset + len(pixel_rows), 0, 0, offset)
+    return head + dib + mask_bytes + pixel_rows
+
+
+def test_bitfields_565():
+    # 2x1, RGB565: (31,63,31)=white-ish max; (16,32,8)
+    v0 = (31 << 11) | (63 << 5) | 31
+    v1 = (16 << 11) | (32 << 5) | 8
+    rows = struct.pack("<HH", v0, v1)
+    out = decode_bmp(_build_bf(2, 1, 16, rows, (0xF800, 0x07E0, 0x001F)))
+    assert np.array_equal(out[0, 0], [255, 255, 255])
+    # round-to-nearest scaling: (c*255 + max//2) // max
+    assert np.array_equal(
+        out[0, 1],
+        [(16 * 255 + 15) // 31, (32 * 255 + 31) // 63, (8 * 255 + 15) // 31],
+    )
+
+
+def test_bitfields_8888_lossless():
+    img = RNG.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    rows = b""
+    stride_pad = b""  # w*4 already dword-aligned
+    for r in img[::-1]:  # bottom-up
+        rows += b"".join(
+            struct.pack("<I", (c[0] << 16) | (c[1] << 8) | c[2]) for c in r
+        )
+    out = decode_bmp(
+        _build_bf(5, 3, 32, rows + stride_pad, (0xFF0000, 0x00FF00, 0x0000FF))
+    )
+    assert np.array_equal(out, img)
+
+
+def test_16bpp_rgb_defaults_to_555():
+    v = (10 << 10) | (20 << 5) | 30
+    rows = struct.pack("<H", v) + b"\x00\x00"  # pad to dword
+    out = decode_bmp(_build(1, 1, 16, rows))
+    assert np.array_equal(
+        out[0, 0],
+        [(10 * 255 + 15) // 31, (20 * 255 + 15) // 31, (30 * 255 + 15) // 31],
+    )
+
+
+def test_bitfields_noncontiguous_mask_rejected():
+    rows = struct.pack("<HH", 0, 0)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        decode_bmp(_build_bf(2, 1, 16, rows, (0xF0F0, 0x0F00, 0x000F)))
+
+
 @pytest.mark.parametrize("mutilate,msg", [
     (lambda b: b"XX" + b[2:], "not a BMP"),
     (lambda b: b[:-8], "truncated BMP pixel"),
-    (lambda b: b[:30] + b"\x03" + b[31:], "BITFIELDS"),  # compression @30
+    # compression byte @30 → BITFIELDS, but the image is 24bpp
+    (lambda b: b[:30] + b"\x03" + b[31:], "BITFIELDS requires 16/32"),
 ])
 def test_errors(mutilate, msg):
     img = RNG.integers(0, 256, (6, 6, 3), dtype=np.uint8)
