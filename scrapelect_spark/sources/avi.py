@@ -7,9 +7,11 @@ by sources/jpeg.py), and the RIFF container layout is fully public
 stream (avih + strh/strf headers, 'movi' chunk list, idx1 index);
 reader walks the RIFF tree and yields the '00dc'/'00db' frame chunks.
 
-Interframe-compressed codecs (H.264 etc.) stay out of scope — they
-need a real codec library; the contract documented on
-``operators/multimodal.frame_sample`` is unchanged for them.
+``mux_avi`` is codec-agnostic (sources/msvc.py reuses it for
+interframe MS Video 1 / CRAM streams).  Motion-compensated codecs
+(H.264 etc.) stay out of scope — they need a real codec library; the
+contract documented on ``operators/multimodal.frame_sample`` is
+unchanged for them.
 """
 
 from __future__ import annotations
@@ -31,16 +33,24 @@ def _list(listtype: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", listtype + body)
 
 
-def encode_avi_mjpeg(
-    frames: list[np.ndarray], fps: int = 10, quality: int = 90
+def mux_avi(
+    chunks: list[bytes],
+    w: int,
+    h: int,
+    fps: int = 10,
+    fourcc: bytes = b"MJPG",
+    bitcount: int = 24,
+    keyframes: list[bool] | None = None,
 ) -> bytes:
-    """Encode uint8 frames (all same HxW[x3]) → MJPEG AVI bytes."""
-    if not frames:
+    """Compressed frame chunks → single-video-stream AVI bytes
+    (avih + strh/strf headers, 'movi' list, idx1 index).  ``keyframes``
+    marks which idx1 entries get AVIIF_KEYFRAME (all, when omitted —
+    correct for intraframe codecs like MJPEG)."""
+    if not chunks:
         raise ValueError("no frames")
-    h, w = frames[0].shape[:2]
-    if any(f.shape[:2] != (h, w) for f in frames):
-        raise ValueError("frames differ in size")
-    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+    if keyframes is None:
+        keyframes = [True] * len(chunks)
+    jpegs = chunks
     n = len(jpegs)
     max_bytes = max(len(j) for j in jpegs)
 
@@ -64,7 +74,7 @@ def encode_avi_mjpeg(
     strh = _chunk(
         b"strh",
         b"vids"
-        + b"MJPG"
+        + fourcc
         + struct.pack(
             "<IHHIIIIIIIi4H",
             0,  # dwFlags
@@ -86,9 +96,9 @@ def encode_avi_mjpeg(
             w,
             h,
             1,  # planes
-            24,  # bitcount
-            b"MJPG",  # compression
-            w * h * 3,  # size image
+            bitcount,
+            fourcc,  # compression
+            w * h * (bitcount // 8),  # size image
             0, 0, 0, 0,
         ),
     )
@@ -98,14 +108,43 @@ def encode_avi_mjpeg(
     # idx1: one entry per frame — offset relative to 'movi' fourcc
     idx_entries = []
     off = 4
-    for j in jpegs:
+    for j, key in zip(jpegs, keyframes):
         idx_entries.append(
-            b"00dc" + struct.pack("<III", 0x10, off, len(j))
+            b"00dc" + struct.pack("<III", 0x10 if key else 0, off, len(j))
         )
         off += 8 + len(j) + (len(j) % 2)
     idx1 = _chunk(b"idx1", b"".join(idx_entries))
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 90
+) -> bytes:
+    """Encode uint8 frames (all same HxW[x3]) → MJPEG AVI bytes."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("frames differ in size")
+    return mux_avi(
+        [encode_jpeg(f, quality=quality) for f in frames], w, h, fps
+    )
+
+
+def avi_video_fourcc(data: bytes) -> bytes:
+    """The first video stream's codec fourcc (from strh), uppercased —
+    how frame_sample routes MJPG vs CRAM/MSVC payloads."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    for fourcc, start, length in _walk_chunks(data, 12, len(data)):
+        if fourcc == b"LIST" and data[start : start + 4] == b"hdrl":
+            for f2, s2, l2 in _walk_chunks(data, start + 4, start + length):
+                if f2 == b"LIST" and data[s2 : s2 + 4] == b"strl":
+                    for f3, s3, l3 in _walk_chunks(data, s2 + 4, s2 + l2):
+                        if f3 == b"strh" and data[s3 : s3 + 4] == b"vids":
+                            return data[s3 + 4 : s3 + 8].upper()
+    raise ValueError("no video stream header")
 
 
 def _walk_chunks(data: bytes, pos: int, end: int) -> Iterator[tuple[bytes, int, int]]:
