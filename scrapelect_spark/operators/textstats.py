@@ -380,6 +380,75 @@ def corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quota_sample_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof quota sampling — identical output to
+    :func:`corpus_quota_sample`, different physical shape (VERDICT r4
+    performance caveat: a per-SOURCE window is one task per source, so
+    one 50-TB source serializes onto one core at 100 TB).
+
+    The md5 priority order is split into 16 contiguous ranges by its
+    first hex digit ("bucket"), so the global per-source cumulative sum
+    decomposes exactly:
+
+    1. per-(source, bucket) token totals — a partial-agg shuffle with
+       16× the keys (256× with a 2-char prefix at larger scale);
+    2. per-source bucket offsets — a window over ≤16 rows per source,
+       tiny by construction, then BROADCAST back;
+    3. the running sum windows over (source, bucket) — the largest
+       single window task shrinks by the bucket fan-out — and a row is
+       kept when offset + within-bucket cumulative ≤ quota.
+
+    Buckets whose offset already exceeds the quota are pruned before
+    the big window ever sees their rows."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "source",
+        F.size(_tok_col()).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("pri"),
+    ).withColumn("bucket", F.substring("pri", 1, 1))
+    totals = sized.groupBy("source", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        totals.withColumn(
+            "offset_tokens",
+            F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)),
+        )
+        # prune: a bucket starting at/after the quota contributes no
+        # rows (n_tokens ≥ 1 for every doc — split of a trimmed text)
+        .filter(F.col("offset_tokens") < _QUOTA_TOKENS)
+        .select("source", "bucket", "offset_tokens")
+    )
+    w_run = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("pri")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = (
+        sized.join(F.broadcast(offsets), ["source", "bucket"])
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(w_run) + F.col("offset_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= _QUOTA_TOKENS)
+    )
+    return (
+        run.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sampled_docs"),
+            F.sum("n_tokens").cast("long").alias("sampled_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 _QUOTA_SQL = rf"""
 WITH sized AS (
   SELECT source, doc_id,
@@ -412,6 +481,7 @@ QUERIES = {
     "corpus_quality_filter": corpus_quality_filter,
     "corpus_hash_split": corpus_hash_split,
     "corpus_quota_sample": corpus_quota_sample,
+    "corpus_quota_sample_bucketed": corpus_quota_sample_bucketed,
 }
 
 ORACLE_SQL = {
@@ -423,4 +493,5 @@ ORACLE_SQL = {
     "corpus_quality_filter": _CORPUS_FILTER_SQL,
     "corpus_hash_split": _HASH_SPLIT_SQL,
     "corpus_quota_sample": _QUOTA_SQL,
+    "corpus_quota_sample_bucketed": _QUOTA_SQL,
 }

@@ -423,6 +423,41 @@ def test_quota_sample_window_is_partitioned(spark):
     del wlines
 
 
+def test_quota_sample_bucketed_plan_shape(spark):
+    """The skew-proof quota sampler (VERDICT r4 perf caveat): the BIG
+    window must partition by (source, bucket) — 16× the parallelism of
+    a per-source window — with the tiny per-source offsets window fed
+    back through a BROADCAST join, never a shuffle of the corpus."""
+    from scrapelect_spark.operators.textstats import (
+        corpus_quota_sample_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = corpus_quota_sample_bucketed(spark, SF)
+        df.collect()
+        plan = plan_of(df)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # keep only the AQE final plan (the string repeats the initial one)
+    plan = plan.split("== Initial Plan ==")[0]
+    windows = [l for l in plan.splitlines() if "+- Window [" in l]
+    assert len(windows) == 2, plan
+    big = [l for l in windows if "bucket" in l.split("], [")[-2]]
+    # the corpus-sized running sum partitions by BOTH source and bucket
+    assert any("source" in l and "bucket" in l for l in windows), plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    # exactly one corpus-sized exchange on (source, bucket) feeds the
+    # big window; the offsets side is bounded at 16 rows/source
+    big_ex = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "bucket" in l
+        and "ENSURE_REQUIREMENTS" in l
+    ]
+    assert len(big_ex) >= 1 and all("source" in l for l in big_ex), plan
+    del big
+
+
 def test_hash_split_single_shuffle(spark):
     """hash-split is projection + one partial-agg shuffle — no window,
     no join."""
