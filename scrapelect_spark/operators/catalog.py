@@ -32,6 +32,7 @@ _PRIORITY = [
     "video_msvc_roundtrip",
     "audio_adpcm_stereo",
     "corpus_quota_sample_bucketed",
+    "audio_g711_roundtrip",
     # never had a driver row (r4)
     "crawl_sitemap_ingest",
     "crawl_warc_roundtrip",

@@ -11,7 +11,8 @@ Real vs stubbed (per round instructions): PNG (sources/png.py),
 baseline + progressive JPEG (sources/jpeg.py), GIF87a/89a incl.
 animation (sources/gif.py), MJPEG-in-AVI frame sampling
 (sources/avi.py), WAV/PCM16 (sources/wav.py), lossy IMA ADPCM WAV
-(sources/adpcm.py), and lossless-compressed FLAC (sources/flac.py)
+(sources/adpcm.py, mono + stereo), G.711 μ-law/A-law WAV
+(sources/g711.py), and lossless-compressed FLAC (sources/flac.py)
 are all REAL pure-Python/numpy codecs.
 Interframe video is REAL at the vector-quantization tier: MS Video 1
 (CRAM, sources/msvc.py) decodes/encodes with skip blocks referencing
@@ -315,14 +316,17 @@ def audio_features(
 ) -> DataFrame:
     """Audio feature extraction over opaque binary columns — same
     Arrow plumbing as images.  REAL paths: WAV/PCM16 via stdlib
-    ``wave`` + numpy (sources/wav.py), LOSSY WAV fmt=0x11 (IMA ADPCM,
-    sources/adpcm.py) as the fallback when the PCM reader rejects the
-    format tag, and LOSSLESS-COMPRESSED FLAC (sources/flac.py, rice
+    ``wave`` + numpy (sources/wav.py); compressed WAV tags as
+    fallbacks when the PCM reader rejects the format — LOSSY fmt=0x11
+    IMA ADPCM (sources/adpcm.py, mono + stereo) then G.711 μ-law/A-law
+    fmt 7/6 (sources/g711.py, companders bit-identical to CPython's C
+    audioop); and LOSSLESS-COMPRESSED FLAC (sources/flac.py, rice
     codes + CRC from the public spec) — all → duration + RMS.  mp3/ogg
     remain declared stubs (they need psychoacoustic codec libraries);
     errors are captured per-row."""
     from ..sources.adpcm import decode_wav_ima
     from ..sources.flac import decode_flac
+    from ..sources.g711 import decode_wav_g711
     from ..sources.wav import duration_rms
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -336,15 +340,24 @@ def audio_features(
                     try:
                         dur[i], rms[i] = duration_rms(raw)
                     except Exception as e:  # wave.Error, ValueError, EOFError
-                        try:  # lossy WAV: IMA ADPCM (fmt tag 0x11)
-                            samples, rate = decode_wav_ima(bytes(raw))
+                        done = False
+                        # compressed WAV tags: IMA ADPCM (0x11), then
+                        # G.711 μ-law/A-law (7/6)
+                        for decoder in (decode_wav_ima, decode_wav_g711):
+                            try:
+                                samples, rate = decoder(bytes(raw))
+                            except Exception:
+                                continue
+                            if samples.ndim > 1:  # downmix for RMS
+                                samples = samples.mean(axis=1)
                             dur[i] = len(samples) / rate
                             x = samples.astype(np.float64) / 32768.0
                             rms[i] = float(np.sqrt(np.mean(x * x)))
                             err[i] = None
+                            done = True
+                            break
+                        if done:
                             continue
-                        except Exception:
-                            pass
                         # EOFError from a truncated header stringifies
                         # empty — fall back to the exception type name
                         msg = str(e) or type(e).__name__
@@ -1017,6 +1030,70 @@ def audio_adpcm_stereo(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_g711_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Gate for the G.711 telephony-audio path (μ-law + A-law WAV,
+    sources/g711.py — companders bit-identical to CPython's C
+    audioop): per doc, encode a sine to BOTH laws, decode through the
+    ``audio_features`` fallback chain semantics, and assert exact
+    duration + SNR ≥ 30 dB per law SQL-side (log companding holds
+    ~35-38 dB on a sine)."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.adpcm import snr_db
+    from ..sources.g711 import decode_wav_g711, encode_wav_g711
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            dur = np.empty(n_rows, dtype=object)
+            ok = np.empty(n_rows, dtype=object)
+            failed = np.empty(n_rows, dtype=object)
+            for i, doc_id in enumerate(pdf["doc_id"]):
+                doc_id = int(doc_id)
+                n = 4000 + (doc_id % 5) * 400
+                amp = ((doc_id % 9) + 1) / 16.0
+                t = np.arange(n)
+                x = np.round(
+                    amp * 32767 * np.sin(2 * np.pi * 440 * t / _WAV_RATE)
+                ).astype(np.int16)
+                try:
+                    good = True
+                    for law in ("ulaw", "alaw"):
+                        y, rate = decode_wav_g711(
+                            encode_wav_g711(x, _WAV_RATE, law)
+                        )
+                        good &= (
+                            y.shape == (n,) and snr_db(x, y) >= 30.0
+                        )
+                    dur[i] = len(y) / rate
+                    ok[i] = 1 if good else 0
+                    failed[i] = 0
+                except Exception:
+                    dur[i] = None
+                    ok[i] = 0
+                    failed[i] = 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "duration_s": dur,
+                    "snr_ok": ok,
+                    "failed": failed,
+                }
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_verify,
+            schema="doc_id long, duration_s double, snr_ok long, failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
 _ADPCM_STEREO_SQL = """
 SELECT doc_id,
   (4000 + (doc_id % 5) * 400) / 16000.0 AS duration_s,
@@ -1270,6 +1347,7 @@ QUERIES = {
     "audio_wav_features": audio_wav_features,
     "audio_adpcm_roundtrip": audio_adpcm_roundtrip,
     "audio_adpcm_stereo": audio_adpcm_stereo,
+    "audio_g711_roundtrip": audio_g711_roundtrip,
     "video_msvc_roundtrip": video_msvc_roundtrip,
     "audio_flac_roundtrip": audio_flac_roundtrip,
     "image_bmp_roundtrip": image_bmp_roundtrip,
@@ -1285,6 +1363,7 @@ ORACLE_SQL = {
     "audio_wav_features": _AUDIO_SQL,
     "audio_adpcm_roundtrip": _ADPCM_SQL,
     "audio_adpcm_stereo": _ADPCM_STEREO_SQL,
+    "audio_g711_roundtrip": _ADPCM_STEREO_SQL,
     "video_msvc_roundtrip": _MSVC_SQL,
     "audio_flac_roundtrip": _FLAC_SQL,
     "image_gif_roundtrip": _GIF_SQL,
