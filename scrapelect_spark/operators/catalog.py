@@ -29,6 +29,7 @@ for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
 # CORRECTNESS_r03/r04 (those are the safest to fall off the end).
 _PRIORITY = [
     # new in round 5 (no driver row can exist yet)
+    "video_mpeg1_iframe_sample",
     "video_msvc_roundtrip",
     "audio_adpcm_stereo",
     "corpus_quota_sample_bucketed",
