@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from . import (
     dedup,
+    imagemeta,
     multimodal,
     relational,
     scrp_queries,
@@ -17,7 +18,7 @@ from ..streaming import windows as streaming_windows
 _ALL_QUERIES = {}
 _ALL_ORACLE = {}
 for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
-            streaming_windows, warc_io):
+            streaming_windows, warc_io, imagemeta):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLE.update(mod.ORACLE_SQL)
 
@@ -29,6 +30,8 @@ for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
 # CORRECTNESS_r03/r04 (those are the safest to fall off the end).
 _PRIORITY = [
     # new in round 5 (no driver row can exist yet)
+    "image_exif_extract",
+    "image_phash_neardup",
     "video_mpeg1_iframe_sample",
     "video_msvc_roundtrip",
     "audio_adpcm_stereo",

@@ -1,0 +1,277 @@
+"""Image metadata + perceptual-dedup operators: EXIF extraction over
+binary image columns, and phash near-duplicate pair detection.
+
+These close the image half of the training-data pipeline: a crawl
+corpus keeps camera metadata (orientation for rotation fixup, capture
+time for temporal splits, make/model for source diversity) and must
+near-dedup images the way it near-dedups text.  The dedup shape is
+the SAME 100-TB shape as the text stack: 64-bit phash → 8 bands × 8
+bits (pigeonhole-exact for Hamming ≤ 7) → the skew-guarded
+``dedup.band_pairs`` bucket join (hot buckets salted) → exact
+``bit_count(xor)`` verification on the candidates only.  No
+all-pairs, no window; everything JVM-side after the decode stage.
+
+EXIF parsing is per-row Arrow-batched ``mapInPandas`` with the same
+permissive-corpus error capture as the decoders: a missing or
+malformed APP1 becomes a ``failed=1`` row, never a dead batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def extract_exif(
+    images: DataFrame, bytes_col: str = "bytes", id_col: str = "image_id"
+) -> DataFrame:
+    """(id, jpeg bytes) → the EXIF tags pipelines filter on, one row
+    per image, failures captured per-row."""
+    from ..sources import exif as E
+
+    schema = (
+        f"{id_col} string, make string, model string, orientation int, "
+        "iso int, pixel_x int, pixel_y int, exposure_den int, "
+        "exif_error string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: [], "make": [], "model": [], "orientation": [],
+                "iso": [], "pixel_x": [], "pixel_y": [],
+                "exposure_den": [], "exif_error": [],
+            }
+            for iid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                out[id_col].append(iid)
+                try:
+                    tags = E.parse_exif_jpeg(bytes(raw))
+                    exp = tags.get(E.TAG_EXPOSURE_TIME)
+                    out["make"].append(tags.get(E.TAG_MAKE))
+                    out["model"].append(tags.get(E.TAG_MODEL))
+                    out["orientation"].append(tags.get(E.TAG_ORIENTATION))
+                    out["iso"].append(tags.get(E.TAG_ISO))
+                    out["pixel_x"].append(tags.get(E.TAG_PIXEL_X))
+                    out["pixel_y"].append(tags.get(E.TAG_PIXEL_Y))
+                    out["exposure_den"].append(exp[1] if exp else None)
+                    out["exif_error"].append(None)
+                except Exception as e:  # noqa: BLE001 — permissive corpus
+                    for k in ("make", "model", "orientation", "iso",
+                              "pixel_x", "pixel_y", "exposure_den"):
+                        out[k].append(None)
+                    out["exif_error"].append(str(e) or type(e).__name__)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=schema)
+
+
+def phash_neardup(
+    hashed: DataFrame, max_hamming: int = 7, n_bands: int = 8
+) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b) among (doc_id, phash)
+    rows.
+
+    Banding is pigeonhole-EXACT: ``max_hamming`` must be <
+    ``n_bands`` (a pair within the bound shares at least one clean
+    band), so the band join loses nothing — it only prunes.  Exact
+    Hamming verification runs on candidates only, via JVM-side
+    ``bit_count(xor)``.  Hot band buckets (near-black thumbnails,
+    test cards) go through ``band_pairs``'s salted self-join."""
+    from .dedup import band_pairs
+
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole exactness needs max_hamming < n_bands")
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    stack_args = ", ".join(
+        f"{b}, CAST(shiftrightunsigned(phash, {width * b}) & {mask} AS STRING)"
+        for b in range(n_bands)
+    )
+    bands = hashed.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_val)"),
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "band_val")
+    pairs = band_pairs(bands)
+    a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"))
+    b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.expr("bit_count(ph_a ^ ph_b)") <= max_hamming)
+        .select("doc_a", "doc_b")
+    )
+
+
+# --- gate corpus synthesis ---------------------------------------------
+
+
+def _phash_base(doc_id: int) -> np.ndarray:
+    """32x32 gray pattern whose 8x8 average-hash IS the doc's md5 bits
+    — phashes of distinct docs are i.i.d. 64-bit strings (measured
+    non-dup Hamming min 17 over the gate corpus)."""
+    bits = np.frombuffer(
+        hashlib.md5(str(doc_id).encode()).digest()[:8], dtype=np.uint8
+    )
+    blocks = np.unpackbits(bits).reshape(8, 8).astype(bool)
+    g = np.where(blocks, 210, 40).astype(np.uint8)
+    g = np.repeat(np.repeat(g, 4, 0), 4, 1)
+    return np.stack([g, g, g], axis=-1)
+
+
+def _phash_image(doc_id: int) -> np.ndarray:
+    """Docs with doc_id%10==6 are near-duplicates of doc_id-1 with
+    exactly two hash blocks inverted (Hamming 2 — under the ≤7 bound
+    but not trivially identical)."""
+    if doc_id % 10 == 6:
+        src = _phash_base(doc_id - 1).copy()
+        src[0:4, 0:4] = 255 - src[0:4, 0:4]
+        src[16:20, 16:20] = 255 - src[16:20, 16:20]
+        return src
+    return _phash_base(doc_id)
+
+
+def image_phash_neardup(spark, sf_dir: str) -> DataFrame:
+    """Gate for perceptual image near-dedup: synthesize one PNG per
+    doc (docs ≡6 mod 10 are Hamming-2 near-copies of their
+    predecessor), decode + phash distributed, band-join with the
+    skew-guarded bucket path, verify candidates by exact bit_count.
+    Expected output is exactly the built-in pairs — banding must not
+    lose them (pigeonhole) and the 17+-bit separation of unrelated
+    docs must not add any."""
+    from .tables import load
+    from ..sources.png import decode_png, encode_png, phash64
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                # encode→decode round through the real PNG path so the
+                # gate covers the pixels-in-bytes plumbing, not just
+                # in-memory arrays
+                arr = decode_png(encode_png(_phash_image(doc_id)))
+                ids.append(doc_id)
+                hashes.append(phash64(arr))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    hashed = d.select("doc_id").mapInPandas(
+        synth_hash, schema="doc_id long, phash long"
+    )
+    return phash_neardup(hashed, max_hamming=7).orderBy("doc_a", "doc_b")
+
+
+_PHASH_NEARDUP_SQL = """
+SELECT CAST(doc_id - 1 AS BIGINT) AS doc_a,
+       CAST(doc_id AS BIGINT) AS doc_b
+FROM documents
+WHERE doc_id < 200 AND doc_id % 10 = 6
+ORDER BY doc_a, doc_b
+"""
+
+
+def image_exif_extract(spark, sf_dir: str) -> DataFrame:
+    """Gate for EXIF extraction: per doc, build a real JPEG carrying
+    an APP1 Exif segment (byte order alternates II/MM by doc parity —
+    both endianness paths are on the execution path), extract the
+    tags distributed, and project them next to ``failed``.  Docs ≡0
+    mod 10 carry NO EXIF segment and must surface as per-row
+    ``failed=1`` (error capture, not batch death)."""
+    from .tables import load
+    from ..sources import exif as E
+    from ..sources.jpeg import encode_jpeg
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    base_jpeg = encode_jpeg(np.full((16, 16, 3), 120, np.uint8))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ids.append(str(doc_id))
+                if doc_id % 10 == 0:
+                    blobs.append(base_jpeg)
+                    continue
+                fields = {
+                    E.TAG_MAKE: f"CamCo {doc_id % 5}",
+                    E.TAG_MODEL: f"M-{doc_id % 13}",
+                    E.TAG_ORIENTATION: 1 + doc_id % 8,
+                    E.TAG_ISO: 100 * (1 + doc_id % 32),
+                    E.TAG_PIXEL_X: 64 + (doc_id % 7) * 16,
+                    E.TAG_PIXEL_Y: 48 + (doc_id % 3) * 16,
+                    E.TAG_EXPOSURE_TIME: (1, 125 * (1 + doc_id % 4)),
+                    E.TAG_DATETIME: "2021:05:06 07:08:09",
+                }
+                bo = "II" if doc_id % 2 == 0 else "MM"
+                blobs.append(
+                    E.insert_exif_jpeg(base_jpeg, E.build_tiff(fields, bo))
+                )
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    images = d.select("doc_id").mapInPandas(
+        synth, schema="image_id string, bytes binary"
+    )
+    meta = extract_exif(images)
+    return (
+        meta.select(
+            F.col("image_id").cast("long").alias("doc_id"),
+            F.coalesce(F.col("make"), F.lit("")).alias("make"),
+            F.coalesce(F.col("model"), F.lit("")).alias("model"),
+            F.coalesce(F.col("orientation"), F.lit(-1))
+            .cast("long").alias("orientation"),
+            F.coalesce(F.col("iso"), F.lit(-1)).cast("long").alias("iso"),
+            F.coalesce(F.col("pixel_x"), F.lit(-1))
+            .cast("long").alias("pixel_x"),
+            F.coalesce(F.col("pixel_y"), F.lit(-1))
+            .cast("long").alias("pixel_y"),
+            F.coalesce(F.col("exposure_den"), F.lit(-1))
+            .cast("long").alias("exposure_den"),
+            F.when(F.col("exif_error").isNull(), F.lit(0))
+            .otherwise(F.lit(1)).cast("long").alias("failed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EXIF_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 10 = 0 THEN ''
+       ELSE 'CamCo ' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+  CASE WHEN doc_id % 10 = 0 THEN ''
+       ELSE 'M-' || CAST(doc_id % 13 AS VARCHAR) END AS model,
+  CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 1 + doc_id % 8 END
+       AS BIGINT) AS orientation,
+  CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 100 * (1 + doc_id % 32) END
+       AS BIGINT) AS iso,
+  CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 64 + (doc_id % 7) * 16 END
+       AS BIGINT) AS pixel_x,
+  CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 48 + (doc_id % 3) * 16 END
+       AS BIGINT) AS pixel_y,
+  CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 125 * (1 + doc_id % 4) END
+       AS BIGINT) AS exposure_den,
+  CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "image_exif_extract": image_exif_extract,
+    "image_phash_neardup": image_phash_neardup,
+}
+
+ORACLE_SQL = {
+    "image_exif_extract": _EXIF_SQL,
+    "image_phash_neardup": _PHASH_NEARDUP_SQL,
+}
