@@ -244,13 +244,16 @@ def frame_sample(video: DataFrame, every_n: int = 10) -> DataFrame:
     (sources/msvc.py; skip blocks reference the previous frame, so
     decode is sequential like GIF).  Exploded output: one row per
     sampled frame, frame pixels re-encoded as lossless PNG.
-    Motion-compensated codecs (H.264/VP9...) still raise into per-row
-    ``decode_error`` — they need a real codec library (declared scope
-    boundary).  MPEG-1 elementary streams (sources/mpeg1.py) sample at
-    the MJPEG tier: I-pictures are independently decodable, so skipped
-    pictures cost a start-code byte-scan, not a decode; a *sampled*
-    P/B-picture raises into ``decode_error`` (motion compensation is
-    the declared boundary at the DCT tier)."""
+    Modern entropy-coded codecs (H.264/VP9...) still raise into
+    per-row ``decode_error`` — they need a real codec library
+    (declared scope boundary).  MPEG-1 elementary streams
+    (sources/mpeg1.py) decode I-pictures AND motion-compensated
+    P-pictures: sampling decodes only the sampled picture's
+    dependency chain (a sampled I costs itself alone — skipped runs
+    are a start-code byte-scan; a sampled P pulls in the I/P run back
+    to its GOP's I-picture).  A *sampled* B-picture raises into
+    ``decode_error`` (bidirectional MC is the declared boundary at
+    the DCT tier)."""
     from ..sources.avi import avi_video_fourcc, decode_avi_mjpeg_frames
     from ..sources.gif import iter_gif_frames
     from ..sources.mpeg1 import decode_m1v_frames, is_m1v
@@ -1379,9 +1382,11 @@ def video_mpeg1_iframe_sample(spark, sf_dir: str) -> DataFrame:
     PSNR ≥ 26 dB against the source (measured distribution over the
     gate corpus: 28.1-36.8 dB — the hard-edged sprite bounds chroma
     PSNR under 4:2:0; a wrong decode reads ~10-15 dB).  Docs with doc_id%10==7 instead
-    carry a stream whose pictures are patched to P-type — they must
+    carry a stream whose pictures are patched to B-type — they must
     surface as per-row ``decode_error`` rows (the declared
-    motion-compensation boundary is ON the execution path)."""
+    bidirectional-MC boundary is ON the execution path; P-pictures
+    decode for real since the motion-compensation build and are gated
+    by ``video_mpeg1_p_sample``)."""
     from pyspark.sql import functions as F
 
     from .tables import load
@@ -1398,12 +1403,12 @@ def video_mpeg1_iframe_sample(spark, sf_dir: str) -> DataFrame:
                 frames = [_mpeg1_frame(doc_id, f) for f in range(6)]
                 data = bytearray(encode_m1v(frames, fps=25, qscale=2))
                 if doc_id % 10 == 7:
-                    # patch every picture_coding_type I→P: byte 1 after
+                    # patch every picture_coding_type I→B: byte 1 after
                     # the picture start code holds tr[1:0] | type(3) |
                     # vbv_delay[15:13]
                     i = data.find(b"\x00\x00\x01\x00")
                     while i != -1:
-                        data[i + 5] = (data[i + 5] & 0b11000111) | (2 << 3)
+                        data[i + 5] = (data[i + 5] & 0b11000111) | (3 << 3)
                         i = data.find(b"\x00\x00\x01\x00", i + 4)
                 ids.append(str(doc_id))
                 blobs.append(bytes(data))
@@ -1426,11 +1431,11 @@ def video_mpeg1_iframe_sample(spark, sf_dir: str) -> DataFrame:
             ):
                 fidx[i] = -1 if idx is None or pd.isna(idx) else int(idx)
                 if err is not None or raw is None:
-                    # P-type docs must fail for the RIGHT reason
+                    # B-type docs must fail for the RIGHT reason
                     ok[i] = (
                         1
                         if int(vid) % 10 == 7
-                        and "motion compensation" in str(err)
+                        and "bidirectional" in str(err)
                         else 0
                     )
                     failed[i] = 1
@@ -1469,6 +1474,109 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def video_mpeg1_p_sample(spark, sf_dir: str) -> DataFrame:
+    """Gate for MOTION-COMPENSATED MPEG-1 (P-pictures, the round-5
+    interframe build in sources/mpeg1.py): per doc, synthesize the
+    same 6-frame moving-sprite animation as the I-gate but encode
+    with ``gop_size=3`` — picture types run I P P I P P — and sample
+    every 2nd picture.  Sampled pictures 2 and 4 are P: frame 2 pulls
+    in its dependency chain 0→1→2 (two P decodes off the GOP head)
+    and frame 4 decodes off the I-picture at 3, so the gate executes
+    forward motion compensation, skipped-macroblock runs, CBP-coded
+    residuals, AND the chain-resolution logic of ``decode_m1v_frames``
+    on the driver's path.  Per-frame PSNR ≥ 26 dB against the source
+    (measured over the gate corpus: 29.1-36.5 dB; a broken MC read is
+    ~10-15 dB and closed-loop drift would sink frames 2/4 first).
+    Docs with doc_id%10==3 patch picture 0's type to P, making every
+    sampled frame's chain bottom out in a reference-less P-picture —
+    they must surface as per-row ``decode_error`` rows naming the
+    missing reference."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.mpeg1 import encode_m1v
+    from ..sources.png import decode_png
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = [_mpeg1_frame(doc_id, f) for f in range(6)]
+                data = bytearray(
+                    encode_m1v(frames, fps=25, qscale=2, gop_size=3)
+                )
+                if doc_id % 10 == 3:
+                    # patch the FIRST picture_coding_type I→P: every
+                    # sampled picture's chain now ends in a P-picture
+                    # with no reference
+                    i = data.find(b"\x00\x00\x01\x00")
+                    data[i + 5] = (data[i + 5] & 0b11000111) | (2 << 3)
+                ids.append(str(doc_id))
+                blobs.append(bytes(data))
+            yield pd.DataFrame({"video_id": ids, "bytes": blobs})
+
+    video = d.select("doc_id").mapInPandas(
+        synth, schema="video_id string, bytes binary"
+    )
+    sampled = frame_sample(video, every_n=2)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.empty(n, dtype=object)
+            failed = np.empty(n, dtype=object)
+            fidx = np.empty(n, dtype=object)
+            for i, (vid, idx, raw, err) in enumerate(
+                zip(pdf["video_id"], pdf["frame_idx"], pdf["bytes"],
+                    pdf["decode_error"])
+            ):
+                fidx[i] = -1 if idx is None or pd.isna(idx) else int(idx)
+                if err is not None or raw is None:
+                    ok[i] = (
+                        1
+                        if int(vid) % 10 == 3
+                        and "without a reference" in str(err)
+                        else 0
+                    )
+                    failed[i] = 1
+                    continue
+                src = _mpeg1_frame(int(vid), int(idx)).astype(np.float64)
+                got = decode_png(bytes(raw)).astype(np.float64)
+                mse = float(((src - got) ** 2).mean())
+                psnr = 10 * np.log10(255.0**2 / mse) if mse > 0 else 99.0
+                ok[i] = 1 if psnr >= 26.0 else 0
+                failed[i] = 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["video_id"].astype("int64"),
+                    "frame_idx": fidx,
+                    "ok": ok,
+                    "failed": failed,
+                }
+            )
+
+    feats = sampled.mapInPandas(
+        verify, schema="doc_id long, frame_idx long, ok long, failed long"
+    )
+    return feats.orderBy("doc_id", "frame_idx")
+
+
+_MPEG1_P_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 10 = 3 THEN -1 ELSE f.frame_idx END
+       AS BIGINT) AS frame_idx,
+  CAST(1 AS BIGINT) AS ok,
+  CAST(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END AS BIGINT) AS failed
+FROM documents
+CROSS JOIN (SELECT unnest([0, 2, 4]) AS frame_idx) f
+WHERE doc_id < 100 AND (doc_id % 10 <> 3 OR f.frame_idx = 0)
+ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "audio_wav_features": audio_wav_features,
     "audio_adpcm_roundtrip": audio_adpcm_roundtrip,
@@ -1476,6 +1584,7 @@ QUERIES = {
     "audio_g711_roundtrip": audio_g711_roundtrip,
     "video_msvc_roundtrip": video_msvc_roundtrip,
     "video_mpeg1_iframe_sample": video_mpeg1_iframe_sample,
+    "video_mpeg1_p_sample": video_mpeg1_p_sample,
     "audio_flac_roundtrip": audio_flac_roundtrip,
     "image_bmp_roundtrip": image_bmp_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
@@ -1493,6 +1602,7 @@ ORACLE_SQL = {
     "audio_g711_roundtrip": _ADPCM_STEREO_SQL,
     "video_msvc_roundtrip": _MSVC_SQL,
     "video_mpeg1_iframe_sample": _MPEG1_SQL,
+    "video_mpeg1_p_sample": _MPEG1_P_SQL,
     "audio_flac_roundtrip": _FLAC_SQL,
     "image_gif_roundtrip": _GIF_SQL,
     "image_bmp_roundtrip": _BMP_SQL,

@@ -1,23 +1,35 @@
-"""Pure-Python MPEG-1 video (ISO/IEC 11172-2) **I-frame** codec — the
-transform-coded video tier of the frame-sampling path.
+"""Pure-Python MPEG-1 video (ISO/IEC 11172-2) **I/P-picture** codec —
+the transform-coded, motion-compensated video tier of the
+frame-sampling path.
 
 VERDICT r4 "what's missing" #1 named interframe video the largest
 absent surface; round 5 closed the vector-quantization tier with MS
-Video 1 (sources/msvc.py).  This module adds the DCT tier: an
-intra-only MPEG-1 encoder (sequence/GOP/picture/slice headers, intra
-macroblocks, DC-predicted dct_dc_size VLCs, run/level AC coding with
-Table-B.14 prefix codes + the fully-generic 20/28-bit ESCAPE form)
-and a decoder for I-pictures.  P/B-pictures need motion compensation
-and remain a DECLARED boundary: a sampled picture whose
-picture_coding_type is not I raises, flowing into frame_sample's
-per-row ``decode_error`` capture (VERDICT r4 next-round #7 wording).
+Video 1 (sources/msvc.py) and this module closes the DCT tier in two
+steps.  Step one was an intra-only encoder (sequence/GOP/picture/
+slice headers, intra macroblocks, DC-predicted dct_dc_size VLCs,
+run/level AC coding with Table-B.14 prefix codes + the fully-generic
+20/28-bit ESCAPE form) and I-picture decoder.  Step two added REAL
+interframe coding: forward motion-compensated P-pictures on both
+sides — the encoder does a deterministic full-search (±7 full-pel,
+half-pel refinement, f_code=1) with per-macroblock skip / MC-only /
+coded / intra decisions in a CLOSED LOOP (prediction always uses the
+reconstruction the decoder computes, so there is no drift), and the
+decoder handles the full P surface: any forward_f_code 1..7 with
+motion residuals, full_pel vectors, skipped-macroblock runs (MBA
+escapes), coded_block_pattern (Table B.3), non-intra dequantization,
+and intra macroblocks inside P-pictures.  B-pictures need
+bidirectional MC and remain the one DECLARED boundary: a sampled
+B-picture raises, flowing into frame_sample's per-row
+``decode_error`` capture (VERDICT r4 next-round #7 wording).
 
-Why this shape scales: I-pictures are independently decodable, so
-frame sampling over an elementary stream is a *start-code scan* —
-skipped pictures cost a byte-scan for ``00 00 01 00``, not a decode
-(same skip-cheaply property the MJPEG-AVI path exploits; GIF/CRAM by
-contrast must composite sequentially).  At corpus scale each video is
-one row through Arrow-batched ``mapInPandas``; no shuffle, no state.
+Why this shape scales: frame sampling decodes only a sampled
+picture's dependency chain.  Sampled I-pictures cost themselves
+alone — a skipped run is a byte-scan for ``00 00 01 00``, not a
+decode (the skip-cheaply property the MJPEG-AVI path exploits) —
+and a sampled P-picture pulls in exactly the I/P run back to its
+GOP's I-picture, never the whole stream.  At corpus scale each video
+is one row through Arrow-batched ``mapInPandas``; no shuffle, no
+state.
 
 Everything here is from the public standard's bitstream grammar
 (widely mirrored, e.g. in the H.261/MPEG-1 literature): 12-bit
@@ -121,16 +133,79 @@ _AC_TABLE: dict[tuple[int, int], tuple[int, int]] = {
 _EOB = (0b10, 2)
 _ESCAPE = (0b000001, 6)
 
-#: macroblock_address_increment (Table B.1) — decoder side; the
-#: intra-only encoder always emits increment 1 ('1')
+#: macroblock_address_increment (Table B.1), complete 1..33; P-picture
+#: skipped macroblocks make increments > 1 routine
 _MBA_TABLE = {
     1: (0b1, 1), 2: (0b011, 3), 3: (0b010, 3), 4: (0b0011, 4),
     5: (0b0010, 4), 6: (0b00011, 5), 7: (0b00010, 5),
     8: (0b0000111, 7), 9: (0b0000110, 7),
     10: (0b00001011, 8), 11: (0b00001010, 8), 12: (0b00001001, 8),
     13: (0b00001000, 8), 14: (0b00000111, 8), 15: (0b00000110, 8),
+    16: (0b0000010111, 10), 17: (0b0000010110, 10),
+    18: (0b0000010101, 10), 19: (0b0000010100, 10),
+    20: (0b0000010011, 10), 21: (0b0000010010, 10),
+    22: (0b00000100011, 11), 23: (0b00000100010, 11),
+    24: (0b00000100001, 11), 25: (0b00000100000, 11),
+    26: (0b00000011111, 11), 27: (0b00000011110, 11),
+    28: (0b00000011101, 11), 29: (0b00000011100, 11),
+    30: (0b00000011011, 11), 31: (0b00000011010, 11),
+    32: (0b00000011001, 11), 33: (0b00000011000, 11),
 }
 _MBA_ESCAPE = (0b00000001000, 11)  # +33, then another increment code
+
+#: motion vector code magnitudes (Table B.4): |motion_code| → VLC, a
+#: sign bit follows nonzero codes (1 = negative); motion_code 0 is '1'.
+#: B.4 splits B.1's bit space exactly — MV code k + sign occupies the
+#: codes of MBA 2k / 2k+1 — which cross-checks both tables.
+_MV_TABLE = {
+    0: (0b1, 1),
+    1: (0b01, 2), 2: (0b001, 3), 3: (0b0001, 4), 4: (0b000011, 6),
+    5: (0b0000101, 7), 6: (0b0000100, 7), 7: (0b0000011, 7),
+    8: (0b000001011, 9), 9: (0b000001010, 9), 10: (0b000001001, 9),
+    11: (0b0000010001, 10), 12: (0b0000010000, 10),
+    13: (0b0000001111, 10), 14: (0b0000001110, 10),
+    15: (0b0000001101, 10), 16: (0b0000001100, 10),
+}
+
+#: coded_block_pattern (Table B.3, shared with H.261): cbp 1..63.
+#: Block order Y0 Y1 Y2 Y3 Cb Cr ↔ bits 32 16 8 4 2 1.
+_CBP_TABLE = {
+    60: (0b111, 3),
+    4: (0b1101, 4), 8: (0b1100, 4), 16: (0b1011, 4), 32: (0b1010, 4),
+    12: (0b10011, 5), 48: (0b10010, 5), 20: (0b10001, 5),
+    40: (0b10000, 5), 28: (0b01111, 5), 44: (0b01110, 5),
+    52: (0b01101, 5), 56: (0b01100, 5), 1: (0b01011, 5),
+    61: (0b01010, 5), 2: (0b01001, 5), 62: (0b01000, 5),
+    24: (0b001111, 6), 36: (0b001110, 6), 3: (0b001101, 6),
+    63: (0b001100, 6),
+    5: (0b0010111, 7), 9: (0b0010110, 7), 17: (0b0010101, 7),
+    33: (0b0010100, 7), 6: (0b0010011, 7), 10: (0b0010010, 7),
+    18: (0b0010001, 7), 34: (0b0010000, 7),
+    7: (0b00011111, 8), 11: (0b00011110, 8), 19: (0b00011101, 8),
+    35: (0b00011100, 8), 13: (0b00011011, 8), 49: (0b00011010, 8),
+    21: (0b00011001, 8), 41: (0b00011000, 8), 14: (0b00010111, 8),
+    50: (0b00010110, 8), 22: (0b00010101, 8), 42: (0b00010100, 8),
+    15: (0b00010011, 8), 51: (0b00010010, 8), 23: (0b00010001, 8),
+    43: (0b00010000, 8), 25: (0b00001111, 8), 37: (0b00001110, 8),
+    26: (0b00001101, 8), 38: (0b00001100, 8), 29: (0b00001011, 8),
+    45: (0b00001010, 8), 53: (0b00001001, 8), 57: (0b00001000, 8),
+    30: (0b00000111, 8), 46: (0b00000110, 8), 54: (0b00000101, 8),
+    58: (0b00000100, 8),
+    31: (0b000000111, 9), 47: (0b000000110, 9), 55: (0b000000101, 9),
+    59: (0b000000100, 9), 27: (0b000000011, 9), 39: (0b000000010, 9),
+}
+
+#: macroblock_type for P-pictures (Table B.2b):
+#: key → (quant, motion_forward, pattern, intra)
+_P_MBTYPE = {
+    "mc_coded": (0b1, 1, (0, 1, 1, 0)),
+    "coded": (0b01, 2, (0, 0, 1, 0)),
+    "mc": (0b001, 3, (0, 1, 0, 0)),
+    "intra": (0b00011, 5, (0, 0, 0, 1)),
+    "mc_coded_q": (0b00010, 5, (1, 1, 1, 0)),
+    "coded_q": (0b00001, 5, (1, 0, 1, 0)),
+    "intra_q": (0b000001, 6, (1, 0, 0, 1)),
+}
 
 
 def _invert(table: dict, keyfmt=lambda k: k) -> dict[tuple[int, int], object]:
@@ -149,6 +224,11 @@ _AC_DEC[(_ESCAPE[0], _ESCAPE[1])] = "esc"
 _MBA_DEC: dict[tuple[int, int], object] = _invert(_MBA_TABLE)
 _MBA_DEC[(_MBA_ESCAPE[0], _MBA_ESCAPE[1])] = "esc"
 _MBA_DEC[(0b00000001111, 11)] = "stuff"  # macroblock_stuffing
+_MV_DEC = _invert(_MV_TABLE)
+_CBP_DEC = _invert(_CBP_TABLE)
+_P_MBTYPE_DEC = {
+    (code, n): flags for code, n, flags in _P_MBTYPE.values()
+}
 
 # --- bit I/O (MSB-first, no marker stuffing — unlike JPEG) ------------
 
@@ -266,14 +346,149 @@ def _quantize_intra(block: np.ndarray, qscale: int) -> np.ndarray:
     return out
 
 
-def encode_m1v(
-    frames: list[np.ndarray], fps: float = 25.0, qscale: int = 4
-) -> bytes:
-    """RGB frames → intra-only MPEG-1 video elementary stream (.m1v).
+def _quantize_nonintra(block: np.ndarray, qscale: int) -> np.ndarray:
+    """8x8 float residual DCT coefficients → zigzag int levels.  The
+    default non-intra matrix is flat 16 (§2.4.3.3), so dequant is
+    ``(2L + sgn L) * qscale`` (oddified) and forward quant is a
+    truncating divide by ``2*qscale`` — truncation gives the standard
+    non-intra dead zone around zero."""
+    f = block.reshape(64)[ZIGZAG]
+    return np.clip(
+        np.fix(f / (2.0 * qscale)).astype(np.int64), -255, 255
+    )
 
-    Every picture is an I-picture in its own GOP-less sequence body
-    (sequence header + GOP header + pictures + sequence_end_code); one
-    slice per macroblock row.  Deterministic output."""
+
+def _dequant_nonintra(zz: np.ndarray, qscale: int) -> np.ndarray:
+    """Non-intra dct_zz → 8x8 coefficients per §2.4.4.2/.3: flat-16
+    default matrix, sign-symmetric expansion, oddification, clamp."""
+    rec = (2 * zz + np.sign(zz)) * qscale
+    even = (rec % 2 == 0) & (zz != 0)
+    rec = np.where(even, rec - np.sign(rec), rec)
+    out = np.zeros(64, dtype=np.int64)
+    out[ZIGZAG] = np.clip(rec, -2048, 2047)
+    return out.reshape(8, 8)
+
+
+def _mc_pred(
+    plane: np.ndarray, y0: int, x0: int, size: int, mvy: int, mvx: int
+) -> np.ndarray:
+    """Forward-predict one ``size``x``size`` block from an integer
+    reference plane at half-pel motion (``mvy``/``mvx`` in half-pel
+    units).  Half-sample values use the spec's "//" (round half away
+    from zero; operands are non-negative here so +0.5-and-floor).  A
+    vector reaching outside the reference is a bitstream error."""
+    iy, ix = mvy >> 1, mvx >> 1
+    hy, hx = mvy & 1, mvx & 1
+    ty, tx = y0 + iy, x0 + ix
+    hgt, wid = plane.shape
+    if ty < 0 or tx < 0 or ty + size + hy > hgt or tx + size + hx > wid:
+        raise ValueError("mpeg1: motion vector outside reference picture")
+    a = plane[ty:ty + size, tx:tx + size]
+    if hy and hx:
+        return (
+            a
+            + plane[ty:ty + size, tx + 1:tx + 1 + size]
+            + plane[ty + 1:ty + 1 + size, tx:tx + size]
+            + plane[ty + 1:ty + 1 + size, tx + 1:tx + 1 + size]
+            + 2
+        ) >> 2
+    if hx:
+        return (a + plane[ty:ty + size, tx + 1:tx + 1 + size] + 1) >> 1
+    if hy:
+        return (a + plane[ty + 1:ty + 1 + size, tx:tx + size] + 1) >> 1
+    return a.copy()
+
+
+def _chroma_mv(recon: int) -> int:
+    """Luma half-pel reconstruction → chroma half-pel component
+    (§2.4.4.2: divided by two, truncating toward zero)."""
+    return recon // 2 if recon >= 0 else -((-recon) // 2)
+
+
+def _motion_search(
+    ref_y: np.ndarray, cur_y: np.ndarray, by: int, bx: int, radius: int = 7
+) -> tuple[int, int, int]:
+    """Best forward MV for the 16x16 luma block at (by, bx): full-pel
+    full search in a ±radius window (vectorized sliding-window SAD,
+    ties → smallest |mv|, deterministic), then half-pel refinement.
+    Returns (mvy, mvx, sad) with the MV in half-pel units, always
+    within both the reference bounds and the f_code=1 range."""
+    hgt, wid = ref_y.shape
+    target = cur_y[by:by + 16, bx:bx + 16]
+    y_lo, y_hi = max(by - radius, 0), min(by + radius, hgt - 16)
+    x_lo, x_hi = max(bx - radius, 0), min(bx + radius, wid - 16)
+    region = ref_y[y_lo:y_hi + 16, x_lo:x_hi + 16]
+    win = np.lib.stride_tricks.sliding_window_view(region, (16, 16))
+    sad = np.abs(win - target).sum(axis=(2, 3))
+    ys, xs = np.mgrid[y_lo:y_hi + 1, x_lo:x_hi + 1]
+    # |mv| tie-break: manhattan distance < 64 can never outrank a SAD
+    cost = sad * 64 + np.abs(ys - by) + np.abs(xs - bx)
+    flat = int(np.argmin(cost))
+    fy = int(ys.flat[flat]) - by
+    fx = int(xs.flat[flat]) - bx
+    best = (int(sad.flat[flat]), 2 * fy, 2 * fx)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            mvy, mvx = 2 * fy + dy, 2 * fx + dx
+            if not (-16 <= mvy <= 15 and -16 <= mvx <= 15):
+                continue
+            ty, tx = by + (mvy >> 1), bx + (mvx >> 1)
+            if (ty < 0 or tx < 0 or ty + 16 + (mvy & 1) > hgt
+                    or tx + 16 + (mvx & 1) > wid):
+                continue
+            s = int(np.abs(
+                _mc_pred(ref_y, by, bx, 16, mvy, mvx) - target
+            ).sum())
+            if s < best[0]:
+                best = (s, mvy, mvx)
+    return best[1], best[2], best[0]
+
+
+def _write_mba(w: _BitWriter, inc: int) -> None:
+    while inc > 33:
+        w.write(_MBA_ESCAPE[0], _MBA_ESCAPE[1])
+        inc -= 33
+    code, nbits = _MBA_TABLE[inc]
+    w.write(code, nbits)
+
+
+def _write_mv(w: _BitWriter, delta: int) -> None:
+    """One motion component at f_code=1: motion_code == delta
+    (pre-wrapped by the caller into [-16, 15])."""
+    code, nbits = _MV_TABLE[abs(delta)]
+    w.write(code, nbits)
+    if delta:
+        w.write(1 if delta < 0 else 0, 1)
+
+
+def _write_ac_first(w: _BitWriter, run: int, level: int) -> None:
+    """dct_coeff_first: (0, ±1) is coded '1'+sign; everything else as
+    dct_coeff_next (§2.4.2.7 / Table B.14 note 2)."""
+    if run == 0 and abs(level) == 1:
+        w.write(1, 1)
+        w.write(1 if level < 0 else 0, 1)
+    else:
+        _write_ac(w, run, level)
+
+
+def encode_m1v(
+    frames: list[np.ndarray],
+    fps: float = 25.0,
+    qscale: int = 4,
+    gop_size: int | None = None,
+) -> bytes:
+    """RGB frames → MPEG-1 video elementary stream (.m1v).
+
+    ``gop_size=None`` (default) emits every picture as an I-picture —
+    byte-compatible with the intra-only encoder this module started
+    as.  ``gop_size=N`` emits an I-picture every N pictures and
+    motion-compensated P-pictures in between (full-search ±7 full-pel
+    + half-pel refinement, f_code=1, skipped/MC-only/coded/intra
+    macroblock decisions, CLOSED-LOOP: prediction always references
+    the reconstruction the decoder will compute, so there is no
+    drift).  One slice per macroblock row.  Deterministic output."""
     if not frames:
         raise ValueError("mpeg1: no frames")
     if not (1 <= qscale <= 31):
@@ -312,6 +527,7 @@ def encode_m1v(
     gw.byte_align()
     out += b"\x00\x00\x01" + bytes([_GOP]) + gw.bytes()
 
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
     for idx, frame in enumerate(frames):
         if frame.shape[:2] != (h, w):
             raise ValueError("mpeg1: frame dimensions differ")
@@ -323,36 +539,179 @@ def encode_m1v(
         cb = cb2.reshape(mbh * 8, 2, mbw * 8, 2).mean(axis=(1, 3))
         cr = cr2.reshape(mbh * 8, 2, mbw * 8, 2).mean(axis=(1, 3))
 
-        pw = _BitWriter()
-        pw.write(idx % 1024, 10)  # temporal_reference
-        pw.write(1, 3)  # picture_coding_type = I
-        pw.write(0xFFFF, 16)  # vbv_delay
-        pw.write(0, 1)  # extra_bit_picture
-        pw.byte_align()
-        out += b"\x00\x00\x01" + bytes([_PIC]) + pw.bytes()
+        is_p = gop_size is not None and idx % gop_size != 0
+        if is_p:
+            pic, ref = _encode_p_picture(
+                out, y, cb, cr, ref, mbw, mbh, qscale, idx
+            )
+        else:
+            pic, ref = _encode_i_picture(
+                out, y, cb, cr, mbw, mbh, qscale, idx,
+                want_recon=gop_size is not None,
+            )
 
-        for row in range(mbh):
-            bw = _BitWriter()
-            bw.write(qscale, 5)
-            bw.write(0, 1)  # extra_bit_slice
-            preds = {"y": 128, "cb": 128, "cr": 128}  # dct_dc_past / 8 (reset 1024 in recon units)
-            for col in range(mbw):
-                bw.write(1, 1)  # macroblock_address_increment = 1
-                bw.write(1, 1)  # macroblock_type: intra
-                blocks: list[tuple[str, np.ndarray]] = []
-                by, bx = row * 16, col * 16
-                for sub in range(4):
-                    oy, ox = (sub // 2) * 8, (sub % 2) * 8
-                    blocks.append(
-                        ("y", y[by + oy:by + oy + 8, bx + ox:bx + ox + 8])
-                    )
-                blocks.append(
-                    ("cb", cb[row * 8:row * 8 + 8, col * 8:col * 8 + 8])
-                )
-                blocks.append(
-                    ("cr", cr[row * 8:row * 8 + 8, col * 8:col * 8 + 8])
-                )
-                for comp, pix in blocks:
+    out += b"\x00\x00\x01" + bytes([_SEQ_END])
+    return bytes(out)
+
+
+def _encode_i_picture(
+    out: bytearray, y, cb, cr, mbw: int, mbh: int, qscale: int, idx: int,
+    want_recon: bool,
+):
+    """Append one I-picture; optionally return the decoder-identical
+    integer reconstruction planes (the P reference)."""
+    pw = _BitWriter()
+    pw.write(idx % 1024, 10)  # temporal_reference
+    pw.write(1, 3)  # picture_coding_type = I
+    pw.write(0xFFFF, 16)  # vbv_delay
+    pw.write(0, 1)  # extra_bit_picture
+    pw.byte_align()
+    out += b"\x00\x00\x01" + bytes([_PIC]) + pw.bytes()
+
+    rec_y = np.zeros_like(y) if want_recon else None
+    rec_cb = np.zeros_like(cb) if want_recon else None
+    rec_cr = np.zeros_like(cr) if want_recon else None
+    for row in range(mbh):
+        bw = _BitWriter()
+        bw.write(qscale, 5)
+        bw.write(0, 1)  # extra_bit_slice
+        preds = {"y": 128, "cb": 128, "cr": 128}  # dct_dc_past / 8 (reset 1024 in recon units)
+        for col in range(mbw):
+            bw.write(1, 1)  # macroblock_address_increment = 1
+            bw.write(1, 1)  # macroblock_type: intra
+            by, bx = row * 16, col * 16
+            for b, comp, pix, rec in _mb_blocks(
+                y, cb, cr, row, col, rec_y, rec_cb, rec_cr
+            ):
+                f = _A @ pix.astype(np.float64) @ _A.T
+                zz = _quantize_intra(f, qscale)
+                dc = int(zz[0])
+                table = _DC_LUMA if comp == "y" else _DC_CHROMA
+                _write_dc(bw, dc - preds[comp], table)
+                preds[comp] = dc
+                nz = np.nonzero(zz[1:])[0]
+                prev = 0
+                for i in nz:
+                    _write_ac(bw, int(i) - prev, int(zz[1 + i]))
+                    prev = int(i) + 1
+                bw.write(_EOB[0], _EOB[1])
+                if rec is not None:
+                    coeff = _dequant_intra(zz, qscale)
+                    rec[...] = _A.T @ coeff.astype(np.float64) @ _A
+        bw.byte_align()
+        out += b"\x00\x00\x01" + bytes([row + 1]) + bw.bytes()
+    if not want_recon:
+        return out, None
+    return out, tuple(
+        np.clip(np.rint(p), 0, 255).astype(np.int64)
+        for p in (rec_y, rec_cb, rec_cr)
+    )
+
+
+def _mb_blocks(y, cb, cr, row, col, oy_plane=None, ocb=None, ocr=None):
+    """Yield (block_index, component, source 8x8 view, optional
+    destination 8x8 view) for one macroblock in Y0 Y1 Y2 Y3 Cb Cr
+    order."""
+    by, bx = row * 16, col * 16
+    for sub in range(4):
+        oy, ox = (sub // 2) * 8, (sub % 2) * 8
+        dst = (
+            None if oy_plane is None
+            else oy_plane[by + oy:by + oy + 8, bx + ox:bx + ox + 8]
+        )
+        yield sub, "y", y[by + oy:by + oy + 8, bx + ox:bx + ox + 8], dst
+    yield 4, "cb", cb[row * 8:row * 8 + 8, col * 8:col * 8 + 8], (
+        None if ocb is None else ocb[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
+    )
+    yield 5, "cr", cr[row * 8:row * 8 + 8, col * 8:col * 8 + 8], (
+        None if ocr is None else ocr[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
+    )
+
+
+def _encode_p_picture(
+    out: bytearray, y, cb, cr, ref, mbw: int, mbh: int, qscale: int,
+    idx: int,
+):
+    """Append one P-picture (forward MC at f_code=1) and return the
+    decoder-identical reconstruction planes.
+
+    Per-macroblock decision: motion search → if the residual
+    quantizes to nothing, skip (interior MBs with MV 0) or emit
+    MC-not-coded; if motion prediction is worse than the block's own
+    AC energy, fall back to an intra macroblock; otherwise emit
+    MC-coded (or no-MC coded when the vector is 0) with the coded
+    block pattern of the surviving blocks."""
+    if ref is None:
+        raise ValueError("mpeg1: P-picture without a reference")
+    ref_y, ref_cb, ref_cr = ref
+    cur_y = np.rint(y).astype(np.int64)
+
+    pw = _BitWriter()
+    pw.write(idx % 1024, 10)
+    pw.write(2, 3)  # picture_coding_type = P
+    pw.write(0xFFFF, 16)  # vbv_delay
+    pw.write(0, 1)  # full_pel_forward_vector
+    pw.write(1, 3)  # forward_f_code = 1
+    pw.write(0, 1)  # extra_bit_picture
+    pw.byte_align()
+    out += b"\x00\x00\x01" + bytes([_PIC]) + pw.bytes()
+
+    # reconstruction starts as the reference: skipped MBs are exactly
+    # the co-located copy (the decoder does the same)
+    rec_y = ref_y.astype(np.float64)
+    rec_cb = ref_cb.astype(np.float64)
+    rec_cr = ref_cr.astype(np.float64)
+
+    for row in range(mbh):
+        bw = _BitWriter()
+        bw.write(qscale, 5)
+        bw.write(0, 1)  # extra_bit_slice
+        preds = {"y": 128, "cb": 128, "cr": 128}
+        pmv = [0, 0]
+        pending = 0  # skipped MBs awaiting the next address increment
+        for col in range(mbw):
+            by, bx = row * 16, col * 16
+            mvy, mvx, sad = _motion_search(ref_y, cur_y, by, bx)
+            cmy, cmx = _chroma_mv(mvy), _chroma_mv(mvx)
+            pred6 = []
+            zz6 = []
+            for b, comp, pix, _ in _mb_blocks(y, cb, cr, row, col):
+                if comp == "y":
+                    oy, ox = (b // 2) * 8, (b % 2) * 8
+                    pred = _mc_pred(ref_y, by + oy, bx + ox, 8, mvy, mvx)
+                elif comp == "cb":
+                    pred = _mc_pred(ref_cb, row * 8, col * 8, 8, cmy, cmx)
+                else:
+                    pred = _mc_pred(ref_cr, row * 8, col * 8, 8, cmy, cmx)
+                resid = pix.astype(np.float64) - pred
+                f = _A @ resid @ _A.T
+                zz6.append(_quantize_nonintra(f, qscale))
+                pred6.append(pred)
+            cbp = 0
+            for b, zz in enumerate(zz6):
+                if zz.any():
+                    cbp |= 32 >> b
+            zero_mv = mvy == 0 and mvx == 0
+            # intra fallback: prediction failed badly for this block
+            target = cur_y[by:by + 16, bx:bx + 16]
+            activity = int(
+                np.abs(target - np.rint(target.mean())).sum()
+            )
+            use_intra = cbp != 0 and sad > activity
+
+            if cbp == 0 and zero_mv and 0 < col < mbw - 1:
+                pending += 1  # skipped: recon untouched, MV/DC reset
+                pmv = [0, 0]
+                preds = {"y": 128, "cb": 128, "cr": 128}
+                continue
+            _write_mba(bw, pending + 1)
+            pending = 0
+            if use_intra:
+                code, nbits, _flags = _P_MBTYPE["intra"]
+                bw.write(code, nbits)
+                for b, comp, pix, rec in _mb_blocks(
+                    y, cb, cr, row, col, rec_y, rec_cb, rec_cr
+                ):
                     f = _A @ pix.astype(np.float64) @ _A.T
                     zz = _quantize_intra(f, qscale)
                     dc = int(zz[0])
@@ -365,11 +724,73 @@ def encode_m1v(
                         _write_ac(bw, int(i) - prev, int(zz[1 + i]))
                         prev = int(i) + 1
                     bw.write(_EOB[0], _EOB[1])
-            bw.byte_align()
-            out += b"\x00\x00\x01" + bytes([row + 1]) + bw.bytes()
+                    coeff = _dequant_intra(zz, qscale)
+                    rec[...] = _A.T @ coeff.astype(np.float64) @ _A
+                pmv = [0, 0]
+                continue
+            preds = {"y": 128, "cb": 128, "cr": 128}  # non-intra MB
+            if cbp == 0:
+                code, nbits, _flags = _P_MBTYPE["mc"]
+                bw.write(code, nbits)
+                _write_mv(bw, _wrap_delta(mvy - pmv[0]))
+                _write_mv(bw, _wrap_delta(mvx - pmv[1]))
+                pmv = [mvy, mvx]
+            elif zero_mv:
+                code, nbits, _flags = _P_MBTYPE["coded"]
+                bw.write(code, nbits)
+                cbits, cn = _CBP_TABLE[cbp]
+                bw.write(cbits, cn)
+                pmv = [0, 0]
+            else:
+                code, nbits, _flags = _P_MBTYPE["mc_coded"]
+                bw.write(code, nbits)
+                _write_mv(bw, _wrap_delta(mvy - pmv[0]))
+                _write_mv(bw, _wrap_delta(mvx - pmv[1]))
+                pmv = [mvy, mvx]
+                cbits, cn = _CBP_TABLE[cbp]
+                bw.write(cbits, cn)
+            for b, (zz, pred) in enumerate(zip(zz6, pred6)):
+                rec = _mb_rec_view(rec_y, rec_cb, rec_cr, b, row, col)
+                if not (cbp & (32 >> b)):
+                    rec[...] = pred
+                    continue
+                nz = np.nonzero(zz)[0]
+                first = True
+                prev = 0
+                for i in nz:
+                    run = int(i) - prev
+                    if first:
+                        _write_ac_first(bw, run, int(zz[i]))
+                        first = False
+                    else:
+                        _write_ac(bw, run, int(zz[i]))
+                    prev = int(i) + 1
+                bw.write(_EOB[0], _EOB[1])
+                coeff = _dequant_nonintra(zz, qscale)
+                rec[...] = pred + (_A.T @ coeff.astype(np.float64) @ _A)
+        # pending is always 0 here: col == mbw-1 is never skippable
+        bw.byte_align()
+        out += b"\x00\x00\x01" + bytes([row + 1]) + bw.bytes()
 
-    out += b"\x00\x00\x01" + bytes([_SEQ_END])
-    return bytes(out)
+    return out, tuple(
+        np.clip(np.rint(p), 0, 255).astype(np.int64)
+        for p in (rec_y, rec_cb, rec_cr)
+    )
+
+
+def _wrap_delta(delta: int, f: int = 1) -> int:
+    """Motion delta → motion_code via the §2.4.4.2 modulo wraparound
+    (range [-16f, 16f-1])."""
+    return (delta + 16 * f) % (32 * f) - 16 * f
+
+
+def _mb_rec_view(rec_y, rec_cb, rec_cr, b: int, row: int, col: int):
+    if b < 4:
+        oy = row * 16 + (b // 2) * 8
+        ox = col * 16 + (b % 2) * 8
+        return rec_y[oy:oy + 8, ox:ox + 8]
+    plane = rec_cb if b == 4 else rec_cr
+    return plane[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
 
 
 # --- decoder ----------------------------------------------------------
@@ -458,25 +879,152 @@ def mpeg1_meta(data: bytes) -> tuple[int, int, float, int]:
     return w, h, rate, n
 
 
-def _decode_picture(
-    data: bytes, pos: int, w: int, h: int
+def _read_motion_component(r: _BitReader, pmv: int, f: int) -> int:
+    """One motion component (§2.4.4.2): motion_code VLC + sign (+
+    residual when f > 1), delta reconstruction, predictor add, and
+    modulo wraparound into [-16f, 16f-1] half-pel units."""
+    code = r.read_vlc(_MV_DEC, "motion_code", max_bits=11)
+    if code:
+        if r.read(1):
+            code = -code
+    if f == 1 or code == 0:
+        delta = code
+    else:
+        residual = r.read((f - 1).bit_length())
+        delta = (1 if code > 0 else -1) * ((abs(code) - 1) * f
+                                           + residual + 1)
+    new = pmv + delta
+    lo, hi = -16 * f, 16 * f - 1
+    if new > hi:
+        new -= 32 * f
+    elif new < lo:
+        new += 32 * f
+    return new
+
+
+def _read_intra_block(
+    sr: _BitReader, preds: dict, comp: str, qscale: int
 ) -> np.ndarray:
-    """Decode one I-picture whose header starts at byte ``pos`` (just
-    after the 00 00 01 00 start code).  Returns HxWx3 RGB."""
+    """One intra-coded block → 8x8 float pixels."""
+    table = _DC_LUMA_DEC if comp == "y" else _DC_CHROMA_DEC
+    zz = np.zeros(64, dtype=np.int64)
+    preds[comp] += _read_dc(sr, table)
+    zz[0] = preds[comp]
+    i = 0
+    while True:
+        nxt = _read_ac(sr)
+        if nxt is None:
+            break
+        run, level = nxt
+        i += run + 1
+        if i > 63:
+            raise ValueError("mpeg1: coefficient run overflow")
+        zz[i] = level
+    coeff = _dequant_intra(zz, qscale)
+    return _A.T @ coeff.astype(np.float64) @ _A
+
+
+def _read_nonintra_block(sr: _BitReader, qscale: int) -> np.ndarray:
+    """One non-intra (predictive residual) block → 8x8 float pixels.
+    The first coefficient uses the dct_coeff_first convention: '1'+s
+    means (run 0, level ±1), and its run indexes from position 0."""
+    zz = np.zeros(64, dtype=np.int64)
+    if sr.read(1):
+        zz[0] = -1 if sr.read(1) else 1
+        i = 0
+    else:
+        # continue the VLC with the consumed '0' prefix
+        code, n = 0, 1
+        hit = None
+        while n < 12:
+            code = (code << 1) | sr.read(1)
+            n += 1
+            hit = _AC_DEC.get((code, n))
+            if hit is not None:
+                break
+        if hit is None:
+            raise ValueError(
+                "mpeg1: VLC code outside the implemented "
+                "dct_coefficient table"
+            )
+        if hit == "eob":
+            raise ValueError("mpeg1: empty coded block")
+        if hit == "esc":
+            run = sr.read(6)
+            first = sr.read(8)
+            if first == 0b00000000:
+                level = sr.read(8)
+                if level < 128:
+                    raise ValueError("mpeg1: invalid escape level")
+            elif first == 0b10000000:
+                level = sr.read(8) - 256
+                if level > -128:
+                    raise ValueError("mpeg1: invalid escape level")
+            else:
+                level = first - 256 if first & 0x80 else first
+            if level == 0:
+                raise ValueError("mpeg1: escape level of zero")
+        else:
+            run, level = hit
+            if sr.read(1):
+                level = -level
+        i = run
+        if i > 63:
+            raise ValueError("mpeg1: coefficient run overflow")
+        zz[i] = level
+    while True:
+        nxt = _read_ac(sr)
+        if nxt is None:
+            break
+        run, level = nxt
+        i += run + 1
+        if i > 63:
+            raise ValueError("mpeg1: coefficient run overflow")
+        zz[i] = level
+    coeff = _dequant_nonintra(zz, qscale)
+    return _A.T @ coeff.astype(np.float64) @ _A
+
+
+def _decode_picture(
+    data: bytes, pos: int, w: int, h: int,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+):
+    """Decode one I- or P-picture whose header starts at byte ``pos``
+    (just after the 00 00 01 00 start code).  Returns ``(HxWx3 RGB,
+    integer reconstruction planes)`` — the planes are the forward
+    reference for a following P-picture."""
     if w * h > MAX_PIXELS:
         raise ValueError("mpeg1: image too large")
     r = _BitReader(data, pos)
     r.read(10)  # temporal_reference
     ptype = r.read(3)
-    if ptype != 1:
+    if ptype == 3:
         raise ValueError(
-            f"mpeg1: picture_coding_type {ptype} needs motion "
-            "compensation (only I-pictures are supported)"
+            "mpeg1: B-pictures need bidirectional motion "
+            "compensation (only I/P-pictures are supported)"
         )
+    if ptype not in (1, 2):
+        raise ValueError(f"mpeg1: invalid picture_coding_type {ptype}")
+    full_pel, f = 0, 1
+    if ptype == 2:
+        if ref is None:
+            raise ValueError("mpeg1: P-picture without a reference")
+        r.read(16)  # vbv_delay
+        full_pel = r.read(1)
+        f_code = r.read(3)
+        if f_code == 0:
+            raise ValueError("mpeg1: forward_f_code of zero")
+        f = 1 << (f_code - 1)
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
-    y = np.zeros((mbh * 16, mbw * 16), dtype=np.float64)
-    cb = np.zeros((mbh * 8, mbw * 8), dtype=np.float64)
-    cr = np.zeros((mbh * 8, mbw * 8), dtype=np.float64)
+    if ptype == 2:
+        ref_y, ref_cb, ref_cr = ref
+        y = ref_y.astype(np.float64)
+        cb = ref_cb.astype(np.float64)
+        cr = ref_cr.astype(np.float64)
+    else:
+        y = np.zeros((mbh * 16, mbw * 16), dtype=np.float64)
+        cb = np.zeros((mbh * 8, mbw * 8), dtype=np.float64)
+        cr = np.zeros((mbh * 8, mbw * 8), dtype=np.float64)
 
     code, spos = _next_start_code(data, pos)
     while code != -1 and not (0x01 <= code <= _SLICE_MAX):
@@ -492,6 +1040,7 @@ def _decode_picture(
             sr.read(8)
         mb_addr = (code - 1) * mbw - 1
         preds = {"y": 128, "cb": 128, "cr": 128}  # dct_dc_past / 8 (reset 1024 in recon units)
+        pmv = [0, 0]
         while True:
             # a slice ends at the next byte-aligned start code, which
             # may be preceded by zero-byte stuffing
@@ -513,7 +1062,7 @@ def _decode_picture(
                     continue
                 inc += got
                 break
-            if inc != 1:
+            if inc != 1 and ptype == 1:
                 raise ValueError(
                     "mpeg1: skipped macroblocks are not allowed in "
                     "I-pictures"
@@ -521,62 +1070,97 @@ def _decode_picture(
             mb_addr += inc
             if mb_addr >= mbw * mbh:
                 raise ValueError("mpeg1: macroblock address overflow")
-            # macroblock_type for I-pictures (Table B.2):
-            # '1' intra, '01' intra + new quantizer_scale
-            if not sr.read(1):
+            row, col = divmod(mb_addr, mbw)
+            if ptype == 1:
+                # macroblock_type for I-pictures (Table B.2):
+                # '1' intra, '01' intra + new quantizer_scale
                 if not sr.read(1):
-                    raise ValueError("mpeg1: invalid I macroblock_type")
+                    if not sr.read(1):
+                        raise ValueError("mpeg1: invalid I macroblock_type")
+                    qscale = sr.read(5)
+                    if qscale == 0:
+                        raise ValueError("mpeg1: quantizer_scale of zero")
+                for b in range(6):
+                    comp = "y" if b < 4 else ("cb" if b == 4 else "cr")
+                    pix = _read_intra_block(sr, preds, comp, qscale)
+                    _mb_rec_view(y, cb, cr, b, row, col)[...] = pix
+                continue
+            # --- P-picture macroblock --------------------------------
+            if inc > 1:
+                # skipped MBs: reconstruction is the co-located copy
+                # (planes start as the reference); predictors reset
+                preds = {"y": 128, "cb": 128, "cr": 128}
+                pmv = [0, 0]
+            mtype = sr.read_vlc(_P_MBTYPE_DEC, "P macroblock_type",
+                                max_bits=6)
+            quant, motion_f, pattern, intra = mtype
+            if quant:
                 qscale = sr.read(5)
                 if qscale == 0:
                     raise ValueError("mpeg1: quantizer_scale of zero")
-            row, col = divmod(mb_addr, mbw)
+            if motion_f:
+                pmv[0] = _read_motion_component(sr, pmv[0], f)
+                pmv[1] = _read_motion_component(sr, pmv[1], f)
+                mvy, mvx = pmv[0], pmv[1]
+                if full_pel:
+                    mvy, mvx = mvy * 2, mvx * 2
+            else:
+                mvy, mvx = 0, 0
+                pmv = [0, 0]
+            if intra:
+                pmv = [0, 0]
+                for b in range(6):
+                    comp = "y" if b < 4 else ("cb" if b == 4 else "cr")
+                    pix = _read_intra_block(sr, preds, comp, qscale)
+                    _mb_rec_view(y, cb, cr, b, row, col)[...] = pix
+                continue
+            preds = {"y": 128, "cb": 128, "cr": 128}
+            cbp = (
+                sr.read_vlc(_CBP_DEC, "coded_block_pattern", max_bits=9)
+                if pattern else 0
+            )
+            cmy, cmx = _chroma_mv(mvy), _chroma_mv(mvx)
+            by, bx = row * 16, col * 16
             for b in range(6):
-                comp = "y" if b < 4 else ("cb" if b == 4 else "cr")
-                table = _DC_LUMA_DEC if comp == "y" else _DC_CHROMA_DEC
-                zz = np.zeros(64, dtype=np.int64)
-                preds[comp] += _read_dc(sr, table)
-                zz[0] = preds[comp]
-                i = 0
-                while True:
-                    nxt = _read_ac(sr)
-                    if nxt is None:
-                        break
-                    run, level = nxt
-                    i += run + 1
-                    if i > 63:
-                        raise ValueError("mpeg1: coefficient run overflow")
-                    zz[i] = level
-                coeff = _dequant_intra(zz, qscale)
-                pix = _A.T @ coeff.astype(np.float64) @ _A
                 if b < 4:
-                    oy = row * 16 + (b // 2) * 8
-                    ox = col * 16 + (b % 2) * 8
-                    y[oy:oy + 8, ox:ox + 8] = pix
+                    oy, ox = (b // 2) * 8, (b % 2) * 8
+                    pred = _mc_pred(ref_y, by + oy, bx + ox, 8, mvy, mvx)
+                elif b == 4:
+                    pred = _mc_pred(ref_cb, row * 8, col * 8, 8, cmy, cmx)
                 else:
-                    tgt = cb if b == 4 else cr
-                    tgt[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = pix
+                    pred = _mc_pred(ref_cr, row * 8, col * 8, 8, cmy, cmx)
+                tgt = _mb_rec_view(y, cb, cr, b, row, col)
+                if cbp & (32 >> b):
+                    tgt[...] = pred + _read_nonintra_block(sr, qscale)
+                else:
+                    tgt[...] = pred
         end = sr.pos if sr.bit == 0 else sr.pos + 1
         code, spos = _next_start_code(data, end)
-    cb_full = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
-    cr_full = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
-    ycc = np.stack(
-        [np.clip(y, 0, 255), np.clip(cb_full, 0, 255),
-         np.clip(cr_full, 0, 255)],
-        axis=-1,
+    # integer reconstruction planes are BOTH the P reference and the
+    # RGB source: a decoded picture must match what a later P-picture
+    # predicts from (an all-skip P equals its reference exactly)
+    planes = tuple(
+        np.clip(np.rint(p), 0, 255).astype(np.int64) for p in (y, cb, cr)
     )
-    return ycbcr_to_rgb(ycc)[:h, :w]
+    ry, rcb, rcr = planes
+    cb_full = np.repeat(np.repeat(rcb, 2, axis=0), 2, axis=1)
+    cr_full = np.repeat(np.repeat(rcr, 2, axis=0), 2, axis=1)
+    ycc = np.stack([ry, cb_full, cr_full], axis=-1).astype(np.float64)
+    return ycbcr_to_rgb(ycc)[:h, :w], planes
 
 
 def decode_m1v_frames(data: bytes, every_n: int = 1):
     """Yield ``(picture_idx, HxWx3 RGB)`` for every ``every_n``-th
-    picture of an MPEG-1 elementary stream.
+    picture (bitstream order) of an MPEG-1 elementary stream.
 
-    Skipped pictures cost only the start-code scan (I-pictures are
-    independent — the property this sampling path exists for).  A
-    *sampled* P/B-picture raises (motion compensation is the declared
-    boundary); skipped ones are not even type-checked, so sampling
-    the I-frames of a mixed stream works when ``every_n`` lands on
-    them."""
+    A picture is decoded only if it lies on a sampled picture's
+    DEPENDENCY CHAIN: sampled I-pictures cost themselves alone (a
+    skipped run of pictures is just a start-code scan — the property
+    this sampling path exists for), while a sampled P-picture pulls
+    in the I/P run back to its GOP's I-picture.  B-pictures are never
+    references, so they are skipped for free; a *sampled* B-picture
+    raises (bidirectional MC is the declared boundary), flowing into
+    frame_sample's per-row ``decode_error`` capture."""
     if data[:4] == b"RIFF":
         raise ValueError("mpeg1: expected an elementary stream, got RIFF")
     w, h, _rate, n = mpeg1_meta(data)
@@ -584,14 +1168,39 @@ def decode_m1v_frames(data: bytes, every_n: int = 1):
         raise ValueError("mpeg1: image too large")
     if n == 0:
         raise ValueError("mpeg1: stream contains no pictures")
-    idx = 0
+    pics: list[tuple[int, int]] = []  # (byte pos after start code, type)
     code, pos = _next_start_code(data, 0)
     while code != -1:
         if code == _PIC:
-            if idx % every_n == 0:
-                yield idx, _decode_picture(data, pos, w, h)
-            idx += 1
+            r = _BitReader(data, pos)
+            r.read(10)
+            pics.append((pos, r.read(3)))
         code, pos = _next_start_code(data, pos)
+    sampled = set(range(0, len(pics), every_n))
+    needed: set[int] = set()
+    for s in sampled:
+        j = s
+        while j not in needed:
+            needed.add(j)
+            if pics[j][1] == 1:
+                break
+            # predecessors that are B-pictures are not references
+            k = j - 1
+            while k >= 0 and pics[k][1] == 3:
+                k -= 1
+            if k < 0:
+                break  # no reference: _decode_picture raises below
+            j = k
+    ref = None
+    for i, (ppos, ptype) in enumerate(pics):
+        if i not in needed:
+            continue
+        rgb, planes = _decode_picture(
+            data, ppos, w, h, ref if ptype == 2 else None
+        )
+        ref = planes
+        if i in sampled:
+            yield i, rgb
 
 
 def is_m1v(data: bytes) -> bool:

@@ -1,11 +1,14 @@
-"""MPEG-1 intra-only video codec tests (sources/mpeg1.py): VLC table
-integrity (prefix-freeness, canonical DC/AC codes), bitstream grammar
-(start codes, sequence/picture headers, slice addressing), roundtrip
-quality across qscales and dimensions, the ESCAPE coefficient path,
-P/B-picture rejection (the declared motion-compensation boundary),
-hand-built foreign-feature streams (quantizer update macroblocks,
-zero-byte stuffing before start codes, MBA stuffing codes), mutation
-fuzz, and frame_sample routing."""
+"""MPEG-1 I/P video codec tests (sources/mpeg1.py): VLC table
+integrity (prefix-freeness, canonical DC/AC/MV/CBP codes, the Table
+B.1↔B.4 bit-space cross-check), bitstream grammar (start codes,
+sequence/picture headers, slice addressing), roundtrip quality across
+qscales and dimensions, the ESCAPE coefficient path, motion-
+compensated P-pictures (closed-loop drift, skipped-macroblock runs
+incl. MBA escapes, scene-cut intra fallback, dependency-chain
+sampling), B-picture rejection (the declared bidirectional-MC
+boundary), hand-built foreign-feature streams (quantizer update
+macroblocks, zero-byte stuffing, MBA stuffing, forward_f_code > 1,
+full-pel vectors), mutation fuzz, and frame_sample routing."""
 
 import numpy as np
 import pytest
@@ -142,39 +145,340 @@ def test_deterministic_encode():
     assert encode_m1v([f]) == encode_m1v([f])
 
 
-# --- declared boundary: P/B pictures ----------------------------------
+# --- declared boundary: B pictures; P needs a reference ---------------
 
 
-def _patch_picture_types(data: bytes, ptype: int) -> bytes:
+def _patch_picture_types(data: bytes, ptype: int, which=None) -> bytes:
     out = bytearray(data)
+    idx = 0
     i = out.find(b"\x00\x00\x01\x00")
     while i != -1:
-        out[i + 5] = (out[i + 5] & 0b11000111) | (ptype << 3)
+        if which is None or idx in which:
+            out[i + 5] = (out[i + 5] & 0b11000111) | (ptype << 3)
+        idx += 1
         i = out.find(b"\x00\x00\x01\x00", i + 4)
     return bytes(out)
 
 
-@pytest.mark.parametrize("ptype", [2, 3])
-def test_sampled_pb_picture_raises(ptype):
-    data = _patch_picture_types(encode_m1v([smooth(16, 16)]), ptype)
-    with pytest.raises(ValueError, match="motion compensation"):
+def test_sampled_b_picture_raises():
+    data = _patch_picture_types(encode_m1v([smooth(16, 16)]), 3)
+    with pytest.raises(ValueError, match="bidirectional"):
         list(decode_m1v_frames(data))
 
 
-def test_skipped_p_pictures_are_not_decoded():
-    # pictures 1..5 are P-patched; sampling every 6th only touches the
-    # I-pictures — proof that skip really is a start-code scan
+def test_p_picture_without_reference_raises():
+    data = _patch_picture_types(encode_m1v([smooth(16, 16)]), 2)
+    with pytest.raises(ValueError, match="without a reference"):
+        list(decode_m1v_frames(data))
+
+
+def test_skipped_b_pictures_are_not_decoded():
+    # pictures 1..5 are B-patched; they are never references, so
+    # sampling every 6th touches only the I-pictures — proof that the
+    # skip really is a start-code scan (a decoded B would raise)
     frames = [smooth(16, 16, seed=3, shift=i) for i in range(7)]
-    data = bytearray(encode_m1v(frames, qscale=2))
-    starts = []
+    data = _patch_picture_types(
+        encode_m1v(frames, qscale=2), 3, which=set(range(1, 6))
+    )
+    got = dict(decode_m1v_frames(data, every_n=6))
+    assert sorted(got) == [0, 6]
+
+
+# --- P-pictures: motion-compensated interframe coding -----------------
+
+
+def moving(h, w, n, seed=0, step=3):
+    """Smooth translating scene + a moving sprite: MC-friendly."""
+    y, x = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        r = 128 + 90 * np.sin((x + step * t) / 6.0)
+        g = 128 + 70 * np.cos((y + step * t) / 5.0)
+        b = 128 + 60 * np.sin((x + y) / 7.0 + t / 4.0)
+        f = np.clip(
+            np.round(np.stack([r, g, b], axis=-1)), 0, 255
+        ).astype(np.uint8)
+        f[(4 + t) % (h - 8):(4 + t) % (h - 8) + 8,
+          (2 * t) % (w - 8):(2 * t) % (w - 8) + 8] = (220, 50, 80)
+        frames.append(f)
+    return frames
+
+
+def test_p_roundtrip_quality():
+    frames = moving(32, 48, 7)
+    data = encode_m1v(frames, qscale=2, gop_size=3)
+    got = dict(decode_m1v_frames(data))
+    assert sorted(got) == list(range(7))
+    for i, dec in got.items():
+        assert psnr(frames[i], dec) >= 28.0, i
+
+
+def test_p_types_on_the_wire():
+    # gop_size=3 → picture_coding_type I P P I P P on the wire
+    data = encode_m1v(moving(16, 16, 6), qscale=2, gop_size=3)
+    types = []
     i = data.find(b"\x00\x00\x01\x00")
     while i != -1:
-        starts.append(i)
+        r = M._BitReader(data, i + 4)
+        r.read(10)
+        types.append(r.read(3))
         i = data.find(b"\x00\x00\x01\x00", i + 4)
-    for k in starts[1:6]:
-        data[k + 5] = (data[k + 5] & 0b11000111) | (2 << 3)
-    got = dict(decode_m1v_frames(bytes(data), every_n=6))
-    assert sorted(got) == [0, 6]
+    assert types == [1, 2, 2, 1, 2, 2]
+
+
+def test_static_scene_mostly_skips():
+    """Identical frames: interior P macroblocks overwhelmingly skip
+    (the stream is a fraction of the all-I size); the few coded MBs
+    may only REFINE the I-reconstruction's quantization error, never
+    degrade it."""
+    f = smooth(32, 48, seed=11)
+    frames = [f] * 5
+    p = encode_m1v(frames, qscale=2, gop_size=5)
+    i_only = encode_m1v(frames, qscale=2)
+    assert len(p) < len(i_only) * 0.45
+    got = dict(decode_m1v_frames(p))
+    base = psnr(f, got[0])
+    for t in range(1, 5):
+        assert psnr(f, got[t]) >= base - 0.1
+        assert psnr(got[0], got[t]) >= 45.0  # near-copy of the ref
+
+
+def test_static_flat_scene_all_skips_exact():
+    """A flat scene reconstructs exactly at the I-picture, so every P
+    residual is zero: all interior MBs skip and decode is bit-exact
+    across the GOP."""
+    f = np.full((32, 48, 3), 77, np.uint8)
+    got = dict(decode_m1v_frames(
+        encode_m1v([f] * 4, qscale=2, gop_size=4)
+    ))
+    for t in range(4):
+        assert np.array_equal(got[t], f)
+
+
+def test_skip_run_longer_than_33_uses_mba_escape():
+    """A 40-macroblock-wide static flat row forces a skipped run of 38
+    (> 33), so the encoder must emit the MBA escape (+33) and the
+    decoder must accumulate it — decode is bit-exact."""
+    f = np.full((16, 40 * 16, 3), 140, np.uint8)
+    data = encode_m1v([f, f], qscale=2, gop_size=2)
+    got = dict(decode_m1v_frames(data))
+    assert np.array_equal(got[0], f)
+    assert np.array_equal(got[1], f)
+
+
+def test_closed_loop_no_drift_over_long_gop():
+    """15 P-pictures chained off one I: closed-loop encoding keeps the
+    tail frame as good as the head (open-loop drift would compound)."""
+    frames = moving(32, 32, 16, step=2)
+    data = encode_m1v(frames, qscale=2, gop_size=16)
+    got = dict(decode_m1v_frames(data))
+    head = psnr(frames[1], got[1])
+    tail = psnr(frames[15], got[15])
+    assert tail >= 28.0
+    assert tail >= head - 3.0
+
+
+def test_scene_cut_intra_fallback():
+    """A full scene change mid-GOP must survive (per-macroblock intra
+    fallback); quality on the cut frame stays high."""
+    a = smooth(32, 32, seed=13)
+    b = 255 - smooth(32, 32, seed=14)[::-1]
+    frames = [a, a, b.copy(), b.copy()]
+    data = encode_m1v(frames, qscale=2, gop_size=4)
+    got = dict(decode_m1v_frames(data))
+    assert psnr(b, got[2]) >= 28.0
+    assert psnr(b, got[3]) >= 28.0
+
+
+def test_dependency_chain_sampling_matches_full_decode():
+    frames = moving(32, 48, 9)
+    data = encode_m1v(frames, qscale=2, gop_size=4)
+    full = dict(decode_m1v_frames(data, every_n=1))
+    for every_n in (2, 3, 4):
+        part = dict(decode_m1v_frames(data, every_n=every_n))
+        assert sorted(part) == list(range(0, 9, every_n))
+        for i in part:
+            assert np.array_equal(part[i], full[i]), i
+
+
+def test_p_deterministic_encode():
+    frames = moving(32, 32, 5)
+    assert (encode_m1v(frames, gop_size=3)
+            == encode_m1v(frames, gop_size=3))
+
+
+def test_p_odd_dimensions():
+    frames = moving(23, 41, 5)
+    data = encode_m1v(frames, qscale=2, gop_size=5)
+    got = dict(decode_m1v_frames(data))
+    for i, dec in got.items():
+        assert dec.shape == (23, 41, 3)
+        assert psnr(frames[i], dec) >= 27.0
+
+
+def test_p_mutation_fuzz_never_hangs_or_segfaults():
+    frames = moving(16, 24, 5)
+    data = bytearray(encode_m1v(frames, qscale=2, gop_size=3))
+    rng = np.random.default_rng(43)
+    for _ in range(200):
+        mut = bytearray(data)
+        for _ in range(rng.integers(1, 4)):
+            mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+        try:
+            for _idx, frame in decode_m1v_frames(bytes(mut)):
+                assert frame.ndim == 3
+        except (ValueError, IndexError):
+            pass
+
+
+# --- motion VLC tables and components ---------------------------------
+
+
+def test_mv_cbp_mbtype_tables_prefix_free():
+    _assert_prefix_free(M._MV_DEC)
+    _assert_prefix_free(M._CBP_DEC)
+    _assert_prefix_free(M._P_MBTYPE_DEC)
+
+
+def test_mv_table_cross_checks_mba_table():
+    """Table B.4 splits Table B.1's bit space exactly: MV code k with
+    sign bit s occupies the code of MBA 2k+1-s."""
+    for k in range(1, 17):
+        code, n = M._MV_TABLE[k]
+        assert M._MBA_TABLE[2 * k + 1] == ((code << 1) | 0, n + 1)
+        assert M._MBA_TABLE[2 * k] == ((code << 1) | 1, n + 1)
+
+
+def test_motion_component_roundtrip_f1():
+    w = M._BitWriter()
+    deltas = list(range(-16, 16))
+    for d in deltas:
+        M._write_mv(w, d)
+    w.byte_align()
+    r = M._BitReader(w.bytes(), 0)
+    for d in deltas:
+        assert M._read_motion_component(r, 0, 1) == d
+
+
+def test_motion_component_wraparound():
+    # predictor 15, delta +2 → 17 wraps to -15 (range [-16, 15])
+    w = M._BitWriter()
+    M._write_mv(w, 2)
+    w.byte_align()
+    r = M._BitReader(w.bytes(), 0)
+    assert M._read_motion_component(r, 15, 1) == -15
+
+
+def test_cbp_table_roundtrip():
+    w = M._BitWriter()
+    for cbp in range(1, 64):
+        code, n = M._CBP_TABLE[cbp]
+        w.write(code, n)
+    w.byte_align()
+    r = M._BitReader(w.bytes(), 0)
+    for cbp in range(1, 64):
+        assert r.read_vlc(M._CBP_DEC, "cbp", max_bits=9) == cbp
+
+
+# --- foreign-feature P streams (hand-built via the module's writer) ---
+
+
+def _hand_p_stream(ref_rgb, header_bits, mb_motion_bits):
+    """I-picture of ``ref_rgb`` (32x32, 2x2 macroblocks) + a
+    hand-written P-picture of four MC-not-coded macroblocks in two
+    slices; ``header_bits(w)`` writes full_pel+f_code,
+    ``mb_motion_bits(w, mb)`` writes each MB's two motion
+    components."""
+    head = encode_m1v([ref_rgb], qscale=2)
+    assert head.endswith(b"\x00\x00\x01\xb7")
+    body = bytearray(head[:-4])
+    pw = M._BitWriter()
+    pw.write(1, 10)  # temporal_reference
+    pw.write(2, 3)  # P
+    pw.write(0xFFFF, 16)
+    header_bits(pw)
+    pw.write(0, 1)  # extra_bit_picture
+    pw.byte_align()
+    body += b"\x00\x00\x01\x00" + pw.bytes()
+    for row in range(2):
+        sw = M._BitWriter()
+        sw.write(2, 5)  # quantizer_scale
+        sw.write(0, 1)
+        for col in range(2):
+            sw.write(1, 1)  # address increment 1
+            code, n, _f = M._P_MBTYPE["mc"]
+            sw.write(code, n)
+            mb_motion_bits(sw, row * 2 + col)
+        sw.byte_align()
+        body += b"\x00\x00\x01" + bytes([row + 1]) + sw.bytes()
+    body += b"\x00\x00\x01\xb7"
+    return bytes(body)
+
+
+def _assert_mb0_shifted_by_2(data):
+    """Decode the hand stream: MB0 carries a (+4,+4) half-pel luma MV
+    (2 full pel; chroma +1 full pel) and MBs 1-3 carry MV 0.  Both
+    planes shift by an even amount, so in RGB the MB0 region is
+    exactly the reference translated by 2 pels; the rest is a copy."""
+    got = dict(decode_m1v_frames(data))
+    base, cur = got[0], got[1]
+    assert np.array_equal(cur[:16, :16], base[2:18, 2:18])
+    assert np.array_equal(cur[:16, 16:], base[:16, 16:])
+    assert np.array_equal(cur[16:, :], base[16:, :])
+
+
+def test_foreign_f_code_2_with_residual():
+    """forward_f_code=2 (f=2): motion_code 2 + residual 1 → delta
+    (|2|-1)*2 + 1 + 1 = +4 half-pel = two full pels down-right; the
+    other MBs return to 0 via motion_code -2 + residual 1."""
+    ref = smooth(32, 32, seed=21)
+
+    def header(w):
+        w.write(0, 1)  # full_pel_forward_vector
+        w.write(2, 3)  # forward_f_code = 2
+
+    def motion(w, mb):
+        # per-component delta: MB0 +4, MB1 -4 (pmv back to 0), rest 0
+        for _ in range(2):
+            if mb == 0:
+                c, n = M._MV_TABLE[2]
+                w.write(c, n)
+                w.write(0, 1)  # positive
+                w.write(1, 1)  # motion_residual
+            elif mb == 1:
+                c, n = M._MV_TABLE[2]
+                w.write(c, n)
+                w.write(1, 1)  # negative
+                w.write(1, 1)
+            else:
+                c, n = M._MV_TABLE[0]
+                w.write(c, n)  # motion_code 0: no sign, no residual
+    _assert_mb0_shifted_by_2(_hand_p_stream(ref, header, motion))
+
+
+def test_foreign_full_pel_vector():
+    """full_pel_forward_vector=1 at f_code=1: motion_code +2 → pmv 2,
+    doubled to 4 half-pel = two full pels down-right."""
+    ref = smooth(32, 32, seed=22)
+
+    def header(w):
+        w.write(1, 1)  # full_pel_forward_vector = 1
+        w.write(1, 3)  # forward_f_code = 1
+
+    def motion(w, mb):
+        for _ in range(2):
+            if mb == 0:
+                c, n = M._MV_TABLE[2]
+                w.write(c, n)
+                w.write(0, 1)
+            elif mb == 1:
+                c, n = M._MV_TABLE[2]
+                w.write(c, n)
+                w.write(1, 1)
+            else:
+                c, n = M._MV_TABLE[0]
+                w.write(c, n)
+    _assert_mb0_shifted_by_2(_hand_p_stream(ref, header, motion))
 
 
 # --- foreign-feature streams (hand-built via the module's writer) -----
