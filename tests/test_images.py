@@ -288,15 +288,23 @@ def test_wav_duration_rms_closed_form():
 
 def test_audio_features_spark_paths(spark):
     from scrapelect_spark.operators.multimodal import audio_features
+    from scrapelect_spark.sources.mp2 import encode_mp2
     from scrapelect_spark.sources.wav import encode_wav
 
     wav = encode_wav(0.25 * np.ones(1600), 16000)
+    t = np.arange(8000)
+    mp2_pcm = np.round(
+        9000 * np.sin(2 * np.pi * 440 * t / 32000)
+    ).astype(np.int16)
+    mp2 = encode_mp2(mp2_pcm, 32000, 96)
     df = spark.createDataFrame(
         [
             ("ok", bytearray(wav), "wav"),
             ("garbage", bytearray(b"not riff"), "wav"),
             ("truncated", bytearray(wav[:30]), "wav"),
             ("mp3", bytearray(wav), "mp3"),
+            ("mp2", bytearray(mp2), "mp2"),
+            ("mp2bad", bytearray(b"\xff\xfdgarbage"), "mp2"),
         ],
         "audio_id string, bytes binary, fmt string",
     )
@@ -308,3 +316,10 @@ def test_audio_features_spark_paths(spark):
     assert "WAV decode failed" in rows["truncated"].decode_error
     assert rows["truncated"].decode_error.rstrip() != "WAV decode failed:"
     assert "requires a codec library" in rows["mp3"].decode_error
+    assert rows["mp2"].decode_error is None
+    # frame-quantized duration; RMS of a 9000-amp sine ~ 0.194
+    assert rows["mp2"].duration_s * 32000 == (
+        -(-(8000 + 512) // 1152) * 1152 - 512
+    )
+    assert abs(rows["mp2"].rms - 9000 / 32768 / np.sqrt(2)) < 0.01
+    assert "MP2 decode failed" in rows["mp2bad"].decode_error
