@@ -30,6 +30,7 @@ for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
 # CORRECTNESS_r03/r04 (those are the safest to fall off the end).
 _PRIORITY = [
     # new in round 5 (no driver row can exist yet)
+    "image_tiff_roundtrip",
     "audio_mp2_roundtrip",
     "video_mpeg1_p_sample",
     "image_exif_extract",

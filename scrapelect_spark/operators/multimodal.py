@@ -66,6 +66,13 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from ..sources.bmp import decode_bmp
 
         return decode_bmp(bytes(data))
+    if fmt in ("tiff", "tif"):
+        # REAL path: baseline TIFF 6.0 (sources/tiff.py — strips,
+        # none/PackBits/LZW(EarlyChange)+predictor, bilevel/gray/
+        # palette/RGB/RGBA, both byte orders).
+        from ..sources.tiff import decode_tiff
+
+        return decode_tiff(bytes(data))
     raise NotImplementedError(f"unsupported image format {fmt!r}")
 
 
@@ -1454,6 +1461,88 @@ ORDER BY doc_id
 """
 
 
+def image_tiff_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Gate for the TIFF codec (sources/tiff.py — the scanned-document
+    image tier): deterministic RGB pattern per doc with flat runs (so
+    PackBits/LZW really compress), encode rotating through the
+    baseline feature grid — compression none/PackBits/LZW (doc_id%3),
+    byte order II/MM (doc_id%2), horizontal predictor under LZW
+    (doc_id%6==2), multi-strip (rows_per_strip=5) — decode through
+    the ``decode_image`` fmt='tiff' path, assert bit-exact."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.tiff import encode_tiff
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            w_out = np.empty(n_rows, dtype=object)
+            h_out = np.empty(n_rows, dtype=object)
+            exact = np.empty(n_rows, dtype=object)
+            failed = np.empty(n_rows, dtype=object)
+            for i, doc_id in enumerate(pdf["doc_id"]):
+                doc_id = int(doc_id)
+                h = 11 + doc_id % 6
+                w = 9 + doc_id % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (yy * 29 + doc_id) % 256,
+                        (xx // 3 * 50 + 2 * doc_id) % 256,
+                        np.full((h, w), (doc_id * 7) % 256),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                comp = (1, 32773, 5)[doc_id % 3]
+                try:
+                    blob = encode_tiff(
+                        img,
+                        compression=comp,
+                        byte_order="II" if doc_id % 2 == 0 else "MM",
+                        rows_per_strip=5,
+                        predictor=2 if doc_id % 6 == 2 else 1,
+                    )
+                    out = decode_image(blob, "tiff")
+                    exact[i] = 1 if np.array_equal(out, img) else 0
+                    w_out[i], h_out[i], failed[i] = w, h, 0
+                except Exception:
+                    w_out[i] = h_out[i] = None
+                    exact[i], failed[i] = 0, 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "w": w_out,
+                    "h": h_out,
+                    "exact": exact,
+                    "failed": failed,
+                }
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_verify,
+            schema="doc_id long, w long, h long, exact long, failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TIFF_SQL = """
+SELECT doc_id,
+  9 + doc_id % 7 AS w,
+  11 + doc_id % 6 AS h,
+  CAST(1 AS BIGINT) AS exact,
+  CAST(0 AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 def _mpeg1_frame(doc_id: int, frame_idx: int) -> np.ndarray:
     """Deterministic 32x48 smooth frame (sinusoidal gradients + a
     moving flat sprite) — transform-codes well, so the I-frame
@@ -1686,6 +1775,7 @@ QUERIES = {
     "audio_flac_roundtrip": audio_flac_roundtrip,
     "audio_mp2_roundtrip": audio_mp2_roundtrip,
     "image_bmp_roundtrip": image_bmp_roundtrip,
+    "image_tiff_roundtrip": image_tiff_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "image_gif_roundtrip": image_gif_roundtrip,
@@ -1706,6 +1796,7 @@ ORACLE_SQL = {
     "audio_mp2_roundtrip": _MP2_SQL,
     "image_gif_roundtrip": _GIF_SQL,
     "image_bmp_roundtrip": _BMP_SQL,
+    "image_tiff_roundtrip": _TIFF_SQL,
     "image_png_roundtrip": _IMAGE_SQL,
     "image_jpeg_roundtrip": _JPEG_SQL,
     "image_resize_nn": _RESIZE_SQL,
