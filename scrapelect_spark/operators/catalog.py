@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from . import (
     dedup,
+    graph,
     imagemeta,
     multimodal,
     relational,
@@ -18,7 +19,7 @@ from ..streaming import windows as streaming_windows
 _ALL_QUERIES = {}
 _ALL_ORACLE = {}
 for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
-            streaming_windows, warc_io, imagemeta):
+            streaming_windows, warc_io, imagemeta, graph):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLE.update(mod.ORACLE_SQL)
 
@@ -30,6 +31,7 @@ for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
 # CORRECTNESS_r03/r04 (those are the safest to fall off the end).
 _PRIORITY = [
     # new in round 5 (no driver row can exist yet)
+    "graph_pagerank",
     "image_tiff_roundtrip",
     "audio_mp2_roundtrip",
     "video_mpeg1_p_sample",

@@ -474,3 +474,48 @@ def test_hash_split_single_shuffle(spark):
     assert len(exchanges) == 1, plan
     # partial aggregation happens before the shuffle (map-side combine)
     assert plan.index("HashAggregate") < plan.index("Exchange hashpartitioning"), plan
+
+
+def test_pagerank_round_no_broadcast_one_exchange(spark):
+    """PageRank round plan with auto-broadcast disabled (at-scale
+    stats): the N-row rank vector must NEVER broadcast — at the
+    10^10-node design point there is no small side at all — and the
+    only ENSURE_REQUIREMENTS exchange is the map-side-combined
+    groupBy(dst) contribution sum.  Both joins (edges⋈ranks on src,
+    nodes⋈sums on dst) run co-partitioned (SMJ/SHJ) off the cached
+    hash-partitioned inputs."""
+    from scrapelect_spark.operators.graph import (
+        _link_edges,
+        _pagerank_round,
+    )
+    from scrapelect_spark.operators.tables import load
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = load(spark, SF, "documents")
+        n = int(d.agg(F.max("doc_id")).first()[0]) + 1
+        edges = _link_edges(d, n).repartition("src").persist()
+        nodes = (
+            d.select(F.col("doc_id").alias("node")).repartition("node").persist()
+        )
+        try:
+            edges.count()
+            nodes.count()
+            ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+            plan = plan_of(_pagerank_round(nodes, edges, ranks, 0.15 / n))
+        finally:
+            edges.unpersist()
+            nodes.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in plan, plan
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "ENSURE_REQUIREMENTS" in l
+    ]
+    assert len(exchanges) == 1 and "dst" in exchanges[0], plan
+    assert not any("node" in l or "src" in l for l in exchanges), plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
