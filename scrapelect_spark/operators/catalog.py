@@ -32,6 +32,7 @@ for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
 _PRIORITY = [
     # new in round 5 (no driver row can exist yet)
     "graph_pagerank",
+    "image_resize_filters",
     "image_tiff_roundtrip",
     "audio_mp2_roundtrip",
     "video_mpeg1_p_sample",

@@ -143,22 +143,99 @@ RESIZE_SCHEMA = StructType(
 )
 
 
+def _resize_nn(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    src_h, src_w = arr.shape[:2]
+    yi = (np.arange(th) * src_h) // th
+    xi = (np.arange(tw) * src_w) // tw
+    return arr[yi[:, None], xi[None, :]]
+
+
+def _axis_bilinear(arr: np.ndarray, target: int, axis: int) -> np.ndarray:
+    """Tent-filter sample along one axis at half-pixel centers
+    (align_corners=False, the torchvision/PIL convention):
+    src = (dst + 0.5) * (n_src / n_dst) - 0.5, edge-clamped."""
+    n = arr.shape[axis]
+    pos = (np.arange(target) + 0.5) * (n / target) - 0.5
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n - 1)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = np.clip(pos - lo, 0.0, 1.0)
+    a = np.take(arr, lo, axis=axis).astype(np.float64)
+    b = np.take(arr, hi, axis=axis).astype(np.float64)
+    shape = [1] * arr.ndim
+    shape[axis] = target
+    f = frac.reshape(shape)
+    return a * (1.0 - f) + b * f
+
+
+def _resize_bilinear(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    out = _axis_bilinear(_axis_bilinear(arr, th, 0), tw, 1)
+    # deterministic half-UP rounding (np.rint is half-even)
+    return np.floor(out + 0.5).astype(arr.dtype)
+
+
+def _axis_area(arr: np.ndarray, target: int, axis: int) -> np.ndarray:
+    """Exact box-filter average along one axis (OpenCV INTER_AREA
+    downscale semantics, fractional source coverage included) via a
+    cumulative sum — O(n) per axis, fully vectorized."""
+    n = arr.shape[axis]
+    scale = n / target
+    cum = np.cumsum(arr.astype(np.float64), axis=axis)
+    pad_shape = list(arr.shape)
+    pad_shape[axis] = 1
+    cum = np.concatenate([np.zeros(pad_shape), cum], axis=axis)
+
+    def span_sum(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        # integral of arr over fractional span [lo, hi) along axis
+        lo_i = np.floor(lo).astype(np.int64)
+        hi_i = np.ceil(hi).astype(np.int64)
+        full = np.take(cum, hi_i, axis=axis) - np.take(cum, lo_i, axis=axis)
+        shape = [1] * arr.ndim
+        shape[axis] = target
+        head = (lo - lo_i).reshape(shape) * np.take(
+            arr, np.minimum(lo_i, n - 1), axis=axis
+        )
+        tail = (hi_i - hi).reshape(shape) * np.take(
+            arr, np.minimum(hi_i - 1, n - 1), axis=axis
+        )
+        return full - head - tail
+
+    lo = np.arange(target) * scale
+    hi = np.minimum((np.arange(target) + 1) * scale, n)
+    return span_sum(lo, hi) / (hi - lo).reshape(
+        [target if d == axis else 1 for d in range(arr.ndim)]
+    )
+
+
+def _resize_area(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    out = _axis_area(_axis_area(arr, th, 0), tw, 1)
+    return np.floor(out + 0.5).astype(arr.dtype)
+
+
+_RESIZE_METHODS = {
+    "nn": _resize_nn,
+    "bilinear": _resize_bilinear,
+    "area": _resize_area,
+}
+
+
 def resize_images(
-    images: DataFrame, target_w: int, target_h: int
+    images: DataFrame, target_w: int, target_h: int, method: str = "nn"
 ) -> DataFrame:
-    """Nearest-neighbor resize of PNG payloads (decode → sample →
-    re-encode), Arrow-batched."""
+    """Resize PNG payloads (decode → resample → re-encode),
+    Arrow-batched.  ``method``: ``nn`` (integer-index nearest
+    neighbor), ``bilinear`` (separable tent, half-pixel centers,
+    align_corners=False), or ``area`` (exact box-filter average with
+    fractional coverage — the antialiased downscale a training
+    pipeline wants).  All three are vectorized numpy; rounding back
+    to the input dtype is deterministic half-up."""
+    sample = _RESIZE_METHODS[method]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys = None
         for pdf in batches:
             ids, blobs, ws, hs = [], [], [], []
             for image_id, raw, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 arr = decode_image(raw, fmt)
-                src_h, src_w = arr.shape[:2]
-                yi = (np.arange(target_h) * src_h) // target_h
-                xi = (np.arange(target_w) * src_w) // target_w
-                out = arr[yi[:, None], xi[None, :]]
+                out = sample(arr, target_w, target_h)
                 ids.append(image_id)
                 blobs.append(encode_png(out))
                 ws.append(target_w)
@@ -676,6 +753,106 @@ SELECT doc_id,
   CAST(6 AS BIGINT) AS w,
   CAST(5 AS BIGINT) AS h,
   doc_id % 256 AS pixel
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+def image_resize_filters(spark, sf_dir: str) -> DataFrame:
+    """Gate for the ``bilinear`` and ``area`` resize methods.  Each doc
+    gets a 10×8 pattern constant within column pairs but varying per
+    row — ``v(y,x) = (doc + y*13 + (x//2)*29) % 256`` — and is
+    downscaled by exactly 2 with all three methods.  At an exact
+    factor of 2 the tent and box filters are both the 2×2 block mean,
+    so every output pixel has the closed form
+    ``floor((v(2Y,2X) + v(2Y+1,2X))/2 + 0.5)`` the Python side checks
+    per-pixel (``bilinear_ok``/``area_ok``), while nearest-neighbor
+    picks the top row and therefore differs on EVERY pixel
+    (``nn_differs`` — proving the three code paths are distinct).
+    The oracle predicts all three flags and the dims in closed form."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.png import decode_png, encode_png
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    th, tw = 5, 4
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, fmts = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                yy, xx = np.mgrid[0 : 2 * th, 0 : 2 * tw]
+                arr = ((doc_id + yy * 13 + (xx // 2) * 29) % 256).astype(
+                    np.uint8
+                )
+                ids.append(str(doc_id))
+                blobs.append(encode_png(arr))
+                fmts.append("png")
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs, "fmt": fmts})
+
+    images = d.select("doc_id").mapInPandas(
+        synth, schema="image_id string, bytes binary, fmt string"
+    )
+
+    def one(method: str, tag: str) -> DataFrame:
+        return resize_images(
+            images, target_w=tw, target_h=th, method=method
+        ).select("image_id", F.col("bytes").alias(f"bytes_{tag}"))
+
+    joined = (
+        one("bilinear", "bi")
+        .join(one("area", "ar"), "image_id")
+        .join(one("nn", "nn"), "image_id")
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "w": [],
+                "h": [],
+                "bilinear_ok": [],
+                "area_ok": [],
+                "nn_differs": [],
+            }
+            for image_id, b_bi, b_ar, b_nn in zip(
+                pdf["image_id"], pdf["bytes_bi"], pdf["bytes_ar"], pdf["bytes_nn"]
+            ):
+                doc_id = int(image_id)
+                th, tw = 5, 4
+                yy, xx = np.mgrid[0:th, 0:tw]
+                a = (doc_id + (2 * yy) * 13 + xx * 29) % 256
+                b = (doc_id + (2 * yy + 1) * 13 + xx * 29) % 256
+                want = np.floor((a + b) / 2 + 0.5).astype(np.int64)
+                bi = decode_png(bytes(b_bi)).astype(np.int64).reshape(th, tw)
+                ar = decode_png(bytes(b_ar)).astype(np.int64).reshape(th, tw)
+                nn = decode_png(bytes(b_nn)).astype(np.int64).reshape(th, tw)
+                rows["doc_id"].append(doc_id)
+                rows["w"].append(tw)
+                rows["h"].append(th)
+                rows["bilinear_ok"].append(int(np.array_equal(bi, want)))
+                rows["area_ok"].append(int(np.array_equal(ar, want)))
+                rows["nn_differs"].append(int((nn != bi).all()))
+            yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(
+        verify,
+        schema="doc_id long, w long, h long, bilinear_ok long, "
+        "area_ok long, nn_differs long",
+    ).orderBy("doc_id")
+
+
+_RESIZE_FILTERS_SQL = """
+SELECT doc_id,
+  CAST(4 AS BIGINT) AS w,
+  CAST(5 AS BIGINT) AS h,
+  CAST(1 AS BIGINT) AS bilinear_ok,
+  CAST(1 AS BIGINT) AS area_ok,
+  CAST(1 AS BIGINT) AS nn_differs
 FROM documents
 WHERE doc_id < 200
 ORDER BY doc_id
@@ -1780,6 +1957,7 @@ QUERIES = {
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "image_gif_roundtrip": image_gif_roundtrip,
     "image_resize_nn": image_resize_nn,
+    "image_resize_filters": image_resize_filters,
     "image_decode_errors": image_decode_errors,
     "video_frame_sample": video_frame_sample,
 }
@@ -1800,6 +1978,7 @@ ORACLE_SQL = {
     "image_png_roundtrip": _IMAGE_SQL,
     "image_jpeg_roundtrip": _JPEG_SQL,
     "image_resize_nn": _RESIZE_SQL,
+    "image_resize_filters": _RESIZE_FILTERS_SQL,
     "image_decode_errors": _DECODE_ERRORS_SQL,
     "video_frame_sample": _VIDEO_SQL,
 }
