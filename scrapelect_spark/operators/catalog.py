@@ -33,6 +33,7 @@ _PRIORITY = [
     # new in round 5 (no driver row can exist yet)
     "graph_pagerank",
     "image_resize_filters",
+    "image_patch_grid",
     "image_tiff_roundtrip",
     "audio_mp2_roundtrip",
     "video_mpeg1_p_sample",

@@ -859,6 +859,130 @@ ORDER BY doc_id
 """
 
 
+PATCH_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("py", IntegerType(), True),
+        StructField("px", IntegerType(), True),
+        StructField("bytes", BinaryType(), True),  # PNG-encoded patch
+        StructField("patch_sum", LongType(), True),
+    ]
+)
+
+
+def extract_patches(images: DataFrame, patch: int) -> DataFrame:
+    """ViT-style non-overlapping tiling: one output row per
+    ``patch``×``patch`` tile (partial edge tiles dropped), each carried
+    as a PNG blob plus its exact integer pixel sum.  The one-to-many
+    explosion happens inside the Arrow batch — per-image numpy
+    reshape/transpose, no per-pixel Python — so a 10^9-image corpus
+    fans out to patches with zero shuffle: the parent row and all its
+    patches stay in the same partition for downstream embedding."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pys, pxs, blobs, sums = [], [], [], [], []
+            for image_id, raw, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = decode_image(raw, fmt)
+                if arr.ndim == 3 and arr.shape[2] == 1:
+                    arr = arr[:, :, 0]
+                hp, wp = arr.shape[0] // patch, arr.shape[1] // patch
+                tiles = (
+                    arr[: hp * patch, : wp * patch]
+                    .reshape(hp, patch, wp, patch, *arr.shape[2:])
+                )
+                for py in range(hp):
+                    for px in range(wp):
+                        tile = tiles[py, :, px]
+                        ids.append(image_id)
+                        pys.append(py)
+                        pxs.append(px)
+                        blobs.append(encode_png(np.ascontiguousarray(tile)))
+                        sums.append(int(tile.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "py": pd.array(pys, dtype="int32"),
+                    "px": pd.array(pxs, dtype="int32"),
+                    "bytes": blobs,
+                    "patch_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return images.mapInPandas(run, schema=PATCH_SCHEMA)
+
+
+def image_patch_grid(spark, sf_dir: str) -> DataFrame:
+    """Gate for ``extract_patches``: per-doc linear-ramp images
+    ``v(y,x) = doc%100 + 7y + 3x`` (values stay < 256, no wrap) with
+    dims ``4*(2+doc%2) × 4*(2+doc%3)``, tiled into 4×4 patches.  Each
+    patch's pixel sum has the closed form
+    ``16*(doc%100) + 448*py + 192*px + 240``; the Spark side re-sums
+    the DECODED patch blob (proving the PNG roundtrip), the oracle
+    expands the same grid with nested range() unnests."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.png import decode_png, encode_png as _enc
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, fmts = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                h, w = 4 * (2 + doc_id % 2), 4 * (2 + doc_id % 3)
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = (doc_id % 100 + yy * 7 + xx * 3).astype(np.uint8)
+                ids.append(str(doc_id))
+                blobs.append(_enc(arr))
+                fmts.append("png")
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs, "fmt": fmts})
+
+    images = d.select("doc_id").mapInPandas(
+        synth, schema="image_id string, bytes binary, fmt string"
+    )
+    patches = extract_patches(images, patch=4)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "py": [], "px": [], "patch_sum": [], "blob_sum": []}
+            for image_id, py, px, raw, psum in zip(
+                pdf["image_id"], pdf["py"], pdf["px"], pdf["bytes"], pdf["patch_sum"]
+            ):
+                arr = decode_png(bytes(raw))
+                out["doc_id"].append(int(image_id))
+                out["py"].append(int(py))
+                out["px"].append(int(px))
+                out["patch_sum"].append(int(psum))
+                out["blob_sum"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        patches.mapInPandas(
+            verify,
+            schema="doc_id long, py long, px long, patch_sum long, blob_sum long",
+        )
+        .orderBy("doc_id", "py", "px")
+    )
+
+
+_PATCH_SQL = """
+SELECT doc_id, py, px,
+  16 * (doc_id % 100) + 448 * py + 192 * px + 240 AS patch_sum,
+  16 * (doc_id % 100) + 448 * py + 192 * px + 240 AS blob_sum
+FROM (
+  SELECT doc_id, py, unnest(range(0, 2 + doc_id % 3)) AS px
+  FROM (
+    SELECT doc_id, unnest(range(0, 2 + doc_id % 2)) AS py
+    FROM documents WHERE doc_id < 200
+  )
+)
+ORDER BY doc_id, py, px
+"""
+
+
 def image_decode_errors(spark, sf_dir: str) -> DataFrame:
     """Gate for PERMISSIVE-CORPUS error capture: every 10th doc gets a
     corrupt payload (truncated JPEG header), the rest valid PNGs — the
@@ -1958,6 +2082,7 @@ QUERIES = {
     "image_gif_roundtrip": image_gif_roundtrip,
     "image_resize_nn": image_resize_nn,
     "image_resize_filters": image_resize_filters,
+    "image_patch_grid": image_patch_grid,
     "image_decode_errors": image_decode_errors,
     "video_frame_sample": video_frame_sample,
 }
@@ -1979,6 +2104,7 @@ ORACLE_SQL = {
     "image_jpeg_roundtrip": _JPEG_SQL,
     "image_resize_nn": _RESIZE_SQL,
     "image_resize_filters": _RESIZE_FILTERS_SQL,
+    "image_patch_grid": _PATCH_SQL,
     "image_decode_errors": _DECODE_ERRORS_SQL,
     "video_frame_sample": _VIDEO_SQL,
 }
