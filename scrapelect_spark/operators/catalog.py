@@ -34,6 +34,7 @@ _PRIORITY = [
     "graph_pagerank",
     "image_resize_filters",
     "image_patch_grid",
+    "image_foreign_formats",
     "image_tiff_roundtrip",
     "audio_mp2_roundtrip",
     "video_mpeg1_p_sample",

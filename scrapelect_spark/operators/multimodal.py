@@ -73,6 +73,23 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from ..sources.tiff import decode_tiff
 
         return decode_tiff(bytes(data))
+    if fmt in ("pnm", "ppm", "pgm", "pbm"):
+        # REAL path: Netpbm P1-P6 (sources/netpbm.py).
+        from ..sources.netpbm import decode_netpbm
+
+        return decode_netpbm(bytes(data))
+    if fmt == "tga":
+        # REAL path: Truevision TGA (sources/tga.py — RLE/uncompressed,
+        # gray/palette/15/16/24/32-bit, both row orders).
+        from ..sources.tga import decode_tga
+
+        return decode_tga(bytes(data))
+    if fmt == "ico":
+        # REAL path: Windows icon container (sources/ico.py — PNG or
+        # DIB entries, AND-mask alpha; largest entry wins).
+        from ..sources.ico import decode_ico
+
+        return decode_ico(bytes(data))
     raise NotImplementedError(f"unsupported image format {fmt!r}")
 
 
@@ -980,6 +997,91 @@ FROM (
   )
 )
 ORDER BY doc_id, py, px
+"""
+
+
+def image_foreign_formats(spark, sf_dir: str) -> DataFrame:
+    """Gate for the Netpbm, TGA, and ICO codecs in one row budget:
+    each doc gets a deterministic RGB pattern with flat runs (so TGA
+    RLE really compresses), encoded with the format picked by
+    ``doc_id % 3`` (0 → binary PPM, 1 → RLE TGA, 2 → 32-bit-DIB ICO
+    with a per-pixel alpha ramp) and decoded back through the
+    ``decode_image`` dispatch — bit-exact, including ICO alpha."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.netpbm import encode_netpbm
+    from ..sources.tga import encode_tga
+    from ..sources.ico import encode_ico
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "w": [], "h": [], "exact": [], "failed": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                h = 9 + doc_id % 5
+                w = 8 + doc_id % 6
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (yy * 37 + doc_id) % 256,
+                        (xx // 4 * 61 + doc_id * 3) % 256,
+                        np.full((h, w), (doc_id * 11) % 256),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                fmt = ("pnm", "tga", "ico")[doc_id % 3]
+                try:
+                    if fmt == "pnm":
+                        blob, ref = encode_netpbm(img), img
+                    elif fmt == "tga":
+                        blob, ref = encode_tga(img), img
+                    else:
+                        alpha = ((yy * 17 + xx * 5 + doc_id) % 256).astype(
+                            np.uint8
+                        )
+                        rgba = np.concatenate(
+                            [img, alpha[:, :, None]], axis=2
+                        )
+                        blob, ref = encode_ico(rgba), rgba
+                    got = decode_image(blob, fmt)
+                    ok = int(np.array_equal(got.reshape(ref.shape), ref))
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["exact"].append(ok)
+                    out["failed"].append(0)
+                except Exception:
+                    out["w"].append(None)
+                    out["h"].append(None)
+                    out["exact"].append(0)
+                    out["failed"].append(1)
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+            yield pd.DataFrame(out)
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_verify,
+            schema="doc_id long, fmt string, w long, h long, "
+            "exact long, failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FOREIGN_SQL = """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'pnm' WHEN 1 THEN 'tga' ELSE 'ico' END AS fmt,
+  8 + doc_id % 6 AS w,
+  9 + doc_id % 5 AS h,
+  CAST(1 AS BIGINT) AS exact,
+  CAST(0 AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
 """
 
 
@@ -2083,6 +2185,7 @@ QUERIES = {
     "image_resize_nn": image_resize_nn,
     "image_resize_filters": image_resize_filters,
     "image_patch_grid": image_patch_grid,
+    "image_foreign_formats": image_foreign_formats,
     "image_decode_errors": image_decode_errors,
     "video_frame_sample": video_frame_sample,
 }
@@ -2105,6 +2208,7 @@ ORACLE_SQL = {
     "image_resize_nn": _RESIZE_SQL,
     "image_resize_filters": _RESIZE_FILTERS_SQL,
     "image_patch_grid": _PATCH_SQL,
+    "image_foreign_formats": _FOREIGN_SQL,
     "image_decode_errors": _DECODE_ERRORS_SQL,
     "video_frame_sample": _VIDEO_SQL,
 }
