@@ -90,6 +90,13 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from ..sources.ico import decode_ico
 
         return decode_ico(bytes(data))
+    if fmt == "webp":
+        # REAL path: WebP lossless / VP8L (sources/webp.py — all four
+        # transforms, meta-prefix groups, color cache, 2D LZ77).
+        # Lossy VP8 payloads raise inside decode_webp (declared gap).
+        from ..sources.webp import decode_webp
+
+        return decode_webp(bytes(data))
     raise NotImplementedError(f"unsupported image format {fmt!r}")
 
 
@@ -2167,6 +2174,98 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def image_webp_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Gate for the WebP-lossless codec (sources/webp.py — the modern
+    lossless web-image tier, RFC 9649 VP8L): deterministic pattern per
+    doc with flat runs (so the distance-1 LZ77 collapsing really
+    compresses), rotating through the encoder surface — grayscale
+    (doc_id%4==0, expands to RGB), RGB (doc_id%4 in 1,2), RGBA with a
+    non-trivial alpha plane (doc_id%4==3) — encode, decode through the
+    ``decode_image`` fmt='webp' path (RIFF container + VP8L,
+    SUBTRACT_GREEN inverse, canonical prefix codes), assert bit-exact
+    against the RGBA expansion of the source."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.webp import encode_webp
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            w_out = np.empty(n_rows, dtype=object)
+            h_out = np.empty(n_rows, dtype=object)
+            exact = np.empty(n_rows, dtype=object)
+            failed = np.empty(n_rows, dtype=object)
+            for i, doc_id in enumerate(pdf["doc_id"]):
+                doc_id = int(doc_id)
+                h = 10 + doc_id % 7
+                w = 8 + doc_id % 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                mode = doc_id % 4
+                if mode == 0:
+                    img = ((yy // 2 * 40 + doc_id) % 256).astype(np.uint8)
+                    expected = np.stack(
+                        [img, img, img, np.full((h, w), 255, np.uint8)],
+                        axis=2,
+                    )
+                else:
+                    chans = [
+                        (yy * 31 + doc_id) % 256,
+                        (xx // 4 * 60 + 3 * doc_id) % 256,
+                        np.full((h, w), (doc_id * 11) % 256),
+                    ]
+                    if mode == 3:
+                        chans.append((xx // 3 * 50 + yy // 5 * 90) % 256)
+                    img = np.stack(chans, axis=2).astype(np.uint8)
+                    expected = (
+                        img
+                        if mode == 3
+                        else np.concatenate(
+                            [img, np.full((h, w, 1), 255, np.uint8)], axis=2
+                        )
+                    )
+                try:
+                    blob = encode_webp(img)
+                    out = decode_image(blob, "webp")
+                    exact[i] = 1 if np.array_equal(out, expected) else 0
+                    w_out[i], h_out[i], failed[i] = w, h, 0
+                except Exception:
+                    w_out[i] = h_out[i] = None
+                    exact[i], failed[i] = 0, 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "w": w_out,
+                    "h": h_out,
+                    "exact": exact,
+                    "failed": failed,
+                }
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_verify,
+            schema="doc_id long, w long, h long, exact long, failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WEBP_SQL = """
+SELECT doc_id,
+  8 + doc_id % 9 AS w,
+  10 + doc_id % 7 AS h,
+  CAST(1 AS BIGINT) AS exact,
+  CAST(0 AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "audio_wav_features": audio_wav_features,
     "audio_adpcm_roundtrip": audio_adpcm_roundtrip,
@@ -2179,6 +2278,7 @@ QUERIES = {
     "audio_mp2_roundtrip": audio_mp2_roundtrip,
     "image_bmp_roundtrip": image_bmp_roundtrip,
     "image_tiff_roundtrip": image_tiff_roundtrip,
+    "image_webp_roundtrip": image_webp_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "image_gif_roundtrip": image_gif_roundtrip,
@@ -2203,6 +2303,7 @@ ORACLE_SQL = {
     "image_gif_roundtrip": _GIF_SQL,
     "image_bmp_roundtrip": _BMP_SQL,
     "image_tiff_roundtrip": _TIFF_SQL,
+    "image_webp_roundtrip": _WEBP_SQL,
     "image_png_roundtrip": _IMAGE_SQL,
     "image_jpeg_roundtrip": _JPEG_SQL,
     "image_resize_nn": _RESIZE_SQL,
