@@ -356,12 +356,11 @@ def frame_sample(video: DataFrame, every_n: int = 10) -> DataFrame:
     per-row ``decode_error`` — they need a real codec library
     (declared scope boundary).  MPEG-1 elementary streams
     (sources/mpeg1.py) decode I-pictures AND motion-compensated
-    P-pictures: sampling decodes only the sampled picture's
+    P- and B-pictures: sampling decodes only the sampled picture's
     dependency chain (a sampled I costs itself alone — skipped runs
     are a start-code byte-scan; a sampled P pulls in the I/P run back
-    to its GOP's I-picture).  A *sampled* B-picture raises into
-    ``decode_error`` (bidirectional MC is the declared boundary at
-    the DCT tier)."""
+    to its GOP's I-picture; a sampled B adds just its two surrounding
+    references, both earlier in the bitstream)."""
     from ..sources.avi import avi_video_fourcc, decode_avi_mjpeg_frames
     from ..sources.gif import iter_gif_frames
     from ..sources.mpeg1 import decode_m1v_frames, is_m1v
@@ -1979,11 +1978,11 @@ def video_mpeg1_iframe_sample(spark, sf_dir: str) -> DataFrame:
     PSNR ≥ 26 dB against the source (measured distribution over the
     gate corpus: 28.1-36.8 dB — the hard-edged sprite bounds chroma
     PSNR under 4:2:0; a wrong decode reads ~10-15 dB).  Docs with doc_id%10==7 instead
-    carry a stream whose pictures are patched to B-type — they must
-    surface as per-row ``decode_error`` rows (the declared
-    bidirectional-MC boundary is ON the execution path; P-pictures
-    decode for real since the motion-compensation build and are gated
-    by ``video_mpeg1_p_sample``)."""
+    carry a stream whose pictures are ALL patched to B-type — the
+    first picture is then a B with no references on the wire before
+    it, a real bitstream error that must surface as per-row
+    ``decode_error`` rows (P- and B-pictures decode for real and are
+    gated by ``video_mpeg1_p_sample`` / ``video_mpeg1_b_sample``)."""
     from pyspark.sql import functions as F
 
     from .tables import load
@@ -2032,7 +2031,7 @@ def video_mpeg1_iframe_sample(spark, sf_dir: str) -> DataFrame:
                     ok[i] = (
                         1
                         if int(vid) % 10 == 7
-                        and "bidirectional" in str(err)
+                        and "without both references" in str(err)
                         else 0
                     )
                     failed[i] = 1
@@ -2174,6 +2173,107 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def video_mpeg1_b_sample(spark, sf_dir: str) -> DataFrame:
+    """Gate for BIDIRECTIONAL motion compensation (the full I/P/B
+    build in sources/mpeg1.py — retires the former declared B-picture
+    boundary): per doc, synthesize the same 8-frame animation family,
+    encode with ``gop_size=8, b_frames=2`` (display order I0 B1 B2 P3
+    B4 B5 P6 P7, emitted in CODING order I0 P3 B1 B2 P6 B4 B5 P7),
+    run ``frame_sample`` (every_n=2 → display pictures 0/2/4/6 — so
+    B2 needs fwd=I0/bwd=P3 and B4 needs fwd=P3/bwd=P6, exercising
+    interpolated prediction, B-skip repeat, per-direction predictor
+    persistence AND the two-reference dependency-chain resolution),
+    and assert per-frame PSNR ≥ 26 dB.  Docs with doc_id%10==6 patch
+    picture 0's type to B, making every chain bottom out in a
+    reference-less B-picture — they must surface as per-row
+    ``decode_error`` rows naming the missing references."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+    from ..sources.mpeg1 import encode_m1v
+    from ..sources.png import decode_png
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = [_mpeg1_frame(doc_id, f) for f in range(8)]
+                data = bytearray(
+                    encode_m1v(frames, fps=25, qscale=2, gop_size=8,
+                               b_frames=2)
+                )
+                if doc_id % 10 == 6:
+                    # patch the FIRST picture_coding_type I→B: a
+                    # B-picture with nothing before it has no
+                    # references — a real bitstream error
+                    i = data.find(b"\x00\x00\x01\x00")
+                    data[i + 5] = (data[i + 5] & 0b11000111) | (3 << 3)
+                ids.append(str(doc_id))
+                blobs.append(bytes(data))
+            yield pd.DataFrame({"video_id": ids, "bytes": blobs})
+
+    video = d.select("doc_id").mapInPandas(
+        synth, schema="video_id string, bytes binary"
+    )
+    sampled = frame_sample(video, every_n=2)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.empty(n, dtype=object)
+            failed = np.empty(n, dtype=object)
+            fidx = np.empty(n, dtype=object)
+            for i, (vid, idx, raw, err) in enumerate(
+                zip(pdf["video_id"], pdf["frame_idx"], pdf["bytes"],
+                    pdf["decode_error"])
+            ):
+                fidx[i] = -1 if idx is None or pd.isna(idx) else int(idx)
+                if err is not None or raw is None:
+                    ok[i] = (
+                        1
+                        if int(vid) % 10 == 6
+                        and "without both references" in str(err)
+                        else 0
+                    )
+                    failed[i] = 1
+                    continue
+                src = _mpeg1_frame(int(vid), int(idx)).astype(np.float64)
+                got = decode_png(bytes(raw)).astype(np.float64)
+                mse = float(((src - got) ** 2).mean())
+                psnr = 10 * np.log10(255.0**2 / mse) if mse > 0 else 99.0
+                ok[i] = 1 if psnr >= 26.0 else 0
+                failed[i] = 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["video_id"].astype("int64"),
+                    "frame_idx": fidx,
+                    "ok": ok,
+                    "failed": failed,
+                }
+            )
+
+    feats = sampled.mapInPandas(
+        verify, schema="doc_id long, frame_idx long, ok long, failed long"
+    )
+    return feats.orderBy("doc_id", "frame_idx")
+
+
+_MPEG1_B_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 10 = 6 THEN -1 ELSE f.frame_idx END
+       AS BIGINT) AS frame_idx,
+  CAST(1 AS BIGINT) AS ok,
+  CAST(CASE WHEN doc_id % 10 = 6 THEN 1 ELSE 0 END AS BIGINT) AS failed
+FROM documents
+CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS frame_idx) f
+WHERE doc_id < 100 AND (doc_id % 10 <> 6 OR f.frame_idx = 0)
+ORDER BY doc_id, frame_idx
+"""
+
+
 def image_webp_roundtrip(spark, sf_dir: str) -> DataFrame:
     """Gate for the WebP-lossless codec (sources/webp.py — the modern
     lossless web-image tier, RFC 9649 VP8L): deterministic pattern per
@@ -2274,6 +2374,7 @@ QUERIES = {
     "video_msvc_roundtrip": video_msvc_roundtrip,
     "video_mpeg1_iframe_sample": video_mpeg1_iframe_sample,
     "video_mpeg1_p_sample": video_mpeg1_p_sample,
+    "video_mpeg1_b_sample": video_mpeg1_b_sample,
     "audio_flac_roundtrip": audio_flac_roundtrip,
     "audio_mp2_roundtrip": audio_mp2_roundtrip,
     "image_bmp_roundtrip": image_bmp_roundtrip,
@@ -2298,6 +2399,7 @@ ORACLE_SQL = {
     "video_msvc_roundtrip": _MSVC_SQL,
     "video_mpeg1_iframe_sample": _MPEG1_SQL,
     "video_mpeg1_p_sample": _MPEG1_P_SQL,
+    "video_mpeg1_b_sample": _MPEG1_B_SQL,
     "audio_flac_roundtrip": _FLAC_SQL,
     "audio_mp2_roundtrip": _MP2_SQL,
     "image_gif_roundtrip": _GIF_SQL,

@@ -1,5 +1,5 @@
-"""Pure-Python MPEG-1 video (ISO/IEC 11172-2) **I/P-picture** codec —
-the transform-coded, motion-compensated video tier of the
+"""Pure-Python MPEG-1 video (ISO/IEC 11172-2) **I/P/B-picture**
+codec — the transform-coded, motion-compensated video tier of the
 frame-sampling path.
 
 VERDICT r4 "what's missing" #1 named interframe video the largest
@@ -17,17 +17,29 @@ reconstruction the decoder computes, so there is no drift), and the
 decoder handles the full P surface: any forward_f_code 1..7 with
 motion residuals, full_pel vectors, skipped-macroblock runs (MBA
 escapes), coded_block_pattern (Table B.3), non-intra dequantization,
-and intra macroblocks inside P-pictures.  B-pictures need
-bidirectional MC and remain the one DECLARED boundary: a sampled
-B-picture raises, flowing into frame_sample's per-row
-``decode_error`` capture (VERDICT r4 next-round #7 wording).
+and intra macroblocks inside P-pictures.  Step three retired the
+bidirectional boundary with full **B-picture** support: the encoder
+inserts B-pictures between references in CODING order (backward
+reference transmitted first, ``temporal_reference`` carrying the
+display index) choosing forward / backward / interpolated
+((for + back) // 2, §2.4.4.4) prediction per macroblock with B-skip
+repeat semantics; the decoder handles Table-B.2c macroblock types,
+independent forward/backward f_codes and full_pel flags, per-
+direction motion-vector predictors that persist across macroblocks
+that do not transmit them, and skipped B macroblocks that repeat the
+prior macroblock's prediction mode and vectors (never the co-located
+copy).  A B-picture with no references on the wire before it is a
+real bitstream error.
 
 Why this shape scales: frame sampling decodes only a sampled
 picture's dependency chain.  Sampled I-pictures cost themselves
 alone — a skipped run is a byte-scan for ``00 00 01 00``, not a
 decode (the skip-cheaply property the MJPEG-AVI path exploits) —
-and a sampled P-picture pulls in exactly the I/P run back to its
-GOP's I-picture, never the whole stream.  At corpus scale each video
+a sampled P-picture pulls in exactly the I/P run back to its
+GOP's I-picture, never the whole stream, and a sampled B-picture
+adds only its two surrounding references (both already earlier in
+the bitstream) plus their chains; B-pictures are never references,
+so unsampled ones always skip for free.  At corpus scale each video
 is one row through Arrow-batched ``mapInPandas``; no shuffle, no
 state.
 
@@ -207,6 +219,22 @@ _P_MBTYPE = {
     "intra_q": (0b000001, 6, (1, 0, 0, 1)),
 }
 
+#: macroblock_type for B-pictures (Table B.2c):
+#: key → (quant, motion_forward, motion_backward, pattern, intra)
+_B_MBTYPE = {
+    "interp": (0b10, 2, (0, 1, 1, 0, 0)),
+    "interp_coded": (0b11, 2, (0, 1, 1, 1, 0)),
+    "bwd": (0b010, 3, (0, 0, 1, 0, 0)),
+    "bwd_coded": (0b011, 3, (0, 0, 1, 1, 0)),
+    "fwd": (0b0010, 4, (0, 1, 0, 0, 0)),
+    "fwd_coded": (0b0011, 4, (0, 1, 0, 1, 0)),
+    "intra": (0b00011, 5, (0, 0, 0, 0, 1)),
+    "interp_coded_q": (0b00010, 5, (1, 1, 1, 1, 0)),
+    "fwd_coded_q": (0b000011, 6, (1, 1, 0, 1, 0)),
+    "bwd_coded_q": (0b000010, 6, (1, 0, 1, 1, 0)),
+    "intra_q": (0b000001, 6, (1, 0, 0, 0, 1)),
+}
+
 
 def _invert(table: dict, keyfmt=lambda k: k) -> dict[tuple[int, int], object]:
     """(code, nbits) → key lookup for the bit-at-a-time decoders."""
@@ -228,6 +256,9 @@ _MV_DEC = _invert(_MV_TABLE)
 _CBP_DEC = _invert(_CBP_TABLE)
 _P_MBTYPE_DEC = {
     (code, n): flags for code, n, flags in _P_MBTYPE.values()
+}
+_B_MBTYPE_DEC = {
+    (code, n): flags for code, n, flags in _B_MBTYPE.values()
 }
 
 # --- bit I/O (MSB-first, no marker stuffing — unlike JPEG) ------------
@@ -478,6 +509,7 @@ def encode_m1v(
     fps: float = 25.0,
     qscale: int = 4,
     gop_size: int | None = None,
+    b_frames: int = 0,
 ) -> bytes:
     """RGB frames → MPEG-1 video elementary stream (.m1v).
 
@@ -488,11 +520,21 @@ def encode_m1v(
     + half-pel refinement, f_code=1, skipped/MC-only/coded/intra
     macroblock decisions, CLOSED-LOOP: prediction always references
     the reconstruction the decoder will compute, so there is no
-    drift).  One slice per macroblock row.  Deterministic output."""
+    drift).  ``b_frames=K`` (requires ``gop_size``) inserts K
+    bidirectionally-predicted B-pictures between consecutive
+    reference pictures: the stream is emitted in CODING order (each
+    backward reference precedes the B-pictures that use it) with
+    ``temporal_reference`` carrying the display index, per §2.4.3.4;
+    the last frame is always forced to be a reference so no B
+    dangles.  One slice per macroblock row.  Deterministic output."""
     if not frames:
         raise ValueError("mpeg1: no frames")
     if not (1 <= qscale <= 31):
         raise ValueError("mpeg1: quantizer_scale must be 1..31")
+    if b_frames and gop_size is None:
+        raise ValueError("mpeg1: b_frames requires gop_size")
+    if b_frames < 0:
+        raise ValueError("mpeg1: b_frames must be >= 0")
     h, w = frames[0].shape[:2]
     if not (1 <= w < 4096 and 1 <= h < 4096):
         raise ValueError("mpeg1: dimensions must fit 12 bits")
@@ -527,8 +569,29 @@ def encode_m1v(
     gw.byte_align()
     out += b"\x00\x00\x01" + bytes([_GOP]) + gw.bytes()
 
-    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
-    for idx, frame in enumerate(frames):
+    n = len(frames)
+    # display-order picture types: I every gop_size, references every
+    # b_frames+1 in between, the final frame forced to a reference
+    types = []
+    for idx in range(n):
+        if gop_size is None or idx % gop_size == 0:
+            types.append("I")
+        elif (idx % gop_size) % (b_frames + 1) == 0 or idx == n - 1:
+            types.append("P")
+        else:
+            types.append("B")
+    # coding order: each reference, then the B-pictures between it and
+    # the previous reference (their forward/backward refs respectively)
+    order = []
+    prev_ref = -1
+    for idx in range(n):
+        if types[idx] == "B":
+            continue
+        order.append(idx)
+        order.extend(range(prev_ref + 1, idx))
+        prev_ref = idx
+
+    def planes(frame):
         if frame.shape[:2] != (h, w):
             raise ValueError("mpeg1: frame dimensions differ")
         ycc = rgb_to_ycbcr(np.asarray(frame, dtype=np.uint8))
@@ -538,16 +601,27 @@ def encode_m1v(
         # 4:2:0 chroma: 2x2 mean then 8-pad is already guaranteed
         cb = cb2.reshape(mbh * 8, 2, mbw * 8, 2).mean(axis=(1, 3))
         cr = cr2.reshape(mbh * 8, 2, mbw * 8, 2).mean(axis=(1, 3))
+        return y, cb, cr
 
-        is_p = gop_size is not None and idx % gop_size != 0
-        if is_p:
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+    ref_prev: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+    for idx in order:
+        y, cb, cr = planes(frames[idx])
+        t = types[idx]
+        if t == "P":
+            ref_prev = ref
             pic, ref = _encode_p_picture(
                 out, y, cb, cr, ref, mbw, mbh, qscale, idx
             )
-        else:
+        elif t == "I":
+            ref_prev = ref
             pic, ref = _encode_i_picture(
                 out, y, cb, cr, mbw, mbh, qscale, idx,
                 want_recon=gop_size is not None,
+            )
+        else:
+            _encode_b_picture(
+                out, y, cb, cr, ref_prev, ref, mbw, mbh, qscale, idx
             )
 
     out += b"\x00\x00\x01" + bytes([_SEQ_END])
@@ -778,6 +852,190 @@ def _encode_p_picture(
     )
 
 
+def _b_block_pred(
+    refs, b: int, row: int, col: int,
+    use_f: int, use_b: int,
+    fmvy: int, fmvx: int, bmvy: int, bmvx: int,
+) -> np.ndarray:
+    """Prediction for one block of a B macroblock: forward, backward,
+    or the §2.4.4.4 interpolated average ((for + back)//2 with halves
+    rounded away from zero — operands are non-negative so +1 >> 1),
+    applied AFTER each direction's own half-pel rounding."""
+    fwd_y, fwd_cb, fwd_cr, bwd_y, bwd_cb, bwd_cr = refs
+    if b < 4:
+        oy = row * 16 + (b // 2) * 8
+        ox = col * 16 + (b % 2) * 8
+        pf = _mc_pred(fwd_y, oy, ox, 8, fmvy, fmvx) if use_f else None
+        pb = _mc_pred(bwd_y, oy, ox, 8, bmvy, bmvx) if use_b else None
+    else:
+        oy, ox = row * 8, col * 8
+        fp = fwd_cb if b == 4 else fwd_cr
+        bp = bwd_cb if b == 4 else bwd_cr
+        pf = (
+            _mc_pred(fp, oy, ox, 8, _chroma_mv(fmvy), _chroma_mv(fmvx))
+            if use_f else None
+        )
+        pb = (
+            _mc_pred(bp, oy, ox, 8, _chroma_mv(bmvy), _chroma_mv(bmvx))
+            if use_b else None
+        )
+    if pf is not None and pb is not None:
+        return (pf + pb + 1) >> 1
+    return pf if pf is not None else pb
+
+
+def _encode_b_picture(
+    out: bytearray, y, cb, cr, fwd, bwd, mbw: int, mbh: int,
+    qscale: int, idx: int,
+):
+    """Append one B-picture (bidirectional MC, both f_codes = 1).
+
+    Per-macroblock decision: independent forward and backward motion
+    searches, then the best of {forward, backward, interpolated} by
+    16x16 luma SAD (interpolated preferred on ties — it is the
+    cheapest to skip-repeat); residual coding as in P-pictures; intra
+    fallback on the same activity heuristic; a macroblock whose
+    residual quantizes to nothing and whose mode + vectors equal the
+    previous macroblock's is SKIPPED (§2.4.4.4 B-skip semantics:
+    repeat the prior macroblock's prediction — never the first/last
+    of a slice, never after intra).  B-pictures are not references,
+    so no reconstruction is kept."""
+    if fwd is None or bwd is None:
+        raise ValueError("mpeg1: B-picture without both references")
+    fwd_y, fwd_cb, fwd_cr = fwd
+    bwd_y, bwd_cb, bwd_cr = bwd
+    refs = (fwd_y, fwd_cb, fwd_cr, bwd_y, bwd_cb, bwd_cr)
+    cur_y = np.rint(y).astype(np.int64)
+
+    pw = _BitWriter()
+    pw.write(idx % 1024, 10)  # temporal_reference = display index
+    pw.write(3, 3)  # picture_coding_type = B
+    pw.write(0xFFFF, 16)  # vbv_delay
+    pw.write(0, 1)  # full_pel_forward_vector
+    pw.write(1, 3)  # forward_f_code = 1
+    pw.write(0, 1)  # full_pel_backward_vector
+    pw.write(1, 3)  # backward_f_code = 1
+    pw.write(0, 1)  # extra_bit_picture
+    pw.byte_align()
+    out += b"\x00\x00\x01" + bytes([_PIC]) + pw.bytes()
+
+    for row in range(mbh):
+        bw = _BitWriter()
+        bw.write(qscale, 5)
+        bw.write(0, 1)  # extra_bit_slice
+        preds = {"y": 128, "cb": 128, "cr": 128}
+        pmv_f = [0, 0]
+        pmv_b = [0, 0]
+        prev_state = None  # (use_f, use_b, fmv?, bmv?) of the prior MB
+        pending = 0
+        for col in range(mbw):
+            by, bx = row * 16, col * 16
+            fmvy, fmvx, fsad = _motion_search(fwd_y, cur_y, by, bx)
+            bmvy, bmvx, bsad = _motion_search(bwd_y, cur_y, by, bx)
+            target = cur_y[by:by + 16, bx:bx + 16]
+            pi16 = (
+                _mc_pred(fwd_y, by, bx, 16, fmvy, fmvx)
+                + _mc_pred(bwd_y, by, bx, 16, bmvy, bmvx)
+                + 1
+            ) >> 1
+            isad = int(np.abs(pi16 - target).sum())
+            if isad <= fsad and isad <= bsad:
+                use_f, use_b, sad = 1, 1, isad
+            elif fsad <= bsad:
+                use_f, use_b, sad = 1, 0, fsad
+            else:
+                use_f, use_b, sad = 0, 1, bsad
+            zz6 = []
+            pred6 = []
+            for b, comp, pix, _ in _mb_blocks(y, cb, cr, row, col):
+                pred = _b_block_pred(
+                    refs, b, row, col, use_f, use_b,
+                    fmvy, fmvx, bmvy, bmvx,
+                )
+                resid = pix.astype(np.float64) - pred
+                zz6.append(_quantize_nonintra(_A @ resid @ _A.T, qscale))
+                pred6.append(pred)
+            cbp = 0
+            for b, zz in enumerate(zz6):
+                if zz.any():
+                    cbp |= 32 >> b
+            activity = int(
+                np.abs(target - np.rint(target.mean())).sum()
+            )
+            use_intra = cbp != 0 and sad > activity
+            state = (
+                use_f, use_b,
+                (fmvy, fmvx) if use_f else None,
+                (bmvy, bmvx) if use_b else None,
+            )
+            if (
+                cbp == 0 and not use_intra and state == prev_state
+                and 0 < col < mbw - 1
+            ):
+                pending += 1  # B-skip: repeat prior MB; PMVs unchanged
+                preds = {"y": 128, "cb": 128, "cr": 128}
+                continue
+            _write_mba(bw, pending + 1)
+            pending = 0
+            if use_intra:
+                code, nbits, _flags = _B_MBTYPE["intra"]
+                bw.write(code, nbits)
+                for b, comp, pix, _ in _mb_blocks(y, cb, cr, row, col):
+                    f = _A @ pix.astype(np.float64) @ _A.T
+                    zz = _quantize_intra(f, qscale)
+                    dc = int(zz[0])
+                    table = _DC_LUMA if comp == "y" else _DC_CHROMA
+                    _write_dc(bw, dc - preds[comp], table)
+                    preds[comp] = dc
+                    nz = np.nonzero(zz[1:])[0]
+                    prev = 0
+                    for i in nz:
+                        _write_ac(bw, int(i) - prev, int(zz[1 + i]))
+                        prev = int(i) + 1
+                    bw.write(_EOB[0], _EOB[1])
+                pmv_f = [0, 0]
+                pmv_b = [0, 0]
+                prev_state = None  # the MB after intra cannot be skipped
+                continue
+            preds = {"y": 128, "cb": 128, "cr": 128}
+            key = (
+                "interp" if use_f and use_b
+                else ("fwd" if use_f else "bwd")
+            ) + ("_coded" if cbp else "")
+            code, nbits, _flags = _B_MBTYPE[key]
+            bw.write(code, nbits)
+            if use_f:
+                _write_mv(bw, _wrap_delta(fmvy - pmv_f[0]))
+                _write_mv(bw, _wrap_delta(fmvx - pmv_f[1]))
+                pmv_f = [fmvy, fmvx]
+            if use_b:
+                _write_mv(bw, _wrap_delta(bmvy - pmv_b[0]))
+                _write_mv(bw, _wrap_delta(bmvx - pmv_b[1]))
+                pmv_b = [bmvy, bmvx]
+            if cbp:
+                cbits, cn = _CBP_TABLE[cbp]
+                bw.write(cbits, cn)
+                for b, zz in enumerate(zz6):
+                    if not (cbp & (32 >> b)):
+                        continue
+                    nz = np.nonzero(zz)[0]
+                    first = True
+                    prev = 0
+                    for i in nz:
+                        run = int(i) - prev
+                        if first:
+                            _write_ac_first(bw, run, int(zz[i]))
+                            first = False
+                        else:
+                            _write_ac(bw, run, int(zz[i]))
+                        prev = int(i) + 1
+                    bw.write(_EOB[0], _EOB[1])
+            prev_state = state
+        # pending is always 0 here: col == mbw-1 is never skippable
+        bw.byte_align()
+        out += b"\x00\x00\x01" + bytes([row + 1]) + bw.bytes()
+
+
 def _wrap_delta(delta: int, f: int = 1) -> int:
     """Motion delta → motion_code via the §2.4.4.2 modulo wraparound
     (range [-16f, 16f-1])."""
@@ -988,40 +1246,59 @@ def _read_nonintra_block(sr: _BitReader, qscale: int) -> np.ndarray:
 def _decode_picture(
     data: bytes, pos: int, w: int, h: int,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    bref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
 ):
-    """Decode one I- or P-picture whose header starts at byte ``pos``
-    (just after the 00 00 01 00 start code).  Returns ``(HxWx3 RGB,
-    integer reconstruction planes)`` — the planes are the forward
-    reference for a following P-picture."""
+    """Decode one I-, P-, or B-picture whose header starts at byte
+    ``pos`` (just after the 00 00 01 00 start code).  ``ref`` is the
+    forward (past) reference, ``bref`` the backward (future) reference
+    — in bitstream order the future reference is transmitted BEFORE
+    the B-pictures that use it, so both are already decoded.  Returns
+    ``(HxWx3 RGB, integer reconstruction planes)`` — the planes of an
+    I/P picture are references for pictures that follow; a B-picture's
+    planes are never referenced."""
     if w * h > MAX_PIXELS:
         raise ValueError("mpeg1: image too large")
     r = _BitReader(data, pos)
     r.read(10)  # temporal_reference
     ptype = r.read(3)
-    if ptype == 3:
-        raise ValueError(
-            "mpeg1: B-pictures need bidirectional motion "
-            "compensation (only I/P-pictures are supported)"
-        )
-    if ptype not in (1, 2):
+    if ptype not in (1, 2, 3):
         raise ValueError(f"mpeg1: invalid picture_coding_type {ptype}")
     full_pel, f = 0, 1
-    if ptype == 2:
+    full_pel_b, fb = 0, 1
+    if ptype in (2, 3):
         if ref is None:
-            raise ValueError("mpeg1: P-picture without a reference")
+            raise ValueError(
+                "mpeg1: P-picture without a reference" if ptype == 2
+                else "mpeg1: B-picture without both references"
+            )
         r.read(16)  # vbv_delay
         full_pel = r.read(1)
         f_code = r.read(3)
         if f_code == 0:
             raise ValueError("mpeg1: forward_f_code of zero")
         f = 1 << (f_code - 1)
+    if ptype == 3:
+        if bref is None:
+            raise ValueError("mpeg1: B-picture without both references")
+        full_pel_b = r.read(1)
+        f_code_b = r.read(3)
+        if f_code_b == 0:
+            raise ValueError("mpeg1: backward_f_code of zero")
+        fb = 1 << (f_code_b - 1)
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
-    if ptype == 2:
+    if ptype in (2, 3):
         ref_y, ref_cb, ref_cr = ref
+    if ptype == 3:
+        bref_y, bref_cb, bref_cr = bref
+        brefs = (ref_y, ref_cb, ref_cr, bref_y, bref_cb, bref_cr)
+    if ptype == 2:
         y = ref_y.astype(np.float64)
         cb = ref_cb.astype(np.float64)
         cr = ref_cr.astype(np.float64)
     else:
+        # I: every MB is coded; B: every MB is reconstructed explicitly
+        # (a skipped B macroblock repeats the PREVIOUS macroblock's
+        # prediction, not the co-located reference)
         y = np.zeros((mbh * 16, mbw * 16), dtype=np.float64)
         cb = np.zeros((mbh * 8, mbw * 8), dtype=np.float64)
         cr = np.zeros((mbh * 8, mbw * 8), dtype=np.float64)
@@ -1040,7 +1317,9 @@ def _decode_picture(
             sr.read(8)
         mb_addr = (code - 1) * mbw - 1
         preds = {"y": 128, "cb": 128, "cr": 128}  # dct_dc_past / 8 (reset 1024 in recon units)
-        pmv = [0, 0]
+        pmv = [0, 0]  # forward predictors (P and B)
+        pmv_b = [0, 0]  # backward predictors (B only)
+        prev_b = None  # prior B MB's (use_f, use_b, mv4) for skip repeat
         while True:
             # a slice ends at the next byte-aligned start code, which
             # may be preceded by zero-byte stuffing
@@ -1084,6 +1363,73 @@ def _decode_picture(
                     comp = "y" if b < 4 else ("cb" if b == 4 else "cr")
                     pix = _read_intra_block(sr, preds, comp, qscale)
                     _mb_rec_view(y, cb, cr, b, row, col)[...] = pix
+                continue
+            if ptype == 3:
+                # --- B-picture macroblock ----------------------------
+                if inc > 1:
+                    # skipped B MBs repeat the PREVIOUS macroblock's
+                    # prediction mode and vectors (§2.4.4.4); the
+                    # predecessor may not be intra / absent
+                    if prev_b is None:
+                        raise ValueError(
+                            "mpeg1: skipped B macroblock without a "
+                            "non-intra predecessor"
+                        )
+                    suf, sub, smv = prev_b
+                    for a in range(mb_addr - inc + 1, mb_addr):
+                        srow, scol = divmod(a, mbw)
+                        for b in range(6):
+                            _mb_rec_view(y, cb, cr, b, srow, scol)[...] = (
+                                _b_block_pred(
+                                    brefs, b, srow, scol, suf, sub, *smv
+                                )
+                            )
+                    preds = {"y": 128, "cb": 128, "cr": 128}
+                mtype = sr.read_vlc(
+                    _B_MBTYPE_DEC, "B macroblock_type", max_bits=6
+                )
+                quant, motion_f, motion_b, pattern, intra = mtype
+                if quant:
+                    qscale = sr.read(5)
+                    if qscale == 0:
+                        raise ValueError("mpeg1: quantizer_scale of zero")
+                if motion_f:
+                    pmv[0] = _read_motion_component(sr, pmv[0], f)
+                    pmv[1] = _read_motion_component(sr, pmv[1], f)
+                if motion_b:
+                    pmv_b[0] = _read_motion_component(sr, pmv_b[0], fb)
+                    pmv_b[1] = _read_motion_component(sr, pmv_b[1], fb)
+                if intra:
+                    pmv = [0, 0]
+                    pmv_b = [0, 0]
+                    for b in range(6):
+                        comp = "y" if b < 4 else ("cb" if b == 4 else "cr")
+                        pix = _read_intra_block(sr, preds, comp, qscale)
+                        _mb_rec_view(y, cb, cr, b, row, col)[...] = pix
+                    prev_b = None
+                    continue
+                preds = {"y": 128, "cb": 128, "cr": 128}
+                scale_f = 2 if full_pel else 1
+                scale_b = 2 if full_pel_b else 1
+                mv4 = (
+                    pmv[0] * scale_f, pmv[1] * scale_f,
+                    pmv_b[0] * scale_b, pmv_b[1] * scale_b,
+                )
+                cbp = (
+                    sr.read_vlc(_CBP_DEC, "coded_block_pattern",
+                                max_bits=9)
+                    if pattern else 0
+                )
+                for b in range(6):
+                    pred = _b_block_pred(
+                        brefs, b, row, col, motion_f, motion_b, *mv4
+                    )
+                    tgt = _mb_rec_view(y, cb, cr, b, row, col)
+                    if cbp & (32 >> b):
+                        tgt[...] = pred + _read_nonintra_block(sr, qscale)
+                    else:
+                        tgt[...] = pred
+                prev_b = (motion_f, motion_b, mv4)
                 continue
             # --- P-picture macroblock --------------------------------
             if inc > 1:
@@ -1150,17 +1496,21 @@ def _decode_picture(
 
 
 def decode_m1v_frames(data: bytes, every_n: int = 1):
-    """Yield ``(picture_idx, HxWx3 RGB)`` for every ``every_n``-th
-    picture (bitstream order) of an MPEG-1 elementary stream.
+    """Yield ``(display_idx, HxWx3 RGB)`` for every ``every_n``-th
+    picture in DISPLAY order of an MPEG-1 elementary stream (frames
+    are yielded in bitstream order, which differs from display order
+    only around B-pictures; display indices come from
+    ``temporal_reference`` with mod-1024 wrap recovery, so for I/P
+    streams they equal the bitstream index exactly as before).
 
     A picture is decoded only if it lies on a sampled picture's
     DEPENDENCY CHAIN: sampled I-pictures cost themselves alone (a
     skipped run of pictures is just a start-code scan — the property
-    this sampling path exists for), while a sampled P-picture pulls
-    in the I/P run back to its GOP's I-picture.  B-pictures are never
-    references, so they are skipped for free; a *sampled* B-picture
-    raises (bidirectional MC is the declared boundary), flowing into
-    frame_sample's per-row ``decode_error`` capture."""
+    this sampling path exists for), a sampled P-picture pulls in the
+    I/P run back to its GOP's I-picture, and a sampled B-picture adds
+    its two surrounding references (both transmitted BEFORE it in
+    bitstream order) plus their chains.  B-pictures are never
+    references, so unsampled ones are always skipped for free."""
     if data[:4] == b"RIFF":
         raise ValueError("mpeg1: expected an elementary stream, got RIFF")
     w, h, _rate, n = mpeg1_meta(data)
@@ -1168,39 +1518,66 @@ def decode_m1v_frames(data: bytes, every_n: int = 1):
         raise ValueError("mpeg1: image too large")
     if n == 0:
         raise ValueError("mpeg1: stream contains no pictures")
-    pics: list[tuple[int, int]] = []  # (byte pos after start code, type)
+    # (byte pos after start code, type, display index)
+    pics: list[tuple[int, int, int]] = []
+    gop_base = 0  # pictures in all preceding GOPs
+    in_gop = 0
     code, pos = _next_start_code(data, 0)
     while code != -1:
-        if code == _PIC:
+        if code == _GOP:
+            gop_base += in_gop
+            in_gop = 0
+        elif code == _PIC:
             r = _BitReader(data, pos)
-            r.read(10)
-            pics.append((pos, r.read(3)))
+            tref = r.read(10)
+            ptype = r.read(3)
+            # coding-order position within the GOP is within 512 of the
+            # display position, which pins the 10-bit wrap count
+            wrap = (in_gop - tref + 512) // 1024
+            pics.append((pos, ptype, gop_base + tref + 1024 * wrap))
+            in_gop += 1
         code, pos = _next_start_code(data, pos)
-    sampled = set(range(0, len(pics), every_n))
+
+    def ref_before(j: int) -> int:
+        k = j - 1
+        while k >= 0 and pics[k][1] == 3:
+            k -= 1
+        return k
+
+    sampled = {i for i, (_, _, d) in enumerate(pics) if d % every_n == 0}
     needed: set[int] = set()
     for s in sampled:
-        j = s
-        while j not in needed:
-            needed.add(j)
-            if pics[j][1] == 1:
-                break
-            # predecessors that are B-pictures are not references
-            k = j - 1
-            while k >= 0 and pics[k][1] == 3:
-                k -= 1
-            if k < 0:
-                break  # no reference: _decode_picture raises below
-            j = k
-    ref = None
-    for i, (ppos, ptype) in enumerate(pics):
+        if pics[s][1] == 3:
+            needed.add(s)
+            k1 = ref_before(s)  # backward reference
+            if k1 < 0:
+                continue  # decode raises "without both references"
+            k2 = ref_before(k1)  # forward reference
+            starts = [k1] + ([k2] if k2 >= 0 else [])
+        else:
+            starts = [s]
+        for j in starts:
+            while j >= 0 and j not in needed:
+                needed.add(j)
+                if pics[j][1] == 1:
+                    break
+                j = ref_before(j)  # < 0: _decode_picture raises below
+    ref = None  # most recent decoded reference (backward ref for Bs)
+    ref_prev = None  # the reference before it (forward ref for Bs)
+    for i, (ppos, ptype, disp) in enumerate(pics):
         if i not in needed:
             continue
-        rgb, planes = _decode_picture(
-            data, ppos, w, h, ref if ptype == 2 else None
-        )
-        ref = planes
+        if ptype == 3:
+            rgb, _planes = _decode_picture(
+                data, ppos, w, h, ref_prev, ref
+            )
+        else:
+            rgb, planes = _decode_picture(
+                data, ppos, w, h, ref if ptype == 2 else None
+            )
+            ref_prev, ref = ref, planes
         if i in sampled:
-            yield i, rgb
+            yield disp, rgb
 
 
 def is_m1v(data: bytes) -> bool:
