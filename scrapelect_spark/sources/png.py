@@ -7,9 +7,17 @@ invariant from BASELINE.json ``input_hint`` is trivially satisfied at
 all Spark-side plumbing (binary columns, Arrow batch shapes, schema)
 is identical for both formats.
 
-Supports 8-bit grayscale / RGB / RGBA, all five PNG scanline filters on
-decode, filter-0 on encode (deterministic output bytes — required for
-byte-stable golden tables).
+Encode: 8-bit grayscale / RGB / RGBA, filter-0 (deterministic output
+bytes — required for byte-stable golden tables).  Decode: the FULL
+PNG 1.2 still-image surface — all five color types (grayscale,
+RGB, palette, grayscale+alpha, RGBA), every legal bit depth
+(1/2/4/8/16; 16-bit scanlines take the most-significant byte, the
+standard 8-bit reduction), PLTE indexing, tRNS transparency (palette
+alpha AND the single-transparent-color form for gray/RGB), all five
+scanline filters, and Adam7 interlacing (each of the seven passes is
+its own independently-filtered sub-image).  Grayscale+alpha and
+transparent-color images expand to RGBA so callers always see C in
+{1, 3, 4}.
 """
 
 from __future__ import annotations
@@ -20,7 +28,6 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
@@ -61,56 +68,57 @@ def _paeth(a, b, c):
     return out.astype(np.uint8)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG bytes → HxWxC uint8 array (C = 1, 3, or 4)."""
-    if data[:8] != _SIG:
-        raise ValueError("not a PNG")
-    pos = 8
-    width = height = None
-    color_type = None
-    idat = []
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or interlace != 0 or color_type not in _CHANNELS:
-                raise ValueError(
-                    f"unsupported PNG (depth={depth}, color={color_type}, interlace={interlace})"
-                )
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-    channels = _CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = 1 + width * channels
-    raw = raw.reshape(height, stride)
-    filters = raw[:, 0]
-    out = np.zeros((height, width * channels), dtype=np.uint8)
-    bpp = channels
-    for y in range(height):
-        line = raw[y, 1:].copy()
+#: channels per color type (3 = palette: one index channel pre-PLTE)
+_TYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: legal bit depths per color type (PNG 1.2 §4.1.1)
+_TYPE_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: np.ndarray, w: int, h: int, channels: int,
+              depth: int) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image of ``h`` scanlines from the head of
+    ``raw`` (flat uint8).  Returns (HxWxchannels uint8 samples with
+    16-bit reduced to the MSB and sub-byte depths unpacked UNSCALED,
+    bytes consumed)."""
+    line_bytes = (w * channels * depth + 7) // 8
+    stride = 1 + line_bytes
+    need = stride * h
+    if len(raw) < need:
+        raise ValueError("png: truncated image data")
+    rows = raw[:need].reshape(h, stride)
+    filters = rows[:, 0]
+    bpp = max(1, (channels * depth) // 8)
+    out = np.zeros((h, line_bytes), dtype=np.uint8)
+    for y in range(h):
+        line = rows[y, 1:]
         f = filters[y]
-        prev = out[y - 1] if y > 0 else np.zeros_like(line)
+        prev = out[y - 1] if y > 0 else np.zeros(line_bytes, np.uint8)
         if f == 0:
             out[y] = line
         elif f == 1:  # Sub
-            for x in range(len(line)):
+            for x in range(line_bytes):
                 left = out[y, x - bpp] if x >= bpp else 0
                 out[y, x] = (int(line[x]) + int(left)) & 0xFF
         elif f == 2:  # Up
             out[y] = line + prev
         elif f == 3:  # Average
-            for x in range(len(line)):
+            for x in range(line_bytes):
                 left = int(out[y, x - bpp]) if x >= bpp else 0
                 out[y, x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
         elif f == 4:  # Paeth
-            for x in range(len(line)):
+            for x in range(line_bytes):
                 left = out[y, x - bpp] if x >= bpp else np.uint8(0)
                 ul = prev[x - bpp] if x >= bpp else np.uint8(0)
                 pred = _paeth(
@@ -121,7 +129,126 @@ def decode_png(data: bytes) -> np.ndarray:
                 out[y, x] = (int(line[x]) + int(pred)) & 0xFF
         else:
             raise ValueError(f"bad filter {f}")
-    return out.reshape(height, width, channels)
+    if depth == 8:
+        img = out[:, : w * channels]
+    elif depth == 16:
+        # most-significant byte = the standard 16→8 reduction
+        img = out.reshape(h, -1)[:, : w * channels * 2][:, 0::2]
+    else:
+        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        img = (
+            bits.reshape(h, w, depth).astype(np.uint16) * weights
+        ).sum(axis=2).astype(np.uint8)
+    return img.reshape(h, w, channels), need
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes → HxWxC uint8 array (C = 1, 3, or 4).
+
+    Full PNG 1.2 still-image surface: every color type × bit depth
+    combination, PLTE, both tRNS forms, Adam7.  Palette images decode
+    to RGB (RGBA when tRNS adds alpha); grayscale+alpha and
+    transparent-color images expand to RGBA."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = depth = interlace = None
+    plte = None
+    trns = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (
+                color_type not in _TYPE_CHANNELS
+                or depth not in _TYPE_DEPTHS[color_type]
+                or interlace not in (0, 1)
+                or comp != 0
+                or filt != 0
+            ):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color_type}, interlace={interlace})"
+                )
+        elif tag == b"PLTE":
+            if length % 3 or length > 768:
+                raise ValueError("png: bad PLTE length")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("png: missing IHDR")
+    if width == 0 or height == 0 or width * height > (1 << 24):
+        raise ValueError("png: bad dimensions")
+    channels = _TYPE_CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if interlace == 0:
+        img, _used = _unfilter(raw, width, height, channels, depth)
+    else:
+        img = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, used = _unfilter(raw[off:], pw, ph, channels, depth)
+            off += used
+            img[y0::dy, x0::dx] = sub
+    max_val = (1 << min(depth, 8)) - 1
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("png: palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            a = np.frombuffer(trns, dtype=np.uint8)
+            alpha[: len(a)] = a
+            return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
+        return rgb
+    if depth < 8:
+        # scale sub-byte grayscale to full 8-bit range
+        img = (img.astype(np.uint16) * 255 // max_val).astype(np.uint8)
+    if color_type == 4:
+        # grayscale+alpha → RGBA
+        g, a = img[:, :, 0], img[:, :, 1]
+        return np.stack([g, g, g, a], axis=2)
+    if trns is not None and color_type in (0, 2):
+        # single transparent color (tRNS holds 16-bit samples; compare
+        # against the SCALED 8-bit image, taking each sample's MSB for
+        # depth 16 and rescaling for sub-byte depths, matching the
+        # image reduction above)
+        vals = struct.unpack(f">{len(trns) // 2}H", trns)
+        if color_type == 0:
+            key = (
+                vals[0] >> 8 if depth == 16
+                else vals[0] * 255 // max_val if depth < 8
+                else vals[0]
+            )
+            mask = img[:, :, 0] == key
+            rgb = np.repeat(img, 3, axis=2)
+        else:
+            key = [v >> 8 if depth == 16 else v for v in vals[:3]]
+            mask = (img == np.array(key, np.uint8)).all(axis=2)
+            rgb = img
+        alpha = np.where(mask, 0, 255).astype(np.uint8)
+        return np.concatenate([rgb, alpha[..., None]], axis=2)
+    return img
 
 
 def png_size(data: bytes) -> tuple[int, int]:
