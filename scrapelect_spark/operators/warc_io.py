@@ -224,11 +224,154 @@ ORDER BY doc_id, url
 """
 
 
+def archive_extract(
+    archives: DataFrame,
+    id_col: str = "archive_id",
+    bytes_col: str = "archive",
+) -> DataFrame:
+    """Archive blobs (zip / tar / tar.gz, sniffed by magic) → one row
+    per file member: ``(archive_id, member_name, member_bytes,
+    member_size, extract_error)``.  Hostile archives (traversal
+    names, encrypted members, size-cap bombs, corrupt containers)
+    produce a single per-archive error row instead of failing the
+    task — the same per-row error-capture contract as WARC ingest and
+    the codecs.  Scan → MapInPandas, no shuffle; at corpus scale each
+    archive is one row, members fan out partition-locally."""
+    from ..sources.archive import read_archive_members
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, bodies, sizes, errs = [], [], [], [], []
+            for aid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    members = read_archive_members(bytes(blob))
+                except (ValueError, MemoryError) as e:
+                    ids.append(aid)
+                    names.append(None)
+                    bodies.append(None)
+                    sizes.append(None)
+                    errs.append(str(e))
+                    continue
+                for name, body in members:
+                    ids.append(aid)
+                    names.append(name)
+                    bodies.append(body)
+                    sizes.append(len(body))
+                    errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "archive_id": pd.array(ids, dtype="string"),
+                    "member_name": pd.array(names, dtype="string"),
+                    "member_bytes": bodies,
+                    "member_size": pd.array(sizes, dtype="Int64"),
+                    "extract_error": pd.array(errs, dtype="string"),
+                }
+            )
+
+    return archives.mapInPandas(
+        run,
+        schema=(
+            "archive_id string, member_name string, member_bytes binary,"
+            " member_size long, extract_error string"
+        ),
+    )
+
+
+def crawl_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for bulk-drop archive ingestion (sources/archive.py):
+    every document becomes an archive of 1 + doc_id%3 members
+    (member k named ``d<id>/part<k>.txt`` carrying a closed-form
+    body), container rotating zip / tar / tar.gz by doc_id%3; docs
+    with doc_id%10==4 instead carry a zip whose member name climbs
+    out via ``..`` — they must surface as per-archive error rows.
+    Extraction must return every member with exact name, size, and
+    body md5."""
+    from ..sources.archive import build_tar, build_zip
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 10 == 4:
+                    members = [("../escape.txt", b"traversal")]
+                else:
+                    members = [
+                        (
+                            f"d{doc_id}/part{k}.txt",
+                            f"doc {doc_id} member {k} "
+                            f"{'x' * (doc_id % 50)}".encode(),
+                        )
+                        for k in range(1 + doc_id % 3)
+                    ]
+                kind = doc_id % 3
+                if kind == 0:
+                    blob = build_zip(members)
+                elif kind == 1:
+                    blob = build_tar(members)
+                else:
+                    blob = build_tar(members, gz=True)
+                ids.append(str(doc_id))
+                blobs.append(blob)
+            yield pd.DataFrame({"archive_id": ids, "archive": blobs})
+
+    members = archive_extract(
+        d.select("doc_id").mapInPandas(
+            synth, schema="archive_id string, archive binary"
+        )
+    )
+    return members.select(
+        F.col("archive_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("member_name"), F.lit("<error>")).alias(
+            "member_name"
+        ),
+        F.coalesce(F.col("member_size"), F.lit(-1)).alias("member_size"),
+        F.coalesce(F.md5(F.col("member_bytes")), F.lit("")).alias(
+            "body_md5"
+        ),
+        F.when(F.col("extract_error").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("failed"),
+    ).orderBy("doc_id", "member_name")
+
+
+_ARCHIVE_SQL = """
+WITH ks AS (
+  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS k
+  FROM documents WHERE doc_id < 300 AND doc_id % 10 <> 4
+), good AS (
+  SELECT doc_id,
+    'd' || CAST(doc_id AS VARCHAR) || '/part' || CAST(k AS VARCHAR)
+      || '.txt' AS member_name,
+    'doc ' || CAST(doc_id AS VARCHAR) || ' member '
+      || CAST(k AS VARCHAR) || ' ' || repeat('x', doc_id % 50) AS body
+  FROM ks
+)
+SELECT doc_id, member_name,
+  CAST(length(body) AS BIGINT) AS member_size,
+  md5(body) AS body_md5,
+  CAST(0 AS BIGINT) AS failed
+FROM good
+UNION ALL
+SELECT doc_id, '<error>' AS member_name,
+  CAST(-1 AS BIGINT) AS member_size,
+  '' AS body_md5,
+  CAST(1 AS BIGINT) AS failed
+FROM documents WHERE doc_id < 300 AND doc_id % 10 = 4
+ORDER BY doc_id, member_name
+"""
+
+
 QUERIES = {
     "crawl_warc_roundtrip": crawl_warc_roundtrip,
     "crawl_sitemap_ingest": crawl_sitemap_ingest,
+    "crawl_archive_ingest": crawl_archive_ingest,
 }
 ORACLE_SQL = {
     "crawl_warc_roundtrip": _WARC_SQL,
     "crawl_sitemap_ingest": _SITEMAP_SQL,
+    "crawl_archive_ingest": _ARCHIVE_SQL,
 }
