@@ -80,6 +80,8 @@ _GRANULES = 12  # of 3 samples each, per subband per frame
 
 #: scalefactors, index 0..62: 2.0 * 2^(-i/3) exactly
 SCALEFACTORS = tuple(2.0 * 2.0 ** (-i / 3.0) for i in range(63))
+#: ascending copy for the vectorized _pick_sf searchsorted
+_SF_DESC = np.array(SCALEFACTORS[::-1])
 
 #: allocation layout (Table B.2a shape): per-subband nbal and the
 #: quantization-level list each allocation index selects (index 0 =
@@ -221,15 +223,15 @@ class _BitReader:
         self.bit = 0
 
     def read(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            if self.pos >= len(self.data):
-                raise ValueError("mp2: truncated frame")
-            v = (v << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+        # MSB-first multi-bit read through one int.from_bytes window
+        start = self.pos * 8 + self.bit
+        end = start + nbits
+        if end > len(self.data) * 8:
+            raise ValueError("mp2: truncated frame")
+        b0, b1 = start >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(self.data[b0:b1], "big")
+        v = (chunk >> (b1 * 8 - end)) & ((1 << nbits) - 1)
+        self.pos, self.bit = end >> 3, end & 7
         return v
 
 
@@ -267,60 +269,69 @@ _SF_COUNT = {0: 3, 1: 2, 2: 1, 3: 2}
 
 
 def _quantize(v: np.ndarray, levels: int) -> np.ndarray:
-    q = np.floor((np.clip(v, -1.0, 1.0) + 1.0) / 2.0 * levels)
-    return np.clip(q, 0, levels - 1).astype(np.int64)
+    # .clip methods, not np.clip: same values, far less call overhead
+    # on the tiny 3-sample granule arrays this sees
+    q = np.floor((v.clip(-1.0, 1.0) + 1.0) / 2.0 * levels)
+    return q.clip(0, levels - 1).astype(np.int64)
 
 
 def _allocate(frame_s: np.ndarray, budget: int):
     """Greedy per-subband allocation for one frame+channel: raise the
     class of the subband with the worst quantization-noise estimate
     until the budget is exhausted.  Deterministic (index tie-break).
-    Returns (alloc index per subband, scf indices (27, 3))."""
-    sfi = np.empty((_SBLIMIT, 3), dtype=np.int64)
-    bmax = np.empty((_SBLIMIT, 3))
-    for sb in range(_SBLIMIT):
-        for blk in range(3):
-            m = float(np.max(np.abs(frame_s[12 * blk:12 * blk + 12, sb])))
-            bmax[sb, blk] = m
-            sfi[sb, blk] = _pick_sf(m)
-    alloc = [0] * _SBLIMIT
+    Returns (alloc index per subband, scf indices (27, 3)).
+
+    Vectorized but decision-identical to the original scalar greedy
+    loop (same strict-> comparisons, same first-index tie-break, same
+    incremental budget arithmetic), so emitted streams are
+    bit-identical — asserted by the golden-stream test."""
+    bmax = np.abs(frame_s[:36, :_SBLIMIT]).reshape(3, 12, _SBLIMIT).max(axis=1).T
+    # _pick_sf: SCALEFACTORS is strictly decreasing, so the largest
+    # covering index is a searchsorted on the reversed table
+    rev = _SF_DESC  # ascending copy of SCALEFACTORS reversed
+    pos = np.searchsorted(rev, bmax.ravel() + 1e-12, side="left")
+    sfi = (62 - np.minimum(pos, 62)).reshape(_SBLIMIT, 3)
     energy = (bmax ** 2).sum(axis=1)
 
-    def sample_bits(sb: int, a: int) -> int:
-        if a == 0:
-            return 0
-        bits, grouped = _CODEWORD[_ALLOC_CLASSES[sb][a]]
-        return _GRANULES * bits if grouped else 3 * _GRANULES * bits
+    # per-subband tables over the class ladder: cumulative sample bits
+    # and the constant side-bit cost (alloc>0 transmits scfsi + scfs)
+    nclass = np.array([len(c) for c in _ALLOC_CLASSES], dtype=np.int64)
+    side = np.array(
+        [2 + 6 * len(_scfsi_for(*sfi[sb])[1]) for sb in range(_SBLIMIT)],
+        dtype=np.int64,
+    )
+    max_steps = int(nclass.max())
+    sbits = np.zeros((_SBLIMIT, max_steps), dtype=np.int64)
+    levels_at = np.ones((_SBLIMIT, max_steps), dtype=np.float64)
+    for sb in range(_SBLIMIT):
+        for a in range(1, int(nclass[sb])):
+            bits, grouped = _CODEWORD[_ALLOC_CLASSES[sb][a]]
+            sbits[sb, a] = _GRANULES * bits if grouped else 3 * _GRANULES * bits
+            levels_at[sb, a] = float(_ALLOC_CLASSES[sb][a])
+        levels_at[sb, 0] = 1.0
 
-    def side_bits(sb: int, a: int) -> int:
-        if a == 0:
-            return 0
-        scfsi, tx = _scfsi_for(*sfi[sb])
-        return 2 + 6 * len(tx)
-
+    alloc = np.zeros(_SBLIMIT, dtype=np.int64)
+    sb_idx = np.arange(_SBLIMIT)
     used = 0
+    noise = energy.copy()  # energy / levels(alloc)^2, alloc=0 → /1
     while True:
-        best, best_metric = -1, 0.0
-        for sb in range(_SBLIMIT):
-            a = alloc[sb]
-            if a + 1 >= len(_ALLOC_CLASSES[sb]):
-                continue
-            levels = _ALLOC_CLASSES[sb][a] if a else 1
-            noise = energy[sb] / (levels * levels)
-            if noise <= 1e-20:
-                continue
-            cost = (sample_bits(sb, a + 1) - sample_bits(sb, a)
-                    + side_bits(sb, a + 1) - side_bits(sb, a))
-            if used + cost > budget:
-                continue
-            if noise > best_metric:
-                best_metric, best = noise, sb
-        if best < 0:
+        can_step = alloc + 1 < nclass
+        next_a = np.minimum(alloc + 1, nclass - 1)
+        cost = (
+            sbits[sb_idx, next_a] - sbits[sb_idx, alloc]
+            + np.where(alloc == 0, side, 0)
+        )
+        ok = can_step & (noise > 1e-20) & (used + cost <= budget)
+        if not ok.any():
             break
+        metric = np.where(ok, noise, -1.0)
+        best = int(np.argmax(metric))  # first index on ties, like the
+        # scalar loop's strict > comparison
         alloc[best] += 1
-        used = sum(sample_bits(s, alloc[s]) + side_bits(s, alloc[s])
-                   for s in range(_SBLIMIT))
-    return alloc, sfi
+        used += int(cost[best])
+        lv = levels_at[best, alloc[best]]
+        noise[best] = energy[best] / (lv * lv)
+    return alloc.tolist(), sfi
 
 
 def encode_mp2(
