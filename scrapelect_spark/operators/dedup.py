@@ -759,6 +759,131 @@ SELECT
 )
 
 
+def repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring detection, the token-level
+    dedup-within-documents pass LLM pipelines run after document-level
+    dedup (flag every length-``n`` token window whose exact text
+    occurs ≥ ``min_count`` times across the whole corpus, then merge
+    windows into covered-token spans per document).
+
+    Returns one row per document:
+    ``(doc_id, n_tokens, repeated_windows, covered_tokens)`` —
+    ``covered_tokens`` is the size of the union of all flagged
+    windows' token positions (what a removal pass would cut).
+
+    Entirely JVM-side: tokenize → slide windows with
+    ``transform(sequence(...))`` → md5 the window text → one
+    ``groupBy(window_hash)`` count (partial-agg shuffle) → semi-join
+    flagged hashes back → per-doc union of covered positions via
+    ``explode(sequence(pos, pos+n-1))`` + distinct count.  At 100 TB
+    this is two shuffles (hash count, doc re-group), no window
+    functions, no Python."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("t"),
+    ).withColumn("n_tokens", F.size("t"))
+    wins = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(-1))),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i + 1, n)
+                ),
+            )
+        ).alias("pos", "win"),
+    ).withColumn("h", F.md5("win")).drop("win")
+    counts = (
+        wins.groupBy("h")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("h")
+    )
+    flagged = wins.join(counts, "h", "left_semi")
+    covered = (
+        flagged.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("tok"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("covered_tokens"))
+    )
+    nwin = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("repeated_windows")
+    )
+    base = toks.select("doc_id", "n_tokens")
+    return (
+        base.join(nwin, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("repeated_windows", F.lit(0)).alias(
+                "repeated_windows"
+            ),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        )
+    )
+
+
+def corpus_repeated_ngram_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gate for exact repeated-substring dedup: per doc (< 300),
+    synthesize a token stream unique to the doc (``w<id>_<i>``, length
+    20 + doc_id%7) and, for doc_id%3==0, splice a 10-token span shared
+    verbatim across all such docs at offset doc_id%5.  The only
+    8-token windows repeating corpus-wide are the 3 inside the shared
+    span, covering exactly its 10 tokens — closed form per doc."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    uniq = F.transform(
+        F.sequence(F.lit(0), F.lit(19) + F.col("doc_id") % 7),
+        lambda i: F.concat(
+            F.lit("w"), F.col("doc_id"), F.lit("_"), i
+        ),
+    )
+    shared = F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda i: F.concat(F.lit("shared_"), i),
+    )
+    off = (F.col("doc_id") % 5).cast("int")
+    toks = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.slice(uniq, 1, off),
+            shared,
+            F.slice(uniq, off + 1, F.size(uniq) - off),
+        ),
+    ).otherwise(uniq)
+    synth = d.select(
+        "doc_id", F.concat_ws(" ", toks).alias("text")
+    )
+    return repeated_ngram_spans(synth, n=8, min_count=2).orderBy("doc_id")
+
+
+_REPEATED_NGRAM_SQL = """
+SELECT doc_id,
+  CAST(20 + doc_id % 7 + CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END
+       AS INTEGER) AS n_tokens,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 0 END AS BIGINT)
+    AS repeated_windows,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END AS BIGINT)
+    AS covered_tokens
+FROM documents
+WHERE doc_id < 300
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_apply": dedup_apply,
@@ -770,6 +895,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_dist": dedup_clusters_dist,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_repeated_ngram_dedup": corpus_repeated_ngram_dedup,
 }
 
 ORACLE_SQL = {
@@ -783,4 +909,5 @@ ORACLE_SQL = {
     "dedup_clusters": _CLUSTERS_SQL,
     "dedup_clusters_dist": _CLUSTERS_SQL,
     "corpus_decontaminate": _DECONTAMINATE_SQL,
+    "corpus_repeated_ngram_dedup": _REPEATED_NGRAM_SQL,
 }

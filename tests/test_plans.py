@@ -519,3 +519,25 @@ def test_pagerank_round_no_broadcast_one_exchange(spark):
     assert len(exchanges) == 1 and "dst" in exchanges[0], plan
     assert not any("node" in l or "src" in l for l in exchanges), plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_repeated_ngram_no_window_no_cartesian(spark):
+    """repeated_ngram_spans (operators/dedup.py): the repeated-window
+    flagging must be a hash-count + LEFT-SEMI join shape — no window
+    functions (unbounded per-key sorts at 100 TB), no cartesian, and
+    the window-hash count must partial-aggregate before its shuffle."""
+    from pyspark.sql import functions as F
+
+    from scrapelect_spark.operators.dedup import repeated_ngram_spans
+    from scrapelect_spark.operators.tables import load
+
+    d = load(spark, SF, "documents").filter(F.col("doc_id") < 50)
+    out = repeated_ngram_spans(d.select("doc_id", "text"), n=8)
+    out.collect()  # AQE: materialize the final plan
+    plan = plan_of(out)
+    assert "WindowExec" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    # the window-hash count partial-aggregates map-side (the count
+    # shuffle moves one row per distinct hash, not one per window)
+    assert "partial_count" in plan, plan
