@@ -145,10 +145,10 @@ def image_phash_neardup(spark, sf_dir: str) -> DataFrame:
     Expected output is exactly the built-in pairs — banding must not
     lose them (pigeonhole) and the 17+-bit separation of unrelated
     docs must not add any."""
-    from .tables import load
+    from .tables import load, spread
     from ..sources.png import decode_png, encode_png, phash64
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     def synth_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,11 +185,11 @@ def image_exif_extract(spark, sf_dir: str) -> DataFrame:
     tags distributed, and project them next to ``failed``.  Docs ≡0
     mod 10 carry NO EXIF segment and must surface as per-row
     ``failed=1`` (error capture, not batch death)."""
-    from .tables import load
+    from .tables import load, spread
     from ..sources import exif as E
     from ..sources.jpeg import encode_jpeg
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     base_jpeg = encode_jpeg(np.full((16, 16, 3), 120, np.uint8))
 

@@ -539,10 +539,10 @@ def audio_wav_features(spark, sf_dir: str) -> DataFrame:
     float-summation epsilon)."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.wav import encode_wav
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -587,10 +587,10 @@ def image_png_roundtrip(spark, sf_dir: str) -> DataFrame:
     and report what it measured."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.png import encode_png
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -658,10 +658,10 @@ def image_jpeg_roundtrip(spark, sf_dir: str) -> DataFrame:
     failed = 0), so a silent codec regression breaks the hash."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.jpeg import decode_jpeg, encode_jpeg
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -724,10 +724,10 @@ def image_resize_nn(spark, sf_dir: str) -> DataFrame:
     target dims AND pixel value in closed form."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.png import decode_png, encode_png
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -796,10 +796,10 @@ def image_resize_filters(spark, sf_dir: str) -> DataFrame:
     The oracle predicts all three flags and the dims in closed form."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.png import decode_png, encode_png
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     th, tw = 5, 4
 
@@ -945,10 +945,10 @@ def image_patch_grid(spark, sf_dir: str) -> DataFrame:
     expands the same grid with nested range() unnests."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.png import decode_png, encode_png as _enc
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1015,12 +1015,12 @@ def image_foreign_formats(spark, sf_dir: str) -> DataFrame:
     ``decode_image`` dispatch — bit-exact, including ICO alpha."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.netpbm import encode_netpbm
     from ..sources.tga import encode_tga
     from ..sources.ico import encode_ico
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1099,10 +1099,10 @@ def image_decode_errors(spark, sf_dir: str) -> DataFrame:
     The oracle predicts the failure pattern in closed form."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.png import encode_png
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1164,11 +1164,11 @@ def video_frame_sample(spark, sf_dir: str) -> DataFrame:
     form."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.avi import encode_avi_mjpeg
     from ..sources.png import decode_png
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1245,10 +1245,10 @@ def audio_adpcm_roundtrip(spark, sf_dir: str) -> DataFrame:
     the gate corpus: 27.4 dB)."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.adpcm import decode_wav_ima, encode_wav_ima, snr_db
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
 
     def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1336,11 +1336,11 @@ def video_msvc_roundtrip(spark, sf_dir: str) -> DataFrame:
     the execution path, not just the encoder."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.msvc import encode_avi_msvc
     from ..sources.png import decode_png
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1416,10 +1416,10 @@ def audio_adpcm_stereo(spark, sf_dir: str) -> DataFrame:
     frame count + per-channel SNR ≥ 15 dB SQL-side."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.adpcm import decode_wav_ima, encode_wav_ima, snr_db
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
 
     def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1482,11 +1482,11 @@ def audio_g711_roundtrip(spark, sf_dir: str) -> DataFrame:
     ~35-38 dB on a sine)."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.adpcm import snr_db
     from ..sources.g711 import decode_wav_g711, encode_wav_g711
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
 
     def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1557,10 +1557,10 @@ def audio_flac_roundtrip(spark, sf_dir: str) -> DataFrame:
     compressed (flac bytes < PCM16 bytes)."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.flac import decode_flac, encode_flac
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
 
     def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1637,10 +1637,10 @@ def audio_mp2_roundtrip(spark, sf_dir: str) -> DataFrame:
     trimmed)."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.mp2 import decode_mp2, encode_mp2
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
 
     def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1714,10 +1714,10 @@ def image_gif_roundtrip(spark, sf_dir: str) -> DataFrame:
     colors)."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.gif import decode_gif, encode_gif
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1806,10 +1806,10 @@ def image_bmp_roundtrip(spark, sf_dir: str) -> DataFrame:
     pattern per doc, encode 24-bit BI_RGB, decode, assert bit-exact."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.bmp import decode_bmp, encode_bmp
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1880,10 +1880,10 @@ def image_tiff_roundtrip(spark, sf_dir: str) -> DataFrame:
     the ``decode_image`` fmt='tiff' path, assert bit-exact."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.tiff import encode_tiff
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1985,11 +1985,11 @@ def video_mpeg1_iframe_sample(spark, sf_dir: str) -> DataFrame:
     gated by ``video_mpeg1_p_sample`` / ``video_mpeg1_b_sample``)."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.mpeg1 import encode_m1v
     from ..sources.png import decode_png
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2089,11 +2089,11 @@ def video_mpeg1_p_sample(spark, sf_dir: str) -> DataFrame:
     missing reference."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.mpeg1 import encode_m1v
     from ..sources.png import decode_png
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2189,11 +2189,11 @@ def video_mpeg1_b_sample(spark, sf_dir: str) -> DataFrame:
     ``decode_error`` rows naming the missing references."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.mpeg1 import encode_m1v
     from ..sources.png import decode_png
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2286,10 +2286,10 @@ def image_webp_roundtrip(spark, sf_dir: str) -> DataFrame:
     against the RGBA expansion of the source."""
     from pyspark.sql import functions as F
 
-    from .tables import load
+    from .tables import load, spread
     from ..sources.webp import encode_webp
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
     def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

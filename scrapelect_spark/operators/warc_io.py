@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .tables import load
+from .tables import load, spread
 
 #: deterministic snapshot stamp for gate/test segments (a real crawl
 #: batch passes its own batch timestamp)
@@ -91,7 +91,7 @@ def crawl_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     to per-partition .warc.gz segments and ingested back — url, HTTP
     status, byte-exact body (md5) must survive the container
     roundtrip."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
     pages = d.select(
         F.concat(F.lit("http://corpus.test/doc/"), F.col("doc_id")).alias("url"),
         F.col("text").alias("html"),
@@ -174,7 +174,7 @@ def crawl_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     match the closed-form oracle."""
     from ..sources.sitemap import build_sitemap
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -288,7 +288,7 @@ def crawl_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     body md5."""
     from ..sources.archive import build_tar, build_zip
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
