@@ -752,3 +752,297 @@ def test_encoder_input_validation():
         encode_m1v([smooth(16, 16)], qscale=32)
     with pytest.raises(ValueError):
         encode_m1v([smooth(16, 16), smooth(32, 16)])
+
+
+# --- foreign-feature B streams (hand-built via the module's writer) ----
+
+
+def _hand_b_stream(a_rgb, b_rgb, header_bits, slice_writer, mbh=2):
+    """Two I-pictures (the forward and backward references, encoded by
+    the module) + a hand-written B-picture; ``header_bits(w)`` writes
+    both full_pel+f_code pairs, ``slice_writer(w, row)`` writes one
+    slice row's macroblock data."""
+    head = encode_m1v([a_rgb, b_rgb], qscale=2)
+    assert head.endswith(b"\x00\x00\x01\xb7")
+    body = bytearray(head[:-4])
+    pw = M._BitWriter()
+    pw.write(2, 10)  # temporal_reference (display idx 2)
+    pw.write(3, 3)  # B
+    pw.write(0xFFFF, 16)
+    header_bits(pw)
+    pw.write(0, 1)  # extra_bit_picture
+    pw.byte_align()
+    body += b"\x00\x00\x01\x00" + pw.bytes()
+    for row in range(mbh):
+        sw = M._BitWriter()
+        sw.write(2, 5)  # quantizer_scale
+        sw.write(0, 1)
+        slice_writer(sw, row)
+        sw.byte_align()
+        body += b"\x00\x00\x01" + bytes([row + 1]) + sw.bytes()
+    body += b"\x00\x00\x01\xb7"
+    return bytes(body)
+
+
+def _two_ref_planes(data, w, h):
+    """Integer reconstruction planes of the stream's two I-pictures."""
+    pics = []
+    code, pos = M._next_start_code(data, 0)
+    while code != -1:
+        if code == M._PIC:
+            pics.append(pos)
+        code, pos = M._next_start_code(data, pos)
+    _, pa = M._decode_picture(data, pics[0], w, h)
+    _, pb = M._decode_picture(data, pics[1], w, h)
+    return pa, pb
+
+
+def _rgb_of_planes(y, cb, cr, w, h):
+    ry, rcb, rcr = (
+        np.clip(np.rint(p), 0, 255).astype(np.int64) for p in (y, cb, cr)
+    )
+    cbf = np.repeat(np.repeat(rcb, 2, axis=0), 2, axis=1)
+    crf = np.repeat(np.repeat(rcr, 2, axis=0), 2, axis=1)
+    return M.ycbcr_to_rgb(
+        np.stack([ry, cbf, crf], axis=-1).astype(np.float64)
+    )[:h, :w]
+
+
+def _expect_b(pa, pb, w, h, mb_modes):
+    """Expected B frame built from the module's own block predictor:
+    ``mb_modes[(row, col)] = (use_f, use_b, fy, fx, by, bx)``."""
+    refs = (*pa, *pb)
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+    y = np.zeros((mbh * 16, mbw * 16))
+    cb = np.zeros((mbh * 8, mbw * 8))
+    cr = np.zeros((mbh * 8, mbw * 8))
+    for (row, col), (uf, ub, fy, fx, by_, bx_) in mb_modes.items():
+        for b in range(6):
+            pred = M._b_block_pred(refs, b, row, col, uf, ub, fy, fx, by_, bx_)
+            M._mb_rec_view(y, cb, cr, b, row, col)[...] = pred
+    return _rgb_of_planes(y, cb, cr, w, h)
+
+
+def _mv0(w):
+    c, n = M._MV_TABLE[0]
+    w.write(c, n)
+
+
+def test_b_foreign_modes_fwd_bwd_interp():
+    """A hand-written B-picture mixing all three non-intra prediction
+    modes at MV 0 (fwd copies the PAST reference, bwd the FUTURE one,
+    interp their rounded average) — one macroblock each plus a fourth
+    interp, decoded bit-exactly against the module's own predictor."""
+    a = smooth(32, 32, seed=31)
+    b = 255 - smooth(32, 32, seed=32)[::-1]
+
+    def header(w):
+        w.write(0, 1); w.write(1, 3)  # forward: full_pel 0, f 1
+        w.write(0, 1); w.write(1, 3)  # backward
+
+    modes = {}
+
+    def slices(w, row):
+        for col in range(2):
+            mb = row * 2 + col
+            w.write(1, 1)  # increment 1
+            if mb == 0:  # forward, not coded
+                c, n, _f = M._B_MBTYPE["fwd"]
+                w.write(c, n); _mv0(w); _mv0(w)
+                modes[(row, col)] = (1, 0, 0, 0, 0, 0)
+            elif mb == 1:  # backward, not coded
+                c, n, _f = M._B_MBTYPE["bwd"]
+                w.write(c, n); _mv0(w); _mv0(w)
+                modes[(row, col)] = (0, 1, 0, 0, 0, 0)
+            else:  # interpolated, not coded
+                c, n, _f = M._B_MBTYPE["interp"]
+                w.write(c, n); _mv0(w); _mv0(w); _mv0(w); _mv0(w)
+                modes[(row, col)] = (1, 1, 0, 0, 0, 0)
+
+    data = _hand_b_stream(a, b, header, slices)
+    got = dict(decode_m1v_frames(data))
+    pa, pb = _two_ref_planes(data, 32, 32)
+    assert np.array_equal(got[2], _expect_b(pa, pb, 32, 32, modes))
+    assert np.array_equal(got[0][:16, :16], got[2][:16, :16])  # fwd MB
+    assert np.array_equal(got[1][:16, 16:], got[2][:16, 16:])  # bwd MB
+
+
+def test_b_foreign_backward_f_code_2():
+    """backward_f_code=2 on the wire (our encoder always emits 1):
+    motion_code 2 + residual 1 → recon +4 half-pel on the BACKWARD
+    vector; the forward pair stays f_code 1."""
+    a = smooth(32, 32, seed=33)
+    b = smooth(32, 32, seed=34, shift=3)
+
+    def header(w):
+        w.write(0, 1); w.write(1, 3)
+        w.write(0, 1); w.write(2, 3)  # backward_f_code = 2
+
+    def wr_b_delta(w, code, sign, residual):
+        c, n = M._MV_TABLE[code]
+        w.write(c, n)
+        w.write(sign, 1)
+        w.write(residual, 1)
+
+    modes = {}
+
+    def slices(w, row):
+        for col in range(2):
+            mb = row * 2 + col
+            w.write(1, 1)
+            c, n, _f = M._B_MBTYPE["bwd"]
+            w.write(c, n)
+            if mb == 0:
+                wr_b_delta(w, 2, 0, 1)  # +4
+                wr_b_delta(w, 2, 0, 1)
+                modes[(row, col)] = (0, 1, 0, 0, 4, 4)
+            elif mb == 1:
+                wr_b_delta(w, 2, 1, 1)  # -4: pmv back to 0
+                wr_b_delta(w, 2, 1, 1)
+                modes[(row, col)] = (0, 1, 0, 0, 0, 0)
+            else:
+                c0, n0 = M._MV_TABLE[0]
+                w.write(c0, n0)  # motion_code 0: no sign/residual
+                w.write(c0, n0)
+                modes[(row, col)] = (0, 1, 0, 0, 0, 0)
+
+    data = _hand_b_stream(a, b, header, slices)
+    got = dict(decode_m1v_frames(data))
+    pa, pb = _two_ref_planes(data, 32, 32)
+    assert np.array_equal(got[2], _expect_b(pa, pb, 32, 32, modes))
+    # MB0 really is the backward ref shifted by two full pels
+    assert np.array_equal(got[2][:16, :16], got[1][2:18, 2:18])
+
+
+def test_b_foreign_full_pel_backward():
+    """full_pel_backward_vector=1: recon +2 doubles to 4 half-pel."""
+    a = smooth(32, 32, seed=35)
+    b = smooth(32, 32, seed=36, shift=5)
+
+    def header(w):
+        w.write(0, 1); w.write(1, 3)
+        w.write(1, 1); w.write(1, 3)  # full_pel_backward = 1
+
+    modes = {}
+
+    def slices(w, row):
+        for col in range(2):
+            mb = row * 2 + col
+            w.write(1, 1)
+            c, n, _f = M._B_MBTYPE["bwd"]
+            w.write(c, n)
+            cc, nn = M._MV_TABLE[2]
+            if mb == 0:
+                w.write(cc, nn); w.write(0, 1)
+                w.write(cc, nn); w.write(0, 1)
+                modes[(row, col)] = (0, 1, 0, 0, 4, 4)
+            elif mb == 1:
+                w.write(cc, nn); w.write(1, 1)
+                w.write(cc, nn); w.write(1, 1)
+                modes[(row, col)] = (0, 1, 0, 0, 0, 0)
+            else:
+                _mv0(w); _mv0(w)
+                modes[(row, col)] = (0, 1, 0, 0, 0, 0)
+
+    data = _hand_b_stream(a, b, header, slices)
+    got = dict(decode_m1v_frames(data))
+    pa, pb = _two_ref_planes(data, 32, 32)
+    assert np.array_equal(got[2], _expect_b(pa, pb, 32, 32, modes))
+
+
+def test_b_foreign_pmv_persists_across_untransmitted_direction():
+    """MB0 interp sets the forward predictor to +2; MB1 is
+    backward-only (forward pair not on the wire — predictor must
+    survive untouched); MB2 interp transmits forward delta 0 and must
+    land back on +2."""
+    a = smooth(32, 64, seed=37)  # 4x2 MBs: one slice of 4 wide rows? (h=32,w=64 → mbw 4, mbh 2)
+    b = smooth(32, 64, seed=38, shift=4)
+
+    def header(w):
+        w.write(0, 1); w.write(1, 3)
+        w.write(0, 1); w.write(1, 3)
+
+    modes = {}
+    c2, n2 = M._MV_TABLE[2]
+
+    def slices(w, row):
+        if row == 0:
+            # MB0: interp, fwd +2/+2, bwd 0
+            w.write(1, 1)
+            c, n, _f = M._B_MBTYPE["interp"]
+            w.write(c, n)
+            w.write(c2, n2); w.write(0, 1)
+            w.write(c2, n2); w.write(0, 1)
+            _mv0(w); _mv0(w)
+            modes[(0, 0)] = (1, 1, 2, 2, 0, 0)
+            # MB1: backward-only, delta 0 — forward pmv untouched
+            w.write(1, 1)
+            c, n, _f = M._B_MBTYPE["bwd"]
+            w.write(c, n); _mv0(w); _mv0(w)
+            modes[(0, 1)] = (0, 1, 0, 0, 0, 0)
+            # MB2: interp, fwd delta 0 → still +2/+2
+            w.write(1, 1)
+            c, n, _f = M._B_MBTYPE["interp"]
+            w.write(c, n)
+            _mv0(w); _mv0(w)
+            _mv0(w); _mv0(w)
+            modes[(0, 2)] = (1, 1, 2, 2, 0, 0)
+            # MB3: forward-only, delta -2 → back to 0
+            w.write(1, 1)
+            c, n, _f = M._B_MBTYPE["fwd"]
+            w.write(c, n)
+            w.write(c2, n2); w.write(1, 1)
+            w.write(c2, n2); w.write(1, 1)
+            modes[(0, 3)] = (1, 0, 0, 0, 0, 0)
+        else:
+            for col in range(4):
+                w.write(1, 1)
+                c, n, _f = M._B_MBTYPE["fwd"]
+                w.write(c, n); _mv0(w); _mv0(w)
+                modes[(1, col)] = (1, 0, 0, 0, 0, 0)
+
+    data = _hand_b_stream(a, b, header, slices)
+    got = dict(decode_m1v_frames(data))
+    pa, pb = _two_ref_planes(data, 64, 32)
+    assert np.array_equal(got[2], _expect_b(pa, pb, 64, 32, modes))
+
+
+def test_b_foreign_skip_repeats_previous_macroblock():
+    """Skipped B macroblocks repeat the PREVIOUS macroblock's mode and
+    vectors — NOT the co-located reference copy P-skips use.  MB0 is
+    interp; MBs 1-2 are skipped (increment 3); MB3 is coded.  The
+    skipped region must equal the interp prediction, which differs
+    from both references."""
+    a = np.full((16, 64, 3), 60, np.uint8)
+    b = np.full((16, 64, 3), 200, np.uint8)
+
+    def header(w):
+        w.write(0, 1); w.write(1, 3)
+        w.write(0, 1); w.write(1, 3)
+
+    modes = {}
+
+    def slices(w, row):
+        # MB0: interp, MV 0
+        w.write(1, 1)
+        c, n, _f = M._B_MBTYPE["interp"]
+        w.write(c, n)
+        _mv0(w); _mv0(w); _mv0(w); _mv0(w)
+        modes[(0, 0)] = (1, 1, 0, 0, 0, 0)
+        # MBs 1-2 skipped → repeat interp; MB3 coded fwd-only
+        inc_c, inc_n = M._MBA_TABLE[3]
+        w.write(inc_c, inc_n)
+        c, n, _f = M._B_MBTYPE["fwd"]
+        w.write(c, n); _mv0(w); _mv0(w)
+        modes[(0, 1)] = (1, 1, 0, 0, 0, 0)
+        modes[(0, 2)] = (1, 1, 0, 0, 0, 0)
+        modes[(0, 3)] = (1, 0, 0, 0, 0, 0)
+
+    data = _hand_b_stream(a, b, header, slices, mbh=1)
+    got = dict(decode_m1v_frames(data))
+    pa, pb = _two_ref_planes(data, 64, 16)
+    assert np.array_equal(got[2], _expect_b(pa, pb, 64, 16, modes))
+    # the skipped MBs are neither reference
+    mid = got[2][:, 16:48]
+    assert not np.array_equal(mid, got[0][:, 16:48])
+    assert not np.array_equal(mid, got[1][:, 16:48])
