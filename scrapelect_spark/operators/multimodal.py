@@ -2366,6 +2366,185 @@ ORDER BY doc_id
 """
 
 
+def audio_mp1_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Gate for MPEG-1 Audio Layer I (sources/mp2.py Layer I half —
+    the simpler sibling grammar of the Layer II codec over the same
+    32-band filterbank): synthesize a deterministic two-tone signal
+    per doc, encode to a 192 kbps Layer I stream (384-sample frames,
+    4-bit allocation over all 32 subbands, per-subband scalefactors),
+    decode, and assert SQL-side that the lossy roundtrip holds
+    SNR ≥ 40 dB, that the stream compressed ≥ 2x under PCM16, and the
+    frame-quantized duration (ceil((n+512)/384) frames, head pad
+    trimmed)."""
+    from pyspark.sql import functions as F
+
+    from .tables import load, spread
+    from ..sources.mp2 import decode_mp1, encode_mp1
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
+
+    def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            dur = np.empty(n_rows, dtype=object)
+            good = np.empty(n_rows, dtype=object)
+            smaller = np.empty(n_rows, dtype=object)
+            failed = np.empty(n_rows, dtype=object)
+            for i, doc_id in enumerate(pdf["doc_id"]):
+                doc_id = int(doc_id)
+                n = 6000 + (doc_id % 5) * 1200
+                t = np.arange(n)
+                f1 = 200.0 + (doc_id % 7) * 150.0
+                f2 = 2000.0 + (doc_id % 11) * 300.0
+                x = np.round(
+                    10000 * np.sin(2 * np.pi * f1 * t / _MP2_RATE)
+                    + 5000 * np.sin(2 * np.pi * f2 * t / _MP2_RATE)
+                ).astype(np.int16)
+                try:
+                    blob = encode_mp1(x, _MP2_RATE, 192)
+                    y, rate = decode_mp1(blob)
+                    dur[i] = len(y) / rate
+                    a = x.astype(np.float64)
+                    e = a - y[:n].astype(np.float64)
+                    s = 10 * np.log10((a @ a) / max(e @ e, 1e-30))
+                    good[i] = 1 if (rate == _MP2_RATE and s >= 40.0) else 0
+                    smaller[i] = 1 if 2 * len(blob) < 2 * n else 0
+                    failed[i] = 0
+                except Exception:
+                    dur[i], good[i], smaller[i], failed[i] = None, 0, 0, 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "duration_s": dur,
+                    "good": good,
+                    "compressed": smaller,
+                    "failed": failed,
+                }
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_verify,
+            schema="doc_id long, duration_s double, good long, "
+            "compressed long, failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MP1_SQL = """
+SELECT doc_id,
+  (CAST(CEIL((6000 + (doc_id % 5) * 1200 + 512) / 384.0) AS BIGINT)
+     * 384 - 512) / 32000.0 AS duration_s,
+  CAST(1 AS BIGINT) AS good,
+  CAST(1 AS BIGINT) AS compressed,
+  CAST(0 AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+"""
+
+
+def video_mpeg_ps_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Gate for the MPEG-1 program stream (sources/mpegps.py — ISO
+    11172-1, the container completing the MPEG-1 family over the
+    11172-2 video and 11172-3 audio codecs already in tree): per doc,
+    encode a deterministic I/P video sequence and a Layer I audio
+    tone, interleave both elementary streams into pack/system/packet
+    syntax, demux, and assert BYTE-EXACT elementary-stream recovery
+    (es_exact), that the demuxed video decodes to the right frame
+    count, and that the demuxed audio decodes at SNR ≥ 40 dB."""
+    from pyspark.sql import functions as F
+
+    from .tables import load, spread
+    from ..sources.mp2 import decode_mpa, encode_mp1
+    from ..sources.mpeg1 import decode_m1v_frames, encode_m1v
+    from ..sources.mpegps import demux_ps, mux_ps
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60))
+
+    def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = np.indices((24, 32)).sum(0).astype(np.uint8) * 7
+        for pdf in batches:
+            n_rows = len(pdf)
+            nf_out = np.empty(n_rows, dtype=object)
+            es_exact = np.empty(n_rows, dtype=object)
+            audio_ok = np.empty(n_rows, dtype=object)
+            failed = np.empty(n_rows, dtype=object)
+            for i, doc_id in enumerate(pdf["doc_id"]):
+                doc_id = int(doc_id)
+                nf = 3 + doc_id % 3
+                frames = [
+                    np.stack(
+                        [
+                            (base + 11 * k + doc_id) % 256,
+                            base[::-1],
+                            (base + doc_id) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    for k in range(nf)
+                ]
+                n = 3000 + (doc_id % 4) * 500
+                t = np.arange(n)
+                f1 = 200.0 + (doc_id % 7) * 100.0
+                x = np.round(
+                    9000 * np.sin(2 * np.pi * f1 * t / _MP2_RATE)
+                ).astype(np.int16)
+                try:
+                    v = encode_m1v(frames, gop_size=2)
+                    a = encode_mp1(x, _MP2_RATE, 192)
+                    es, meta = demux_ps(
+                        mux_ps({0xE0: v, 0xC0: a}, payload_size=512)
+                    )
+                    es_exact[i] = 1 if (
+                        es.get(0xE0) == v and es.get(0xC0) == a
+                        and meta["pts"] == {0xE0: 0, 0xC0: 0}
+                    ) else 0
+                    nf_out[i] = sum(1 for _ in decode_m1v_frames(es[0xE0]))
+                    y, rate = decode_mpa(es[0xC0])
+                    av = x.astype(np.float64)
+                    e = av - y[:n].astype(np.float64)
+                    s = 10 * np.log10((av @ av) / max(e @ e, 1e-30))
+                    audio_ok[i] = 1 if (rate == _MP2_RATE and s >= 40.0) else 0
+                    failed[i] = 0
+                except Exception:
+                    nf_out[i] = None
+                    es_exact[i], audio_ok[i], failed[i] = 0, 0, 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_frames": nf_out,
+                    "es_exact": es_exact,
+                    "audio_ok": audio_ok,
+                    "failed": failed,
+                }
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_verify,
+            schema="doc_id long, n_frames long, es_exact long, "
+            "audio_ok long, failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PS_SQL = """
+SELECT doc_id,
+  3 + doc_id % 3 AS n_frames,
+  CAST(1 AS BIGINT) AS es_exact,
+  CAST(1 AS BIGINT) AS audio_ok,
+  CAST(0 AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 60
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "audio_wav_features": audio_wav_features,
     "audio_adpcm_roundtrip": audio_adpcm_roundtrip,
@@ -2377,6 +2556,8 @@ QUERIES = {
     "video_mpeg1_b_sample": video_mpeg1_b_sample,
     "audio_flac_roundtrip": audio_flac_roundtrip,
     "audio_mp2_roundtrip": audio_mp2_roundtrip,
+    "audio_mp1_roundtrip": audio_mp1_roundtrip,
+    "video_mpeg_ps_roundtrip": video_mpeg_ps_roundtrip,
     "image_bmp_roundtrip": image_bmp_roundtrip,
     "image_tiff_roundtrip": image_tiff_roundtrip,
     "image_webp_roundtrip": image_webp_roundtrip,
@@ -2402,6 +2583,8 @@ ORACLE_SQL = {
     "video_mpeg1_b_sample": _MPEG1_B_SQL,
     "audio_flac_roundtrip": _FLAC_SQL,
     "audio_mp2_roundtrip": _MP2_SQL,
+    "audio_mp1_roundtrip": _MP1_SQL,
+    "video_mpeg_ps_roundtrip": _PS_SQL,
     "image_gif_roundtrip": _GIF_SQL,
     "image_bmp_roundtrip": _BMP_SQL,
     "image_tiff_roundtrip": _TIFF_SQL,

@@ -70,6 +70,9 @@ import numpy as np
 #: (unsupported here), 15 is forbidden.
 BITRATES = (None, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
             256, 320, 384)
+#: Layer I bitrate table (kbps) — distinct from Layer II's
+BITRATES_L1 = (None, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
+               352, 384, 416, 448)
 #: sampling_frequency field values
 RATES = {44100: 0b00, 48000: 0b01, 32000: 0b10}
 RATES_INV = {v: k for k, v in RATES.items()}
@@ -77,6 +80,15 @@ RATES_INV = {v: k for k, v in RATES.items()}
 SAMPLES_PER_FRAME = 1152
 _SBLIMIT = 27
 _GRANULES = 12  # of 3 samples each, per subband per frame
+
+#: Layer I frame grammar: 384 samples = 12 granules of ONE sample per
+#: subband, all 32 subbands coded, 4-bit allocation everywhere, one
+#: 6-bit scalefactor per active subband (no scfsi), plain (a+1)-bit
+#: codes with levels 2^(a+1)-1 (all-ones excluded = the same
+#: syncword-emulation guard as Layer II's tables).
+SAMPLES_PER_FRAME_L1 = 384
+_SBLIMIT_L1 = 32
+_GRANULES_L1 = 12  # of 1 sample each
 
 #: scalefactors, index 0..62: 2.0 * 2^(-i/3) exactly
 SCALEFACTORS = tuple(2.0 * 2.0 ** (-i / 3.0) for i in range(63))
@@ -433,26 +445,33 @@ def encode_mp2(
 # --- decoder ----------------------------------------------------------
 
 
-def _parse_header(data: bytes, pos: int):
+def _parse_header(data: bytes, pos: int, layer: int = 0b10):
+    """Parse one MPEG-1 audio frame header at ``pos``.  ``layer`` is
+    the expected 2-bit layer field ('10' Layer II, '11' Layer I);
+    the bitrate table is layer-specific."""
+    tag = "mp1" if layer == 0b11 else "mp2"
     if pos + 4 > len(data):
-        raise ValueError("mp2: truncated header")
+        raise ValueError(f"{tag}: truncated header")
     h = int.from_bytes(data[pos:pos + 4], "big")
     if (h >> 20) & 0xFFF != 0xFFF:
-        raise ValueError("mp2: bad syncword")
+        raise ValueError(f"{tag}: bad syncword")
     if (h >> 19) & 1 != 1:
-        raise ValueError("mp2: not MPEG-1 (ID bit)")
-    if (h >> 17) & 0b11 != 0b10:
-        raise ValueError("mp2: not Layer II")
+        raise ValueError(f"{tag}: not MPEG-1 (ID bit)")
+    if (h >> 17) & 0b11 != layer:
+        raise ValueError(
+            f"{tag}: not Layer {'I' if layer == 0b11 else 'II'}"
+        )
     protection = (h >> 16) & 1
     br_idx = (h >> 12) & 0xF
     if br_idx in (0, 15):
-        raise ValueError("mp2: free-format/forbidden bitrate")
+        raise ValueError(f"{tag}: free-format/forbidden bitrate")
     rate_code = (h >> 10) & 0b11
     if rate_code == 0b11:
-        raise ValueError("mp2: reserved sampling frequency")
+        raise ValueError(f"{tag}: reserved sampling frequency")
     padding = (h >> 9) & 1
     mode = (h >> 6) & 0b11
-    return protection, BITRATES[br_idx], RATES_INV[rate_code], \
+    table = BITRATES_L1 if layer == 0b11 else BITRATES
+    return protection, table[br_idx], RATES_INV[rate_code], \
         padding, mode
 
 
@@ -568,3 +587,226 @@ def is_mp2(data: bytes) -> bool:
     return (len(data) >= 2 and data[0] == 0xFF
             and (data[1] & 0xF8) == 0xF8
             and (data[1] >> 1) & 0b11 == 0b10)
+
+
+# --- Layer I (ISO/IEC 11172-3 §2.4.1.5 / 2.4.2.5) ---------------------
+#
+# Layer I is the simpler sibling grammar over the SAME 32-band
+# filterbank: frames of 384 samples (12 granules of ONE sample per
+# subband), all 32 subbands carry a 4-bit allocation index, one 6-bit
+# scalefactor per active subband (no scfsi merging), and plain
+# (a+1)-bit midtread codes with 2^(a+1)-1 levels.  Frame length is
+# measured in FOUR-BYTE slots: slots = 12 * bitrate / fs.  Everything
+# below reuses the Layer II filterbank, bit I/O, scalefactor table and
+# quantizer; only the frame grammar differs.
+
+
+def _allocate_l1(frame_s: np.ndarray, budget: int):
+    """Greedy allocation for one Layer I frame+channel (12, 32):
+    raise the bit-width of the subband with the worst
+    quantization-noise estimate until the budget is exhausted.
+    Deterministic (first-index tie-break).  Returns (alloc index per
+    subband, scalefactor index per subband)."""
+    bmax = np.abs(frame_s[:_GRANULES_L1, :_SBLIMIT_L1]).max(axis=0)
+    pos = np.searchsorted(_SF_DESC, bmax + 1e-12, side="left")
+    sfi = 62 - np.minimum(pos, 62)
+    energy = bmax ** 2
+    alloc = np.zeros(_SBLIMIT_L1, dtype=np.int64)
+    noise = energy.copy()
+    used = 0
+    while True:
+        # step cost: first activation pays the 6-bit scalefactor and
+        # 12 two-bit codes; each later step widens 12 codes by 1 bit
+        cost = np.where(alloc == 0, 6 + 2 * _GRANULES_L1, _GRANULES_L1)
+        ok = (alloc < 14) & (noise > 1e-20) & (used + cost <= budget)
+        if not ok.any():
+            break
+        metric = np.where(ok, noise, -1.0)
+        best = int(np.argmax(metric))
+        alloc[best] += 1
+        used += int(cost[best])
+        lv = float((1 << (alloc[best] + 1)) - 1)
+        noise[best] = energy[best] / (lv * lv)
+    return alloc.tolist(), sfi
+
+
+def encode_mp1(
+    samples: np.ndarray, rate: int, bitrate_kbps: int = 192,
+    crc: bool = False,
+) -> bytes:
+    """int16 PCM (n,) mono or (n, 2) stereo → Layer I stream.  Same
+    contract as :func:`encode_mp2` (head pad of one window that
+    :func:`decode_mp1` trims; ``crc=True`` writes protection_bit=0
+    frames carrying an uncomputed CRC slot the decoder skips)."""
+    if rate not in RATES:
+        raise ValueError(f"mp1: unsupported sample rate {rate}")
+    if bitrate_kbps not in BITRATES_L1:
+        raise ValueError(f"mp1: unsupported bitrate {bitrate_kbps}")
+    x = np.asarray(samples)
+    if x.ndim == 1:
+        chans = [x]
+    elif x.ndim == 2 and x.shape[1] == 2:
+        chans = [x[:, 0], x[:, 1]]
+    else:
+        raise ValueError("mp1: samples must be (n,) or (n, 2)")
+    nch = len(chans)
+    mode = 0b11 if nch == 1 else 0b00
+
+    n = len(chans[0]) + _N
+    n_frames = max(1, -(-n // SAMPLES_PER_FRAME_L1))
+    total = n_frames * SAMPLES_PER_FRAME_L1
+    S = []
+    for ch in chans:
+        xf = np.zeros(total)
+        xf[_N:_N + len(ch)] = ch.astype(np.float64) / 32768.0
+        S.append(_analysis(xf))
+
+    slots4 = 12 * bitrate_kbps * 1000 // rate  # 4-byte slots
+    nbytes = 4 * slots4
+    header = (
+        (0xFFF << 20) | (1 << 19) | (0b11 << 17)
+        | ((0 if crc else 1) << 16)
+        | (BITRATES_L1.index(bitrate_kbps) << 12) | (RATES[rate] << 10)
+        | (0 << 9) | (0 << 8) | (mode << 6) | (0 << 4)
+        | (0 << 3) | (1 << 2) | 0
+    )
+    alloc_bits = nch * 4 * _SBLIMIT_L1
+
+    out = bytearray()
+    for f in range(n_frames):
+        rows = slice(f * _GRANULES_L1, f * _GRANULES_L1 + _GRANULES_L1)
+        budget = nbytes * 8 - 32 - (16 if crc else 0) - alloc_bits
+        per_ch = [_allocate_l1(S[c][rows], budget // nch)
+                  for c in range(nch)]
+        w = _BitWriter()
+        w.write(header, 32)
+        if crc:
+            w.write(0xFFFF, 16)
+        for sb in range(_SBLIMIT_L1):
+            for c in range(nch):
+                w.write(per_ch[c][0][sb], 4)
+        for sb in range(_SBLIMIT_L1):
+            for c in range(nch):
+                if per_ch[c][0][sb]:
+                    w.write(int(per_ch[c][1][sb]), 6)
+        for gr in range(_GRANULES_L1):
+            for sb in range(_SBLIMIT_L1):
+                for c in range(nch):
+                    a = per_ch[c][0][sb]
+                    if not a:
+                        continue
+                    levels = (1 << (a + 1)) - 1
+                    sf = SCALEFACTORS[int(per_ch[c][1][sb])]
+                    v = S[c][f * _GRANULES_L1 + gr, sb] / sf
+                    q = min(max(int((min(max(v, -1.0), 1.0) + 1.0)
+                                    / 2.0 * levels), 0), levels - 1)
+                    w.write(q, a + 1)
+        out += w.pad_to(nbytes)
+    return bytes(out)
+
+
+def decode_mp1(data: bytes):
+    """Layer I stream → (int16 samples (n,) or (n, 2), rate)."""
+    if len(data) < 4:
+        raise ValueError("mp1: stream too short")
+    pos = 0
+    S_ch: list[list[np.ndarray]] = []
+    rate0 = None
+    nch0 = None
+    while pos + 4 <= len(data):
+        protection, bitrate, rate, padding, mode = _parse_header(
+            data, pos, layer=0b11
+        )
+        nch = 1 if mode == 0b11 else 2
+        if rate0 is None:
+            rate0, nch0 = rate, nch
+        elif (rate, nch) != (rate0, nch0):
+            raise ValueError("mp1: frame parameter change mid-stream")
+        nbytes = 4 * (12 * bitrate * 1000 // rate + padding)
+        if pos + nbytes > len(data):
+            raise ValueError("mp1: truncated frame")
+        r = _BitReader(data, pos + 4)
+        if protection == 0:
+            r.read(16)
+        alloc = [[0] * _SBLIMIT_L1 for _ in range(nch)]
+        for sb in range(_SBLIMIT_L1):
+            for c in range(nch):
+                a = r.read(4)
+                if a == 15:
+                    raise ValueError("mp1: forbidden allocation index")
+                alloc[c][sb] = a
+        sfi = [[0] * _SBLIMIT_L1 for _ in range(nch)]
+        for sb in range(_SBLIMIT_L1):
+            for c in range(nch):
+                if alloc[c][sb]:
+                    i = r.read(6)
+                    if i > 62:
+                        raise ValueError("mp1: invalid scalefactor")
+                    sfi[c][sb] = i
+        frame_S = [np.zeros((_GRANULES_L1, _M)) for _ in range(nch)]
+        for gr in range(_GRANULES_L1):
+            for sb in range(_SBLIMIT_L1):
+                for c in range(nch):
+                    a = alloc[c][sb]
+                    if not a:
+                        continue
+                    levels = (1 << (a + 1)) - 1
+                    q = r.read(a + 1)
+                    if q >= levels:
+                        raise ValueError("mp1: invalid sample code")
+                    frame_S[c][gr, sb] = (
+                        (2 * q + 1) / levels - 1.0
+                    ) * SCALEFACTORS[sfi[c][sb]]
+        if not S_ch:
+            S_ch = [[] for _ in range(nch)]
+        for c in range(nch):
+            S_ch[c].append(frame_S[c])
+        pos += nbytes
+    if not S_ch:
+        raise ValueError("mp1: no frames")
+    outs = []
+    for c in range(len(S_ch)):
+        S = np.concatenate(S_ch[c], axis=0)
+        y = _synthesis(S)[_N:]
+        outs.append(
+            np.clip(np.rint(y * 32768.0), -32768, 32767).astype(np.int16)
+        )
+    if len(outs) == 1:
+        return outs[0], rate0
+    return np.stack(outs, axis=1), rate0
+
+
+def mp1_meta(data: bytes):
+    """(rate, nch, bitrate_kbps, n_frames) from a Layer I header
+    walk — no audio is decoded."""
+    pos, n = 0, 0
+    meta = None
+    while pos + 4 <= len(data):
+        protection, bitrate, rate, padding, mode = _parse_header(
+            data, pos, layer=0b11
+        )
+        if meta is None:
+            meta = (rate, 1 if mode == 0b11 else 2, bitrate)
+        pos += 4 * (12 * bitrate * 1000 // rate + padding)
+        n += 1
+    if meta is None:
+        raise ValueError("mp1: no frames")
+    return (*meta, n)
+
+
+def is_mp1(data: bytes) -> bool:
+    """Cheap sniff: MPEG-1 Layer I frame header at offset 0
+    (syncword + ID=1 + layer='11')."""
+    return (len(data) >= 2 and data[0] == 0xFF
+            and (data[1] & 0xF8) == 0xF8
+            and (data[1] >> 1) & 0b11 == 0b11)
+
+
+def decode_mpa(data: bytes):
+    """Layer-dispatching MPEG-1 audio decode: Layer I or II by the
+    first frame header (the program-stream demux's audio hand-off)."""
+    if is_mp1(data):
+        return decode_mp1(data)
+    if is_mp2(data):
+        return decode_mp2(data)
+    raise ValueError("mpa: not an MPEG-1 Layer I/II stream")
