@@ -364,11 +364,21 @@ def frame_sample(video: DataFrame, every_n: int = 10) -> DataFrame:
     from ..sources.avi import avi_video_fourcc, decode_avi_mjpeg_frames
     from ..sources.gif import iter_gif_frames
     from ..sources.mpeg1 import decode_m1v_frames, is_m1v
+    from ..sources.mpegps import demux_ps, is_ps
     from ..sources.msvc import decode_avi_msvc_frames
 
     max_scan = MAX_SCAN_FRAMES
 
     def sampled_frames(raw: bytes):
+        if is_ps(raw):
+            # MPEG-1 program stream (sources/mpegps.py): demux the
+            # pack/packet layer, sample the first video elementary
+            # stream (0xE0-0xEF) exactly like a bare .m1v
+            es, _meta = demux_ps(raw)
+            vids = [sid for sid in sorted(es) if 0xE0 <= sid <= 0xEF]
+            if not vids:
+                raise ValueError("program stream has no video stream")
+            raw = es[vids[0]]
         if is_m1v(raw):
             for idx, rgb in decode_m1v_frames(raw, every_n=every_n):
                 if idx >= max_scan:

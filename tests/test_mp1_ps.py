@@ -291,3 +291,49 @@ def test_ps_full_av_mux_decodes():
 def test_ps_deterministic():
     streams = {0xE0: b"v" * 999, 0xC0: b"a" * 333}
     assert mux_ps(streams) == mux_ps(streams)
+
+
+def test_frame_sample_operator_routes_program_stream(spark):
+    """frame_sample demuxes a program stream and samples its video
+    elementary stream exactly like a bare .m1v."""
+    import pandas as pd
+
+    from scrapelect_spark.operators.multimodal import frame_sample
+    from scrapelect_spark.sources.mpeg1 import encode_m1v
+    from scrapelect_spark.sources.png import decode_png
+
+    base = (np.indices((16, 16)).sum(0) * 6).astype(np.int64)
+    frames = [
+        np.stack(
+            [np.minimum(base + 20 * k, 255), base, base[::-1]], axis=-1
+        ).astype(np.uint8)
+        for k in range(4)
+    ]
+    v = encode_m1v(frames, qscale=1)  # intra-only, near-transparent
+    a = encode_mp1(tone(2000), RATE, 192)
+    ps = mux_ps({0xE0: v, 0xC0: a}, payload_size=256)
+    video = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["ps1"], "bytes": [ps]})
+    )
+    rows = frame_sample(video, every_n=2).collect()
+    assert [r.frame_idx for r in rows] == [0, 2]
+    assert all(r.decode_error is None for r in rows)
+    for r in rows:
+        got = decode_png(bytes(r.bytes)).astype(np.float64)
+        want = frames[r.frame_idx].astype(np.float64)
+        mse = ((got - want) ** 2).mean()
+        assert 10 * np.log10(255.0**2 / max(mse, 1e-9)) >= 30.0
+
+
+def test_frame_sample_ps_without_video_errors(spark):
+    import pandas as pd
+
+    from scrapelect_spark.operators.multimodal import frame_sample
+
+    ps = mux_ps({0xC0: b"audio only" * 30})
+    video = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["ps2"], "bytes": [ps]})
+    )
+    rows = frame_sample(video).collect()
+    assert len(rows) == 1
+    assert "no video stream" in rows[0].decode_error
