@@ -452,14 +452,15 @@ def audio_features(
     fmt 7/6 (sources/g711.py, companders bit-identical to CPython's C
     audioop); LOSSLESS-COMPRESSED FLAC (sources/flac.py, rice
     codes + CRC from the public spec); and PERCEPTUAL-LOSSY MPEG-1
-    Layer II (sources/mp2.py, real subband coding over the standard
-    frame grammar) — all → duration + RMS.  mp3/ogg remain declared
+    Layer II and Layer I (sources/mp2.py, real subband coding over
+    the standard frame grammar; 'mp1'/'mp2'/'mpa' tags dispatch by
+    frame header) — all → duration + RMS.  mp3/ogg remain declared
     stubs (entropy-coded psychoacoustic formats needing codec
     libraries); errors are captured per-row."""
     from ..sources.adpcm import decode_wav_ima
     from ..sources.flac import decode_flac
     from ..sources.g711 import decode_wav_g711
-    from ..sources.mp2 import decode_mp2
+    from ..sources.mp2 import decode_mpa
     from ..sources.wav import duration_rms
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -506,9 +507,9 @@ def audio_features(
                     except Exception as e:
                         msg = str(e) or type(e).__name__
                         err[i] = f"FLAC decode failed: {msg}"
-                elif fmt == "mp2":
+                elif fmt in ("mp2", "mp1", "mpa"):
                     try:
-                        samples, rate = decode_mp2(bytes(raw))
+                        samples, rate = decode_mpa(bytes(raw))
                         if samples.ndim > 1:  # downmix for RMS
                             samples = samples.mean(axis=1)
                         dur[i] = len(samples) / rate
@@ -516,7 +517,7 @@ def audio_features(
                         rms[i] = float(np.sqrt(np.mean(x * x)))
                     except Exception as e:
                         msg = str(e) or type(e).__name__
-                        err[i] = f"MP2 decode failed: {msg}"
+                        err[i] = f"MPEG audio decode failed: {msg}"
                 else:
                     err[i] = f"audio decode for {fmt!r} requires a codec library"
             yield pd.DataFrame(

@@ -68,9 +68,11 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SIZE = os.environ.get("SPARK_GRAFT_SCALE_SIZE", "large")
 SIZES = {
     "large": {"n_ex": 48000, "n_cs": 24000, "q1_rep": 96,
-              "pi_rep": 128, "cc_edges": 8_000_000, "sess_rep": 192},
+              "pi_rep": 128, "cc_edges": 8_000_000, "sess_rep": 192,
+              "codec_rows": 2048},
     "small": {"n_ex": 12000, "n_cs": 8000, "q1_rep": 24,
-              "pi_rep": 64, "cc_edges": 4_000_000, "sess_rep": 96},
+              "pi_rep": 64, "cc_edges": 4_000_000, "sess_rep": 96,
+              "codec_rows": 512},
 }[SIZE]
 out = {}
 
@@ -223,6 +225,40 @@ for _ in range(3):
     best = min(best, time.perf_counter() - t0)
 out["sessionize_events_per_sec"] = n_ev / best
 big_ev.unpersist()
+
+# --- codec_batch: the round-5 codec class (pure-Python encode+decode
+# per row through the gates' spread->mapInPandas shape; rows are
+# independent, so this is the embarrassingly-parallel partition story
+# the 100-TB multimodal path rests on) ---
+import pandas as _pd
+import numpy as _np
+N_CD = SIZES["codec_rows"]
+cd = spark.range(N_CD).repartition(cpus * 3).cache()
+cd.count()
+def codec_run(batches):
+    from scrapelect_spark.sources.mp2 import decode_mp2, encode_mp2
+    for pdf in batches:
+        ok = []
+        for did in pdf["id"]:
+            did = int(did)
+            t = _np.arange(16000)
+            x = _np.round(
+                10000 * _np.sin(2 * _np.pi * (200 + did % 7 * 150) * t / 32000)
+                + 5000 * _np.sin(2 * _np.pi * (2000 + did % 11 * 300) * t / 32000)
+            ).astype(_np.int16)
+            y, r = decode_mp2(encode_mp2(x, 32000, 96))
+            ok.append(1 if r == 32000 and len(y) >= len(x) else 0)
+        yield _pd.DataFrame({"id": pdf["id"], "ok": ok})
+def codec_batch():
+    cd.mapInPandas(codec_run, schema="id long, ok long").write.format("noop").mode("overwrite").save()
+codec_batch()  # warm every worker
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    codec_batch()
+    best = min(best, time.perf_counter() - t0)
+out["codec_rows_per_sec"] = N_CD / best
+cd.unpersist()
 
 # --- crawl_full (end-to-end loop incl. commits) ---
 n_hosts, per_host = 32, 150

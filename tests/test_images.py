@@ -288,7 +288,7 @@ def test_wav_duration_rms_closed_form():
 
 def test_audio_features_spark_paths(spark):
     from scrapelect_spark.operators.multimodal import audio_features
-    from scrapelect_spark.sources.mp2 import encode_mp2
+    from scrapelect_spark.sources.mp2 import encode_mp1, encode_mp2
     from scrapelect_spark.sources.wav import encode_wav
 
     wav = encode_wav(0.25 * np.ones(1600), 16000)
@@ -297,6 +297,7 @@ def test_audio_features_spark_paths(spark):
         9000 * np.sin(2 * np.pi * 440 * t / 32000)
     ).astype(np.int16)
     mp2 = encode_mp2(mp2_pcm, 32000, 96)
+    mp1 = encode_mp1(mp2_pcm, 32000, 192)
     df = spark.createDataFrame(
         [
             ("ok", bytearray(wav), "wav"),
@@ -305,6 +306,8 @@ def test_audio_features_spark_paths(spark):
             ("mp3", bytearray(wav), "mp3"),
             ("mp2", bytearray(mp2), "mp2"),
             ("mp2bad", bytearray(b"\xff\xfdgarbage"), "mp2"),
+            ("mp1", bytearray(mp1), "mp1"),
+            ("mpa", bytearray(mp1), "mpa"),  # layer-sniffing tag
         ],
         "audio_id string, bytes binary, fmt string",
     )
@@ -322,4 +325,10 @@ def test_audio_features_spark_paths(spark):
         -(-(8000 + 512) // 1152) * 1152 - 512
     )
     assert abs(rows["mp2"].rms - 9000 / 32768 / np.sqrt(2)) < 0.01
-    assert "MP2 decode failed" in rows["mp2bad"].decode_error
+    assert "MPEG audio decode failed" in rows["mp2bad"].decode_error
+    for key in ("mp1", "mpa"):
+        assert rows[key].decode_error is None
+        assert rows[key].duration_s * 32000 == (
+            -(-(8000 + 512) // 384) * 384 - 512
+        )
+        assert abs(rows[key].rms - 9000 / 32768 / np.sqrt(2)) < 0.01
