@@ -266,12 +266,110 @@ ORDER BY doc_id
 """
 
 
+def estimate_quality(
+    images: DataFrame, bytes_col: str = "bytes", id_col: str = "image_id"
+) -> DataFrame:
+    """(id, jpeg bytes) → estimated libjpeg-style quality setting
+    (1..100) from the stream's quantization tables — the standard
+    corpus-curation signal for filtering over-compressed images
+    without decoding any pixels (the DQT walk stops at SOS, so cost
+    is O(header) per image regardless of resolution).  Failures are
+    captured per-row."""
+    from ..sources.jpeg import estimate_jpeg_quality
+
+    schema = f"{id_col} string, quality int, quality_error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, qs, errs = [], [], []
+            for iid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(iid)
+                try:
+                    qs.append(estimate_jpeg_quality(bytes(raw)))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — permissive corpus
+                    qs.append(None)
+                    errs.append(str(e) or type(e).__name__)
+            yield pd.DataFrame(
+                {id_col: ids, "quality": pd.array(qs, dtype="Int32"),
+                 "quality_error": errs}
+            )
+
+    return images.mapInPandas(run, schema=schema)
+
+
+def image_jpeg_quality(spark, sf_dir: str) -> DataFrame:
+    """Gate for JPEG quality estimation: per doc, encode a gradient
+    image at quality 20 + (doc_id%17)*5 (sweeping 20..100), estimate
+    the setting back from the stream's quantization tables alone, and
+    assert the exact inverse SQL-side.  Docs ≡0 mod 10 get a PNG
+    blob instead and must surface as ``failed=1`` (per-row error
+    capture on a non-JPEG input)."""
+    from .tables import load, spread
+    from ..sources.jpeg import encode_jpeg
+    from ..sources.png import encode_png
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+
+    base = np.indices((24, 24)).sum(0).astype(np.int64)
+    img = np.stack(
+        [np.minimum(base * 5, 255), np.minimum(base * 3, 255),
+         255 - np.minimum(base * 5, 255)], axis=-1
+    ).astype(np.uint8)
+
+    def synth_estimate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.jpeg import estimate_jpeg_quality
+
+        for pdf in batches:
+            ids, qs, failed = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ids.append(doc_id)
+                if doc_id % 10 == 0:
+                    blob = encode_png(img)
+                else:
+                    blob = encode_jpeg(
+                        img, quality=20 + (doc_id % 17) * 5
+                    )
+                try:
+                    qs.append(estimate_jpeg_quality(blob))
+                    failed.append(0)
+                except Exception:
+                    qs.append(-1)
+                    failed.append(1)
+            yield pd.DataFrame(
+                {"doc_id": ids, "quality": qs, "failed": failed}
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_estimate,
+            schema="doc_id long, quality long, failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_JPEG_QUALITY_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 10 = 0 THEN -1
+            ELSE 20 + (doc_id % 17) * 5 END AS BIGINT) AS quality,
+  CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "image_exif_extract": image_exif_extract,
     "image_phash_neardup": image_phash_neardup,
+    "image_jpeg_quality": image_jpeg_quality,
 }
 
 ORACLE_SQL = {
     "image_exif_extract": _EXIF_SQL,
     "image_phash_neardup": _PHASH_NEARDUP_SQL,
+    "image_jpeg_quality": _JPEG_QUALITY_SQL,
 }

@@ -1036,3 +1036,66 @@ def jpeg_size(data: bytes) -> tuple[int, int]:
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         pos += 2 + seglen
     raise ValueError("no SOF marker")
+
+
+def jpeg_quant_tables(data: bytes) -> dict[int, np.ndarray]:
+    """All DQT tables (id → 8x8 natural-order array) from a marker
+    walk, stopping at SOS — no entropy-coded data is touched."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    n = len(data)
+    qtabs: dict[int, np.ndarray] = {}
+    while pos < n - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # SOS / EOI: tables are all read
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xDB:
+            body = data[pos + 4 : pos + 2 + seglen]
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                width = 128 if pq else 64
+                raw = body[p : p + width]
+                if len(raw) < width:
+                    raise ValueError("truncated DQT segment")
+                tab = np.frombuffer(
+                    raw, dtype=">u2" if pq else np.uint8
+                ).astype(np.float64)
+                p += width
+                q = np.zeros(64)
+                q[ZIGZAG] = tab
+                qtabs[tq] = q.reshape(8, 8)
+        pos += 2 + seglen
+    if not qtabs:
+        raise ValueError("no DQT segment")
+    return qtabs
+
+
+def estimate_jpeg_quality(data: bytes) -> int:
+    """Estimate the libjpeg-style quality setting (1..100) from the
+    stream's quantization tables, the standard inverse of the Annex-K
+    x quality-scaling construction encoders share: score every
+    candidate quality's scaled Annex-K tables against the stream's
+    (luma, and chroma when present) by summed absolute difference and
+    return the best (ties → higher quality).  Exact for streams this
+    module's encoder produced; nearest-fit for foreign tables."""
+    qtabs = jpeg_quant_tables(data)
+    if 0 not in qtabs:
+        raise ValueError("no luma quantization table")
+    best_q, best_err = 1, float("inf")
+    for q in range(1, 101):
+        err = np.abs(_quality_scale(Q_LUMA, q) - qtabs[0]).sum()
+        if 1 in qtabs:
+            err += np.abs(_quality_scale(Q_CHROMA, q) - qtabs[1]).sum()
+        if err <= best_err:  # <= : prefer the higher quality on ties
+            best_q, best_err = q, err
+    return best_q

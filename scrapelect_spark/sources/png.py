@@ -295,6 +295,56 @@ def phash64(arr: np.ndarray) -> int:
     return v
 
 
+def _pack_bits(bits: np.ndarray) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """8x8 difference-hash (horizontal gradient sign over a 9x8 block
+    grid) → signed int64.  Robust to global brightness/contrast
+    shifts phash64's mean threshold is sensitive to."""
+    gray = _to_gray(arr)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(10) * w) // 9
+    cells = np.zeros((8, 9))
+    for i in range(8):
+        for j in range(9):
+            cells[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1),
+                               xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    return _pack_bits((cells[:, 1:] > cells[:, :-1]).flatten())
+
+
+_DCT32 = None
+
+
+def dct_phash64(arr: np.ndarray) -> int:
+    """DCT perceptual hash: 32x32 block-mean reduction → 2-D DCT-II →
+    top-left 8x8 low-frequency block (DC replaced by its own median
+    comparison is the common convention; here the 64 coefficients
+    excluding DC plus one sign bit of DC's deviation) thresholded at
+    the median → signed int64.  Catches scaled/re-encoded duplicates
+    that pixel-domain hashes miss."""
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(32)
+        _DCT32 = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 64)
+        _DCT32[0] *= 1 / np.sqrt(2)
+    g = _block_mean(_to_gray(arr), 32)
+    d = _DCT32 @ g @ _DCT32.T
+    low = d[:8, :8].flatten().copy()
+    rest = low[1:]
+    bits = np.empty(64, dtype=bool)
+    bits[0] = low[0] > np.median(d[:8, :8])
+    bits[1:] = rest > np.median(rest)
+    return _pack_bits(bits)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     a = a.astype(np.float64)
     b = b.astype(np.float64)
