@@ -505,6 +505,63 @@ ORDER BY fetch_order
 """
 
 
+def recrawl_priority(history: DataFrame, budget: int) -> DataFrame:
+    """Freshness-driven recrawl selection: given per-URL crawl history
+    (``age_s`` seconds since last fetch, ``change_count`` observed
+    changes over ``crawl_count`` fetches), rank by the estimated
+    staleness mass ``age x change_rate`` and take the top ``budget``.
+
+    The score is computed in INTEGER arithmetic —
+    ``(age_s * change_count * 1000) div crawl_count`` — the
+    first-order Taylor expansion of the Poisson staleness probability
+    1 - exp(-lambda*age) scaled by 1000; rational on purpose so the
+    ranking is exactly reproducible across engines (no transcendental
+    rounding).  Scale shape: pure JVM expressions + one global top-k,
+    which Spark plans as TakeOrderedAndProject (per-partition heads +
+    driver merge) — no shuffle of the full history, no window."""
+    return (
+        history.withColumn(
+            "score",
+            F.expr("CAST(age_s * change_count * 1000 AS BIGINT) DIV crawl_count"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(budget)
+    )
+
+
+def crawl_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for recrawl scheduling: derive a deterministic crawl
+    history per doc (age 1-4.8h, 0-4 observed changes over 1-9
+    fetches), rank by integer staleness score, and take the global
+    top-100 — the budgeted freshness pass a production crawler runs
+    between discovery crawls."""
+    d = load(spark, sf_dir, "documents")
+    hist = d.select(
+        "doc_id",
+        (3600 + (F.col("doc_id") % 13) * 240).cast("long").alias("age_s"),
+        (F.col("doc_id") % 5).cast("long").alias("change_count"),
+        (1 + F.col("doc_id") % 9).cast("long").alias("crawl_count"),
+    )
+    return recrawl_priority(hist, 100).select(
+        "doc_id", "age_s", "change_count", "crawl_count", "score"
+    ).orderBy(F.desc("score"), "doc_id")
+
+
+_RECRAWL_SQL = """
+SELECT doc_id, age_s, change_count, crawl_count,
+       (age_s * change_count * 1000) // crawl_count AS score
+FROM (
+  SELECT doc_id,
+         CAST(3600 + (doc_id % 13) * 240 AS BIGINT) AS age_s,
+         CAST(doc_id % 5 AS BIGINT) AS change_count,
+         CAST(1 + doc_id % 9 AS BIGINT) AS crawl_count
+  FROM documents
+)
+ORDER BY score DESC, doc_id
+LIMIT 100
+"""
+
+
 def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min inactivity gap) — the driver-gate
     twin of the streaming stateful sessionizer (streaming/windows.py).
@@ -577,6 +634,7 @@ QUERIES = {
     "events_running_sum": events_running_sum,
     "events_hourly_counts": events_hourly_counts,
     "frontier_new_urls": frontier_new_urls,
+    "crawl_recrawl_priority": crawl_recrawl_priority,
     "perhost_politeness_topk": perhost_politeness_topk,
     "priority_claim_order": priority_claim_order,
     "q10_returned_items": q10_returned_items,
@@ -595,6 +653,7 @@ ORACLE_SQL = {
     "q6_forecast_revenue": _Q6_SQL,
     "events_sessionized": _SESSION_SQL,
     "frontier_new_urls": _FRONTIER_NEW_SQL,
+    "crawl_recrawl_priority": _RECRAWL_SQL,
     "perhost_politeness_topk": _PERHOST_SQL,
     "priority_claim_order": _PRIORITY_SQL,
     "q10_returned_items": _Q10_SQL,

@@ -152,6 +152,18 @@ def test_priority_claim_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_recrawl_priority_is_take_ordered(spark):
+    """The freshness-budget cut must be TakeOrderedAndProject too —
+    at 10^10 URLs a global sort or an unpartitioned window over the
+    crawl-history table is the bottleneck the operator exists to
+    avoid; no WindowExec may appear at all."""
+    from scrapelect_spark.operators.relational import crawl_recrawl_priority
+
+    plan = plan_of(crawl_recrawl_priority(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_politeness_global_cut_is_take_ordered(spark):
     from scrapelect_spark.streaming.politeness import select_batch
 
