@@ -32,6 +32,7 @@ for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
 _PRIORITY = [
     # new in round 5 (no driver row can exist yet)
     "crawl_recrawl_priority",
+    "image_dctphash_neardup",
     "image_jpeg_quality",
     "audio_mp1_roundtrip",
     "video_mpeg_ps_roundtrip",

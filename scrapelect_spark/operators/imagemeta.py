@@ -266,6 +266,55 @@ ORDER BY doc_id
 """
 
 
+def image_dctphash_neardup(spark, sf_dir: str) -> DataFrame:
+    """Gate for RE-ENCODED near-dedup: docs ≡7 mod 10 are their
+    predecessor's image after a quality-35 JPEG re-encode AND a 2x
+    downscale — the duplicate class pixel-domain hashes miss and the
+    low-frequency DCT hash (sources/png.py dct_phash64) exists for.
+    Measured margins over the gate corpus: planted pairs Hamming ≤ 2,
+    unrelated docs ≥ 18, so the ≤7 band-join bound is exact with wide
+    slack.  Same skew-guarded banded bucket-join 100-TB shape as
+    ``image_phash_neardup``."""
+    from .tables import load, spread
+    from ..sources.jpeg import decode_jpeg, encode_jpeg
+    from ..sources.png import dct_phash64
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+
+    def synth_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 10 == 7:
+                    src = _phash_base(doc_id - 1)
+                    re = decode_jpeg(encode_jpeg(src, quality=35))
+                    img = (
+                        re.reshape(16, 2, 16, 2, 3)
+                        .mean(axis=(1, 3))
+                        .astype(np.uint8)
+                    )
+                else:
+                    img = _phash_base(doc_id)
+                ids.append(doc_id)
+                hashes.append(dct_phash64(img))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    hashed = d.select("doc_id").mapInPandas(
+        synth_hash, schema="doc_id long, phash long"
+    )
+    return phash_neardup(hashed, max_hamming=7).orderBy("doc_a", "doc_b")
+
+
+_DCTPHASH_NEARDUP_SQL = """
+SELECT CAST(doc_id - 1 AS BIGINT) AS doc_a,
+       CAST(doc_id AS BIGINT) AS doc_b
+FROM documents
+WHERE doc_id < 200 AND doc_id % 10 = 7
+ORDER BY doc_a, doc_b
+"""
+
+
 def estimate_quality(
     images: DataFrame, bytes_col: str = "bytes", id_col: str = "image_id"
 ) -> DataFrame:
@@ -365,11 +414,13 @@ ORDER BY doc_id
 QUERIES = {
     "image_exif_extract": image_exif_extract,
     "image_phash_neardup": image_phash_neardup,
+    "image_dctphash_neardup": image_dctphash_neardup,
     "image_jpeg_quality": image_jpeg_quality,
 }
 
 ORACLE_SQL = {
     "image_exif_extract": _EXIF_SQL,
     "image_phash_neardup": _PHASH_NEARDUP_SQL,
+    "image_dctphash_neardup": _DCTPHASH_NEARDUP_SQL,
     "image_jpeg_quality": _JPEG_QUALITY_SQL,
 }
