@@ -154,6 +154,18 @@ class HttpFetcher:
     exact string ("{pkg} v{version}" = "scrapelect v0.4.0",
     mod.rs:28-39 / Cargo.toml:3-4) so servers see identical requests
     under strict parity; pass ``user_agent`` to identify differently.
+
+    ``revalidate=True`` turns on conditional GETs for the recrawl
+    path: when the claimed batch carries ``etag`` /
+    ``last_modified`` columns (the validators persisted from the
+    previous crawl of each URL), the request sends ``If-None-Match``
+    / ``If-Modified-Since`` and a 304 comes back as
+    ``(html=NULL, status=304)`` with the stored validators echoed —
+    the caller keeps its cached copy and the transfer costs a header
+    round-trip, not a body.  The output then also appends the
+    RESPONSE validators as ``etag`` / ``last_modified`` columns for
+    the next round's store.  Off by default: the plain-crawl schema
+    and bytes stay exactly as before.
     """
 
     #: reference-parity User-Agent (reqwest user_agent(concat!(...)))
@@ -165,18 +177,35 @@ class HttpFetcher:
         timeout_s: float = 10.0,
         crawl_delay_s: float = 1.0,
         max_bytes: int = 4 << 20,
+        revalidate: bool = False,
     ):
         self.user_agent = user_agent
         self.timeout_s = timeout_s
         self.crawl_delay_s = crawl_delay_s
         self.max_bytes = max_bytes
+        self.revalidate = revalidate
 
     def fetch(self, claimed: DataFrame) -> DataFrame:
         ua = self.user_agent
         timeout_s = self.timeout_s
         delay_s = self.crawl_delay_s
         max_bytes = self.max_bytes
-        schema = StructType(list(claimed.schema.fields) + FETCH_SCHEMA_EXTRA)
+        revalidate = self.revalidate
+        in_cols = set(claimed.columns)
+        has_etag = revalidate and "etag" in in_cols
+        has_lm = revalidate and "last_modified" in in_cols
+        extra = list(FETCH_SCHEMA_EXTRA)
+        if revalidate:
+            # response validators replace any input validator columns
+            extra += [
+                StructField("etag", StringType(), True),
+                StructField("last_modified", StringType(), True),
+            ]
+        base_fields = [
+            f for f in claimed.schema.fields
+            if not (revalidate and f.name in ("etag", "last_modified"))
+        ]
+        schema = StructType(base_fields + extra)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import urllib.error
@@ -185,16 +214,22 @@ class HttpFetcher:
 
             last_hit: dict[str, float] = {}
 
-            def get(url: str) -> tuple[str | None, int]:
+            def get(
+                url: str,
+                etag: str | None = None,
+                last_mod: str | None = None,
+            ) -> tuple[str | None, int, str | None, str | None]:
                 host = (urlsplit(url).hostname or "").lower()
                 wait = last_hit.get(host, 0.0) + delay_s - time.monotonic()
                 if wait > 0:
                     time.sleep(wait)
                 last_hit[host] = time.monotonic()
-                req = urllib.request.Request(
-                    url,
-                    headers={"User-Agent": ua, "Accept-Encoding": "gzip"},
-                )
+                headers = {"User-Agent": ua, "Accept-Encoding": "gzip"}
+                if etag:
+                    headers["If-None-Match"] = etag
+                if last_mod:
+                    headers["If-Modified-Since"] = last_mod
+                req = urllib.request.Request(url, headers=headers)
                 try:
                     with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                         body = decode_content(
@@ -204,27 +239,56 @@ class HttpFetcher:
                         charset = sniff_encoding(
                             body, resp.headers.get_content_charset()
                         )
-                        return body.decode(charset, errors="replace"), resp.status
+                        return (
+                            body.decode(charset, errors="replace"),
+                            resp.status,
+                            resp.headers.get("ETag"),
+                            resp.headers.get("Last-Modified"),
+                        )
                 except urllib.error.HTTPError as e:
+                    if e.code == 304:
+                        # not modified: keep the validators we sent —
+                        # they still identify the cached copy
+                        return None, 304, etag, last_mod
                     # keep the real status (404/500/...) so live fetches
                     # and CorpusFetcher replays agree on the column
-                    return None, int(e.code)
+                    return None, int(e.code), None, None
                 except ContentDecodeError:
                     # gzip bomb / truncated stream: the body is
                     # unusable and must not leak through as page text
-                    return None, 0
+                    return None, 0, None, None
                 except Exception:
-                    return None, 0  # timeout / DNS / connection refused
+                    return None, 0, None, None  # timeout / DNS / refused
 
             for pdf in batches:
-                html, status = [], []
-                for url in pdf["url"]:
-                    b, s = get(url)
+                html, status, etags, lms = [], [], [], []
+                in_etag = (
+                    pdf["etag"] if has_etag else [None] * len(pdf)
+                )
+                in_lm = (
+                    pdf["last_modified"] if has_lm else [None] * len(pdf)
+                )
+                for url, et, lm in zip(pdf["url"], in_etag, in_lm):
+                    b, s, ret, rlm = get(
+                        url,
+                        et if isinstance(et, str) and et else None,
+                        lm if isinstance(lm, str) and lm else None,
+                    )
                     html.append(b)
                     status.append(s)
+                    etags.append(ret)
+                    lms.append(rlm)
                 pdf = pdf.copy()
+                if revalidate:
+                    pdf = pdf.drop(
+                        columns=[c for c in ("etag", "last_modified")
+                                 if c in pdf.columns]
+                    )
                 pdf["html"] = pd.Series(html, dtype=object)
                 pdf["status"] = status
+                if revalidate:
+                    pdf["etag"] = pd.Series(etags, dtype=object)
+                    pdf["last_modified"] = pd.Series(lms, dtype=object)
                 yield pdf
 
         return claimed.mapInPandas(run, schema=schema)

@@ -399,3 +399,126 @@ def test_http_fetch_gzip_and_meta_charset(spark):
         assert "caf\xe9" in rows["latin.html"].html  # é decoded correctly
     finally:
         srv.shutdown()
+
+
+def test_conditional_get_revalidation(spark):
+    """revalidate=True sends If-None-Match / If-Modified-Since from
+    the claimed batch's validator columns, maps 304 to (html=NULL,
+    status=304) with the stored validators echoed, and surfaces the
+    RESPONSE validators for changed/new pages so the next recrawl
+    round can persist them."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    ETAG = '"v1-abc"'
+    LASTMOD = "Wed, 01 Jan 2025 00:00:00 GMT"
+    seen = []
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            with lock:
+                seen.append(
+                    (
+                        self.path,
+                        self.headers.get("If-None-Match"),
+                        self.headers.get("If-Modified-Since"),
+                    )
+                )
+            if self.path == "/same.html":
+                if self.headers.get("If-None-Match") == ETAG:
+                    self.send_response(304)
+                    self.end_headers()
+                    return
+                body = b"<html><h1>same</h1></html>"
+            elif self.path == "/bylm.html":
+                if self.headers.get("If-Modified-Since") == LASTMOD:
+                    self.send_response(304)
+                    self.end_headers()
+                    return
+                body = b"<html><h1>bylm</h1></html>"
+            elif self.path == "/changed.html":
+                body = b"<html><h1>changed v2</h1></html>"
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("ETag", ETAG if self.path == "/same.html" else '"v2-xyz"')
+            self.send_header("Last-Modified", LASTMOD)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        df = spark.createDataFrame(
+            [
+                (f"{base}/same.html", ETAG, None),       # 304 via ETag
+                (f"{base}/bylm.html", None, LASTMOD),    # 304 via date
+                (f"{base}/changed.html", '"stale"', None),  # re-fetched
+                (f"{base}/fresh.html", None, None),      # 404, no vals
+            ],
+            "url string, etag string, last_modified string",
+        )
+        fetcher = HttpFetcher(
+            timeout_s=5.0, crawl_delay_s=0.0, revalidate=True
+        )
+        rows = {r.url.rsplit("/", 1)[1]: r for r in fetcher.fetch(df).collect()}
+
+        same = rows["same.html"]
+        assert same.status == 304 and same.html is None
+        assert same.etag == ETAG  # stored validator echoed
+        bylm = rows["bylm.html"]
+        assert bylm.status == 304 and bylm.html is None
+        assert bylm.last_modified == LASTMOD
+        changed = rows["changed.html"]
+        assert changed.status == 200 and "changed v2" in changed.html
+        assert changed.etag == '"v2-xyz"'  # RESPONSE validator captured
+        assert changed.last_modified == LASTMOD
+        fresh = rows["fresh.html"]
+        assert fresh.status == 404 and fresh.etag is None
+
+        # the conditional headers really went on the wire
+        by_path = {p: (e, l) for p, e, l in seen}
+        assert by_path["/same.html"][0] == ETAG
+        assert by_path["/bylm.html"][1] == LASTMOD
+        assert by_path["/changed.html"][0] == '"stale"'
+        assert by_path["/fresh.html"] == (None, None)
+    finally:
+        srv.shutdown()
+
+
+def test_revalidate_off_keeps_plain_schema(spark):
+    """Default HttpFetcher output schema is unchanged (no validator
+    columns), even when the input happens to carry etag columns."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = b"<html><h1>x</h1></html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        df = spark.createDataFrame([(f"{base}/a.html",)], "url string")
+        out = HttpFetcher(timeout_s=5.0, crawl_delay_s=0.0).fetch(df)
+        assert out.columns == ["url", "html", "status"]
+        assert out.collect()[0].status == 200
+    finally:
+        srv.shutdown()
