@@ -505,7 +505,9 @@ ORDER BY fetch_order
 """
 
 
-def recrawl_priority(history: DataFrame, budget: int) -> DataFrame:
+def recrawl_priority(
+    history: DataFrame, budget: int, id_col: str = "doc_id"
+) -> DataFrame:
     """Freshness-driven recrawl selection: given per-URL crawl history
     (``age_s`` seconds since last fetch, ``change_count`` observed
     changes over ``crawl_count`` fetches), rank by the estimated
@@ -524,7 +526,7 @@ def recrawl_priority(history: DataFrame, budget: int) -> DataFrame:
             "score",
             F.expr("CAST(age_s * change_count * 1000 AS BIGINT) DIV crawl_count"),
         )
-        .orderBy(F.desc("score"), "doc_id")
+        .orderBy(F.desc("score"), id_col)
         .limit(budget)
     )
 
@@ -545,6 +547,89 @@ def crawl_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl_priority(hist, 100).select(
         "doc_id", "age_s", "change_count", "crawl_count", "score"
     ).orderBy(F.desc("score"), "doc_id")
+
+
+def crawl_revalidate_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the recrawl revalidation rule (streaming/recrawl.py):
+    synthesize a validator-store row + conditional-GET result per doc
+    (304 / 200-same-body / 200-new-body / 404 by ``doc_id % 7``),
+    classify with the SAME :func:`classify_outcome` column expression
+    the RecrawlPass uses, and apply the store-update arithmetic
+    (change_count bumps only on ``changed``, content_hash advances to
+    the fetched hash only on ``changed``).  Pure JVM expressions, one
+    projection, no shuffle but the output sort — the per-row rule that
+    runs over the ``budget`` slice at production scale."""
+    from ..streaming.recrawl import classify_outcome
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m = F.col("doc_id") % 7
+    row = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("stored_hash"),
+        (F.col("doc_id") % 3).cast("long").alias("change_count"),
+        (1 + F.col("doc_id") % 4).cast("long").alias("crawl_count"),
+        F.when(m < 2, 304).when(m < 6, 200).otherwise(404).alias("status"),
+        F.when(
+            m.between(2, 3), F.md5(F.col("doc_id").cast("string"))
+        )
+        .when(
+            m.between(4, 5),
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":v2"))),
+        )
+        .alias("fetched_hash"),
+    )
+    out = row.withColumn(
+        "outcome",
+        classify_outcome(
+            F.col("status"), F.col("fetched_hash"), F.col("stored_hash")
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "status",
+        "outcome",
+        (
+            F.col("change_count")
+            + F.when(F.col("outcome") == "changed", 1).otherwise(0)
+        ).cast("long").alias("new_change_count"),
+        (F.col("crawl_count") + 1).cast("long").alias("new_crawl_count"),
+        F.when(F.col("outcome") == "changed", F.col("fetched_hash"))
+        .otherwise(F.col("stored_hash"))
+        .alias("new_hash"),
+    ).orderBy("doc_id")
+
+
+_REVALIDATE_SQL = """
+SELECT doc_id, status, outcome,
+       change_count + CASE WHEN outcome = 'changed' THEN 1 ELSE 0 END
+         AS new_change_count,
+       crawl_count + 1 AS new_crawl_count,
+       CASE WHEN outcome = 'changed' THEN fetched_hash ELSE stored_hash END
+         AS new_hash
+FROM (
+  SELECT *,
+         CASE WHEN status = 304 THEN 'unchanged'
+              WHEN status = 200 AND fetched_hash = stored_hash
+                THEN 'unchanged'
+              WHEN status = 200 THEN 'changed'
+              ELSE 'dead' END AS outcome
+  FROM (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS stored_hash,
+           CAST(doc_id % 3 AS BIGINT) AS change_count,
+           CAST(1 + doc_id % 4 AS BIGINT) AS crawl_count,
+           CASE WHEN doc_id % 7 < 2 THEN 304
+                WHEN doc_id % 7 < 6 THEN 200 ELSE 404 END AS status,
+           CASE WHEN doc_id % 7 BETWEEN 2 AND 3
+                  THEN md5(CAST(doc_id AS VARCHAR))
+                WHEN doc_id % 7 BETWEEN 4 AND 5
+                  THEN md5(CAST(doc_id AS VARCHAR) || ':v2')
+                END AS fetched_hash
+    FROM documents WHERE doc_id < 200
+  )
+)
+ORDER BY doc_id
+"""
 
 
 _RECRAWL_SQL = """
@@ -635,6 +720,7 @@ QUERIES = {
     "events_hourly_counts": events_hourly_counts,
     "frontier_new_urls": frontier_new_urls,
     "crawl_recrawl_priority": crawl_recrawl_priority,
+    "crawl_revalidate_classify": crawl_revalidate_classify,
     "perhost_politeness_topk": perhost_politeness_topk,
     "priority_claim_order": priority_claim_order,
     "q10_returned_items": q10_returned_items,
@@ -654,6 +740,7 @@ ORACLE_SQL = {
     "events_sessionized": _SESSION_SQL,
     "frontier_new_urls": _FRONTIER_NEW_SQL,
     "crawl_recrawl_priority": _RECRAWL_SQL,
+    "crawl_revalidate_classify": _REVALIDATE_SQL,
     "perhost_politeness_topk": _PERHOST_SQL,
     "priority_claim_order": _PRIORITY_SQL,
     "q10_returned_items": _Q10_SQL,
