@@ -4,6 +4,7 @@ correctness gate (one ``queries()`` + ``oracle_sql()`` entry each)."""
 from __future__ import annotations
 
 from . import (
+    curation,
     dedup,
     graph,
     imagemeta,
@@ -19,7 +20,7 @@ from ..streaming import windows as streaming_windows
 _ALL_QUERIES = {}
 _ALL_ORACLE = {}
 for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
-            streaming_windows, warc_io, imagemeta, graph):
+            streaming_windows, warc_io, imagemeta, graph, curation):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLE.update(mod.ORACLE_SQL)
 
@@ -31,6 +32,7 @@ for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
 # CORRECTNESS_r03/r04 (those are the safest to fall off the end).
 _PRIORITY = [
     # new in round 5 (no driver row can exist yet)
+    "curate_pairs_pipeline",
     "crawl_revalidate_classify",
     "crawl_recrawl_priority",
     "image_dctphash_neardup",

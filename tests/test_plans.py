@@ -553,3 +553,41 @@ def test_repeated_ngram_no_window_no_cartesian(spark):
     # the window-hash count partial-aggregates map-side (the count
     # shuffle moves one row per distinct hash, not one per window)
     assert "partial_count" in plan, plan
+
+
+def test_curation_pushdown_no_window(spark, tmp_path):
+    """The curation cascade over a REAL parquet corpus: geometry +
+    decodability predicates reach the scan (at 100 TB the undecodable
+    / tiny-thumbnail majority must die in the reader), caption dedup
+    is a partial aggregation (NO window over the corpus), and the
+    only windows anywhere are none at all."""
+    from pyspark.sql import functions as F
+
+    from scrapelect_spark.operators.curation import (
+        curate_image_caption_pairs,
+    )
+
+    rows = [
+        (i, None, 32 + (i % 20) * 16, 64 + (i % 15) * 32, "png",
+         "Tok Tok Tok Tok grp%d" % (i % 7), i * 7919, None)
+        for i in range(200)
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "image_id long, bytes binary, w int, h int, fmt string,"
+        " caption string, phash long, decode_error string",
+    )
+    path = str(tmp_path / "pairs.parquet")
+    src.write.parquet(path)
+    featured = spark.read.parquet(path)
+
+    out = curate_image_caption_pairs(featured)
+    plan = plan_of(out)
+    assert "Window" not in plan  # dedup via min-per-group, not windows
+    # decode_error/w/h predicates are pushed into the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "IsNull(decode_error)" in plan
+    assert "GreaterThanOrEqual(w,64)" in plan
+    # (the PushedFilters render elides the tail — prefix is enough)
+    assert "GreaterThanOrEqual(h" in plan
+    out.collect()  # sanity: the cascade executes
