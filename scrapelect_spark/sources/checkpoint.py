@@ -25,9 +25,10 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
-from typing import Any, Optional
+from typing import Any, Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -69,6 +70,78 @@ class SnapshotTable:
                     out.append(json.load(f))
         return out
 
+    def _snapshot_ids(self) -> list[int]:
+        d = os.path.join(self.path, "snapshots")
+        return sorted(
+            int(n[len("snapshot-"):-len(".json")])
+            for n in os.listdir(d)
+            if n.startswith("snapshot-") and n.endswith(".json")
+        )
+
+    # --- lifecycle (Iceberg expire_snapshots / rollback parity) ------
+    def rollback(self, snapshot_id: int) -> dict[str, Any]:
+        """Atomically point ``LATEST`` back at an older snapshot (the
+        Iceberg ``rollback_to_snapshot`` procedure).  The abandoned
+        branch's manifests stay on disk until expired; ids are never
+        reused, so the branch remains inspectable via history()."""
+        snap = self.snapshot(snapshot_id)  # raises if missing
+        tmp = os.path.join(self.path, f".LATEST-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(f"snapshot-{snapshot_id:06d}.json")
+        os.rename(tmp, os.path.join(self.path, "LATEST"))
+        return snap
+
+    def expire_snapshots(
+        self,
+        *,
+        keep_last: int = 1,
+        protect: Iterable[int] = (),
+        dry_run: bool = False,
+    ) -> dict[str, list]:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` in
+        one pass: retain the current snapshot, the newest
+        ``keep_last`` snapshots, and every id in ``protect`` (the
+        crawler passes the sub-table ids pinned by retained ROOT
+        snapshots, so a resumable cut is never broken); delete the
+        rest's manifests, then delete every data directory no
+        retained manifest references.
+
+        Append-mode commits SHARE data dirs (each manifest lists the
+        complete live set), so a dir is only orphaned once every
+        manifest listing it is expired — checked against the retained
+        set, never inferred from commit numbering."""
+        ids = self._snapshot_ids()
+        current = self._latest_pointer()
+        cur_id = (
+            int(current[len("snapshot-"):-len(".json")]) if current else None
+        )
+        retained = set(ids[-keep_last:] if keep_last > 0 else [])
+        retained.update(int(p) for p in protect)
+        if cur_id is not None:
+            retained.add(cur_id)
+        expired = [i for i in ids if i not in retained]
+
+        live_dirs: set[str] = set()
+        for sid in sorted(retained):
+            if sid in ids:
+                live_dirs.update(self.snapshot(sid)["data_dirs"])
+        data_root = os.path.join(self.path, "data")
+        orphans = [
+            f"data/{d}"
+            for d in sorted(os.listdir(data_root))
+            if f"data/{d}" not in live_dirs
+        ]
+        if not dry_run:
+            for sid in expired:
+                os.remove(
+                    os.path.join(
+                        self.path, "snapshots", f"snapshot-{sid:06d}.json"
+                    )
+                )
+            for rel in orphans:
+                shutil.rmtree(os.path.join(self.path, rel))
+        return {"expired": expired, "deleted_dirs": orphans}
+
     # --- commit -----------------------------------------------------
     def commit(
         self,
@@ -82,7 +155,11 @@ class SnapshotTable:
         snapshot.  ``mode='append'`` keeps prior data dirs live;
         ``mode='overwrite'`` starts a fresh file set (compaction)."""
         prev = self.current_snapshot()
-        sid = (prev["id"] + 1) if prev else 1
+        # allocate PAST the highest manifest on disk, not parent+1 —
+        # after a rollback the abandoned branch's ids must not be
+        # reused (Iceberg snapshot ids are likewise never recycled)
+        sid = max(self._snapshot_ids(), default=0) + 1
+        assert prev is None or sid > prev["id"]
         dirs: list[str] = list(prev["data_dirs"]) if (prev and mode == "append") else []
         if df is not None:
             rel = f"data/commit-{sid:06d}-{uuid.uuid4().hex[:8]}"

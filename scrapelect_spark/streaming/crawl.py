@@ -421,6 +421,39 @@ class Crawler:
                 metrics={"compaction": True, "rows": int(n)},
             )
 
+    def expire_history(self, keep_last_batches: int = 1) -> dict:
+        """Checkpoint GC (Iceberg expire_snapshots discipline): keep
+        the last ``keep_last_batches`` ROOT snapshots — each one a
+        complete resumable cut — then expire every sub-table snapshot
+        not pinned by a retained root.  Data directories shared with
+        retained snapshots survive; everything else is deleted.  At
+        the 10^10-URL design point this bounds checkpoint storage to
+        O(retained cuts), where the unexpired log grows with every
+        micro-batch forever."""
+        # if compaction moved a sub-table past the root's pin, publish
+        # a replace-commit repinning the CURRENT (content-identical)
+        # snapshots first — otherwise the retained root would keep the
+        # whole pre-compaction dir set alive
+        cur = self.root.current_snapshot()
+        if cur is not None:
+            pins_now = {
+                name: (t.current_snapshot() or {}).get("id")
+                for name, t in self.tables.items()
+            }
+            if pins_now != cur["metrics"].get("tables"):
+                self.root.commit(
+                    None, metrics={**cur["metrics"], "tables": pins_now}
+                )
+        out = {"root": self.root.expire_snapshots(keep_last=keep_last_batches)}
+        pins: dict[str, set[int]] = {name: set() for name in self.tables}
+        for snap in self.root.history():  # post-expiry: retained only
+            for name, sid in (snap["metrics"].get("tables") or {}).items():
+                if sid is not None and name in pins:
+                    pins[name].add(int(sid))
+        for name, table in self.tables.items():
+            out[name] = table.expire_snapshots(keep_last=0, protect=pins[name])
+        return out
+
     def _run_one_batch(self, root_state: dict) -> dict:
         m = root_state["metrics"]
         batch = m["batch"] + 1

@@ -386,3 +386,111 @@ def test_sketch_merge_matches_rebuild(spark):
     inc = {r.bucket: bytes(r.sketch) for r in incremental.collect()}
     full = {r.bucket: bytes(r.sketch) for r in scratch.collect()}
     assert inc == full
+
+
+def test_snapshot_expire_and_rollback(spark, tmp_path):
+    """Iceberg-lifecycle parity: expire_snapshots retains a correct
+    cut and GCs orphan data dirs; rollback moves LATEST without
+    recycling ids; append-shared dirs are never deleted while any
+    retained manifest references them."""
+    import os
+
+    import pytest as _pytest
+
+    from scrapelect_spark.sources.checkpoint import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    s1 = t.commit(spark.range(5).withColumnRenamed("id", "x"))
+    s2 = t.commit(spark.range(5, 8).withColumnRenamed("id", "x"))
+    # append mode: s2's manifest references BOTH dirs — expiring s1
+    # must delete its manifest but NO data (still live via s2)
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired"] == [s1["id"]] and res["deleted_dirs"] == []
+    assert t.read(spark).count() == 8
+    with _pytest.raises(FileNotFoundError):
+        t.snapshot(s1["id"])
+
+    # compaction rewrites to a fresh dir; expiring the pre-compaction
+    # snapshot now orphans the old dirs and they are removed from disk
+    t.compact(spark)
+    n_dirs_before = len(os.listdir(os.path.join(t.path, "data")))
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired"] == [s2["id"]]
+    assert len(res["deleted_dirs"]) == 2
+    assert len(os.listdir(os.path.join(t.path, "data"))) == n_dirs_before - 2
+    assert t.read(spark).count() == 8
+
+    # rollback: LATEST moves, ids are never reused
+    t2 = SnapshotTable(str(tmp_path / "tbl2"))
+    a = t2.commit(spark.range(3).withColumnRenamed("id", "x"))
+    t2.commit(spark.range(3, 6).withColumnRenamed("id", "x"))
+    t2.rollback(a["id"])
+    assert t2.read(spark).count() == 3
+    c = t2.commit(spark.range(10, 12).withColumnRenamed("id", "x"))
+    assert c["id"] == 3  # past the abandoned branch's id 2
+    assert c["parent"] == a["id"]
+    assert t2.read(spark).count() == 5  # a's dirs + c's dirs
+
+
+def test_crawler_expire_history_resume_exact(spark, tmp_path):
+    """expire_history bounds checkpoint storage to the retained cuts
+    and a FRESH crawler resumes byte-for-byte from the surviving
+    root pin."""
+    import os
+
+    from scrapelect_spark.streaming.crawl import Crawler, CrawlConfig
+
+    n_hosts, per_host = 3, 30
+    corpus = {}
+    for h in range(n_hosts):
+        for p in range(per_host):
+            links = "".join(
+                f'<a href="http://h{(h + k) % n_hosts}.test/p/{(p * 3 + k) % per_host}">x</a>'
+                for k in range(4)
+            )
+            corpus[f"http://h{h}.test/p/{p}"] = (
+                f"<html><body><h1>{h}/{p}</h1>{links}</body></html>"
+            )
+    corpus_df = spark.createDataFrame(list(corpus.items()), ["url", "html"])
+    seeds = [(f"http://h{h}.test/p/0", 1) for h in range(n_hosts)]
+    prog = 'title: h1 { t: $element | text(); } | take(key: "t");'
+    cfg = CrawlConfig(
+        batch_size=20, per_host_limit=8, max_depth=6, buckets=8,
+        bloom_bits_per_bucket=1 << 14, fetch_partitions=4,
+    )
+
+    ref = Crawler(spark, str(tmp_path / "ref"), corpus_df, seeds,
+                  program=prog, config=cfg)
+    ref.run(max_batches=8)
+
+    w = str(tmp_path / "gc")
+    c1 = Crawler(spark, w, corpus_df, seeds, program=prog, config=cfg)
+    c1.run(max_batches=3)
+    n_root_before = len(c1.root.history())
+    assert n_root_before >= 4  # seed + 3 batches
+    gc = c1.expire_history(keep_last_batches=1)
+    assert len(gc["root"]["expired"]) == n_root_before - 1
+    assert len(c1.root.history()) == 1
+    # sub-table logs shrank to the pinned snapshots only
+    for name in ("frontier", "seen", "pages", "records"):
+        assert len(c1.tables[name].history()) <= 2
+    # pinned reads still resolve after GC
+    assert len(c1.visit_log()) > 0
+
+    # a fresh crawler over the GC'd workdir completes identically
+    c2 = Crawler(spark, w, corpus_df, seeds, program=prog, config=cfg)
+    c2.run(max_batches=8)
+    assert c2.visit_log() == ref.visit_log()
+    assert c2.seen_set() == ref.seen_set()
+    assert c2.records_json() == ref.records_json()
+
+    # storage actually bounded: compaction folds the live set into one
+    # base dir per table, then expiry drops every pre-compaction dir —
+    # the two operations together are the LSM story (expiry alone must
+    # NOT delete append-shared dirs: they are live data, not garbage)
+    c2._compact_tables()
+    c2.expire_history(keep_last_batches=1)
+    for name in ("frontier", "seen", "pages", "records"):
+        assert (
+            len(os.listdir(os.path.join(c2.tables[name].path, "data"))) <= 2
+        ), name
