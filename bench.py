@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+from pyspark.sql import functions as F  # noqa: E402
+
 def force(df) -> int:
     """Fully materialize a plan without driver-side data transfer."""
     df.write.format("noop").mode("overwrite").save()
@@ -145,6 +147,87 @@ def _run_crawl(spark, tmpdir, *, n_hosts, per_host, batch_size, per_host_limit,
     return round(fetched / dt, 1)
 
 
+class _RevalidateStubFetcher:
+    """Corpus-join stand-in for HttpFetcher(revalidate=True): resolves
+    each claimed URL to a prebuilt (html, status, validators) row —
+    benches the ENGINE side of a recrawl pass (top-k selection,
+    classification, store update, changed-slice re-extraction) with
+    the network taken out."""
+
+    def __init__(self, responses):
+        self.responses = responses
+
+    def fetch(self, claimed):
+        return claimed.drop("etag", "last_modified").join(
+            F.broadcast(self.responses), on="url", how="left"
+        )
+
+
+def bench_recrawl(spark, n_urls: int = 100_000, budget: int = 20_000) -> float:
+    """Freshness-pass throughput (attempted URLs/sec) over a
+    100k-row validator store: 85% revalidate (304), 10% changed
+    (re-extracted), 5% dead — the steady-state mix of a production
+    freshness loop."""
+    from scrapelect_spark.streaming.recrawl import RecrawlPass
+
+    store = (
+        spark.range(n_urls)
+        .select(
+            F.concat(
+                F.lit("http://h"), (F.col("id") % 64).cast("string"),
+                F.lit(".test/d/"), F.col("id").cast("string"),
+            ).alias("url"),
+            F.concat(F.lit('"e'), F.col("id").cast("string"), F.lit('"')).alias("etag"),
+            F.lit(None).cast("string").alias("last_modified"),
+            F.md5(F.col("id").cast("string")).alias("content_hash"),
+            (1 + F.col("id") % 5).cast("long").alias("change_count"),
+            (1 + F.col("id") % 9).cast("long").alias("crawl_count"),
+            (F.col("id") % 3600).cast("long").alias("last_fetch_ts"),
+        )
+        .repartition(int(CPUS))
+        .cache()
+    )
+    m = F.abs(F.hash("url")) % 100
+    responses = (
+        store.select("url", "etag")
+        .withColumn(
+            "status",
+            F.when(m < 85, 304).when(m < 95, 200).otherwise(404),
+        )
+        .select(
+            "url",
+            F.when(
+                F.col("status") == 200,
+                F.concat(F.lit("<html><h1>changed "), F.col("url"), F.lit("</h1></html>")),
+            ).alias("html"),
+            "status",
+            F.when(F.col("status") != 404, F.col("etag")).alias("etag"),
+            F.lit(None).cast("string").alias("last_modified"),
+        )
+        .cache()
+    )
+    store.count(), responses.count()
+    rp = RecrawlPass(
+        spark,
+        _RevalidateStubFetcher(responses),
+        program='t: h1 { x: $element | text(); } | take(key: "x");',
+        budget=budget,
+        fetch_partitions=int(CPUS),
+    )
+
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        new_store, outcomes, records = rp.run(store, now_s=10_000)
+        force(records)
+        force(new_store)
+        return time.perf_counter() - t0
+
+    one_pass()  # warm
+    dt = min(one_pass() for _ in range(2))
+    store.unpersist(), responses.unpersist()
+    return round(budget / dt, 1)
+
+
 def bench_crawl(spark, tmpdir: str) -> float:
     """Micro-batch crawl throughput (pages/sec) incl. checkpointing —
     small (600-page) batches, dominated by per-batch fixed overhead."""
@@ -194,6 +277,7 @@ def main() -> None:
     spark = get_spark(app_name="scrapelect-bench", cpus=CPUS)
     queries, spread = bench_queries(spark)
     extract_pps = bench_extract(spark)
+    recrawl_ups = bench_recrawl(spark)
     with tempfile.TemporaryDirectory() as td:
         crawl_pps = bench_crawl(spark, td)
     with tempfile.TemporaryDirectory() as td:
@@ -209,6 +293,7 @@ def main() -> None:
         "crawl_pages_per_sec": crawl_pps,
         "crawl_bigbatch_pages_per_sec": crawl_big_pps,
         "extract_pages_per_sec": extract_pps,
+        "recrawl_urls_per_sec": recrawl_ups,
     }
     # Full record (3-decimal times + per-query spread) goes to a file;
     # stdout carries ONE compact line. The driver captures only the last
