@@ -411,11 +411,142 @@ ORDER BY doc_id
 """
 
 
+
+def pixel_stats(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+    n_bins: int = 16,
+) -> DataFrame:
+    """(id, image bytes) → exact integer pixel statistics: dimensions,
+    integer-luma sum (BT.601 weights ``(299 r + 587 g + 114 b) //
+    1000`` — for gray content this is the gray value itself), and the
+    dominant-luma-bin share in permille.  A near-solid image (screen
+    grabs of blank pages, tracking pixels blown up by CDNs, black
+    thumbnails) concentrates one bin — the standard flat-image
+    curation filter, computed with NO floats so any SQL oracle
+    reproduces it bit-for-bit.  Per-row error capture as everywhere
+    else in the multimodal stack."""
+    from .multimodal import decode_image
+
+    schema = (
+        f"{id_col} long, w int, h int, luma_sum long, "
+        "flat_permille long, failed long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, flats, fails = [], [], [], [], [], []
+            for iid, raw, fmt in zip(
+                pdf[id_col], pdf[bytes_col], pdf[fmt_col]
+            ):
+                ids.append(iid)
+                try:
+                    arr = decode_image(raw, fmt).astype(np.int64)
+                    luma = (
+                        arr[:, :, 0] * 299 + arr[:, :, 1] * 587
+                        + arr[:, :, 2] * 114
+                    ) // 1000
+                    npix = luma.size
+                    hist = np.bincount(
+                        (luma.ravel() * n_bins) // 256, minlength=n_bins
+                    )
+                    ws.append(arr.shape[1])
+                    hs.append(arr.shape[0])
+                    sums.append(int(luma.sum()))
+                    flats.append(int(hist.max()) * 1000 // npix)
+                    fails.append(0)
+                except Exception:  # noqa: BLE001 — permissive corpus
+                    ws.append(None)
+                    hs.append(None)
+                    sums.append(None)
+                    flats.append(None)
+                    fails.append(1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "w": pd.array(ws, dtype="Int32"),
+                    "h": pd.array(hs, dtype="Int32"),
+                    "luma_sum": pd.array(sums, dtype="Int64"),
+                    "flat_permille": pd.array(flats, dtype="Int64"),
+                    "failed": fails,
+                }
+            )
+
+    return images.mapInPandas(run, schema=schema)
+
+
+def image_pixel_stats(spark, sf_dir: str) -> DataFrame:
+    """Gate for exact pixel statistics: per doc synthesize a real PNG —
+    docs ≡0 (mod 3) SOLID gray ``doc_id % 256`` at 64x32 (luma_sum =
+    2048 x value, one bin holds everything → flat), other docs a
+    256-row VERTICAL GRADIENT covering every gray value once per
+    column at width ``16 + (doc_id % 8) * 4`` (modular full cycle:
+    luma_sum = w x 32640 whatever the phase; every 16-wide bin gets
+    exactly 16/256 of the pixels → flat_permille = 62).  Docs ≡0
+    (mod 23) get truncated bytes and must error-capture.  The oracle
+    reproduces every number in closed form — the decode path has no
+    tolerance to hide in."""
+    from .tables import load, spread
+    from ..sources.png import encode_png
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, fmts = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 3 == 0:
+                    g = np.full((32, 64), doc_id % 256, dtype=np.uint8)
+                else:
+                    w = 16 + (doc_id % 8) * 4
+                    col = ((doc_id * 7 + np.arange(256)) % 256).astype(
+                        np.uint8
+                    )
+                    g = np.repeat(col[:, None], w, axis=1)
+                blob = encode_png(np.stack([g, g, g], axis=-1))
+                if doc_id % 23 == 0:
+                    blob = blob[: len(blob) // 2]  # truncated stream
+                ids.append(doc_id)
+                blobs.append(blob)
+                fmts.append("png")
+            yield pd.DataFrame(
+                {"image_id": ids, "bytes": blobs, "fmt": fmts}
+            )
+
+    images = d.select("doc_id").mapInPandas(
+        synth, schema="image_id long, bytes binary, fmt string"
+    )
+    return pixel_stats(images).orderBy("image_id")
+
+
+_PIXEL_STATS_SQL = """
+SELECT doc_id AS image_id,
+       CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 64
+            ELSE 16 + (doc_id % 8) * 4 END AS INTEGER) AS w,
+       CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 32 ELSE 256 END AS INTEGER) AS h,
+       CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 2048 * (doc_id % 256)
+            ELSE (16 + (doc_id % 8) * 4) * 32640 END AS BIGINT) AS luma_sum,
+       CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 1000 ELSE 62 END AS BIGINT)
+         AS flat_permille,
+       CAST(doc_id % 23 = 0 AS BIGINT) AS failed
+FROM documents WHERE doc_id < 300
+ORDER BY image_id
+"""
+
+
 QUERIES = {
     "image_exif_extract": image_exif_extract,
     "image_phash_neardup": image_phash_neardup,
     "image_dctphash_neardup": image_dctphash_neardup,
     "image_jpeg_quality": image_jpeg_quality,
+    "image_pixel_stats": image_pixel_stats,
 }
 
 ORACLE_SQL = {
@@ -423,4 +554,5 @@ ORACLE_SQL = {
     "image_phash_neardup": _PHASH_NEARDUP_SQL,
     "image_dctphash_neardup": _DCTPHASH_NEARDUP_SQL,
     "image_jpeg_quality": _JPEG_QUALITY_SQL,
+    "image_pixel_stats": _PIXEL_STATS_SQL,
 }

@@ -28,6 +28,9 @@ design point batches are millions of pages and that latency is noise):
   sequential-by-definition; the round dataflow is what must scale)
 - sessionize — gaps-and-islands sessionization over events ×96
   (partitioned window + agg, the events_sessionized shape)
+- recrawl — one freshness pass over a validator store (staleness
+  top-k, revalidation classify, store update, changed-slice
+  re-extraction; the round-5 recrawl subsystem, corpus-join stub)
 - crawl_full — the end-to-end micro-batch loop incl. checkpoint
   commits (reported for honesty; its fixed per-batch commit cost is
   the sandbox artifact that amortizes at real batch sizes)
@@ -69,10 +72,10 @@ SIZE = os.environ.get("SPARK_GRAFT_SCALE_SIZE", "large")
 SIZES = {
     "large": {"n_ex": 48000, "n_cs": 24000, "q1_rep": 96,
               "pi_rep": 128, "cc_edges": 8_000_000, "sess_rep": 192,
-              "codec_rows": 2048},
+              "codec_rows": 2048, "rc_urls": 1_000_000, "rc_budget": 100_000},
     "small": {"n_ex": 12000, "n_cs": 8000, "q1_rep": 24,
               "pi_rep": 64, "cc_edges": 4_000_000, "sess_rep": 96,
-              "codec_rows": 512},
+              "codec_rows": 512, "rc_urls": 400_000, "rc_budget": 40_000},
 }[SIZE]
 out = {}
 
@@ -260,6 +263,13 @@ for _ in range(3):
 out["codec_rows_per_sec"] = N_CD / best
 cd.unpersist()
 
+# --- recrawl (round-5 freshness pass: staleness top-k + classify +
+# store update + changed-slice re-extraction over a corpus-join
+# revalidation stub; mixes JVM joins with the Python extract stage) ---
+import bench as _bench
+out["recrawl_urls_per_sec"] = _bench.bench_recrawl(
+    spark, n_urls=SIZES["rc_urls"], budget=SIZES["rc_budget"])
+
 # --- crawl_full (end-to-end loop incl. commits) ---
 n_hosts, per_host = 32, 150
 web = {}
@@ -364,10 +374,15 @@ def main() -> None:
                 report["efficiency"][k] = round(
                     report["at_4n"][k] / report["at_n"][k] / 4.0, 3
                 )
+        # per-key over the pairs that measured it — a metric added in
+        # a later round must not vanish because old pairs predate it
         report["best_pair_efficiency"] = {
-            k: max(p["efficiency"][k] for p in report["pairs"])
+            k: max(
+                p["efficiency"][k]
+                for p in report["pairs"]
+                if k in p["efficiency"]
+            )
             for k in report["efficiency"]
-            if all(k in p["efficiency"] for p in report["pairs"])
         }
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(path, "w") as f:
