@@ -591,3 +591,4 @@ def test_curation_pushdown_no_window(spark, tmp_path):
     # (the PushedFilters render elides the tail — prefix is enough)
     assert "GreaterThanOrEqual(h" in plan
     out.collect()  # sanity: the cascade executes
+
