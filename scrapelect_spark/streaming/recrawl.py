@@ -127,15 +127,24 @@ class RecrawlPass:
         ``outcomes`` is the per-attempted-URL audit slice
         ``(url, status, outcome)``; ``records`` is the re-extraction
         output ``(url, kind, value)`` over changed pages only (empty
-        if no program was given)."""
+        if no program was given).
+
+        The fetched+classified batch is cached so the three outputs
+        share one fetch; it is ``budget`` rows — bounded by
+        construction — and lives until the session drops it or the
+        caller unpersists (``spark.catalog.clearCache()`` between
+        passes in a long-running freshness service)."""
         from ..operators.relational import recrawl_priority
 
         hist = store.withColumn(
             "age_s", (F.lit(int(now_s)) - F.col("last_fetch_ts")).cast("long")
         )
+        # cached: budget-bounded rows, referenced by the fetch stage
+        # AND the untouched anti-join — without the cache the top-k
+        # scan over the full store would run twice
         due = recrawl_priority(hist, self.budget, id_col="url").drop(
             "age_s", "score"
-        )
+        ).cache()
 
         # same salted per-host fetch layout as the discovery crawl
         claimed = (
