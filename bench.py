@@ -158,8 +158,12 @@ class _RevalidateStubFetcher:
         self.responses = responses
 
     def fetch(self, claimed):
+        # plain url-key join, NOT broadcast: the responses table is
+        # store-sized, and serializing it through the driver per pass
+        # is a fixed serial cost that poisons the scaling measurement
+        # (the real fetcher does per-row network I/O here instead)
         return claimed.drop("etag", "last_modified").join(
-            F.broadcast(self.responses), on="url", how="left"
+            self.responses, on="url", how="left"
         )
 
 
@@ -184,7 +188,12 @@ def bench_recrawl(spark, n_urls: int = 100_000, budget: int = 20_000) -> float:
             (1 + F.col("id") % 9).cast("long").alias("crawl_count"),
             (F.col("id") % 3600).cast("long").alias("last_fetch_ts"),
         )
-        .repartition(int(CPUS))
+        # hash-partitioned BY URL on the shuffle-partition count — the
+        # sandbox stand-in for the production store being a url-bucketed
+        # table: the pass's url-key joins (fetch resolve, untouched
+        # anti-join) then reuse this layout instead of reshuffling the
+        # full store every pass
+        .repartition(max(int(CPUS), 8), "url")
         .cache()
     )
     m = F.abs(F.hash("url")) % 100
@@ -217,7 +226,9 @@ def bench_recrawl(spark, n_urls: int = 100_000, budget: int = 20_000) -> float:
 
     def one_pass() -> float:
         t0 = time.perf_counter()
-        new_store, outcomes, records = rp.run(store, now_s=10_000)
+        new_store, outcomes, records = rp.run(
+            store, now_s=10_000, store_rows=n_urls
+        )
         force(records)
         force(new_store)
         return time.perf_counter() - t0

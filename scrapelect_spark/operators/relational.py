@@ -505,8 +505,17 @@ ORDER BY fetch_order
 """
 
 
+#: above this budget the top-k switches from TakeOrderedAndProject
+#: (per-partition heads merged ON THE DRIVER — serial, O(budget x
+#: partitions) rows through one process) to the threshold path below.
+_TOPK_DRIVER_MAX = 10_000
+
+
 def recrawl_priority(
-    history: DataFrame, budget: int, id_col: str = "doc_id"
+    history: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Freshness-driven recrawl selection: given per-URL crawl history
     (``age_s`` seconds since last fetch, ``change_count`` observed
@@ -518,17 +527,69 @@ def recrawl_priority(
     first-order Taylor expansion of the Poisson staleness probability
     1 - exp(-lambda*age) scaled by 1000; rational on purpose so the
     ranking is exactly reproducible across engines (no transcendental
-    rounding).  Scale shape: pure JVM expressions + one global top-k,
-    which Spark plans as TakeOrderedAndProject (per-partition heads +
-    driver merge) — no shuffle of the full history, no window."""
-    return (
-        history.withColumn(
-            "score",
-            F.expr("CAST(age_s * change_count * 1000 AS BIGINT) DIV crawl_count"),
-        )
-        .orderBy(F.desc("score"), id_col)
-        .limit(budget)
+    rounding).
+
+    Scale shape, small budgets (<= ``_TOPK_DRIVER_MAX``): one global
+    top-k, planned as TakeOrderedAndProject — no shuffle of the full
+    history, no window, ordered output.
+
+    Scale shape, large budgets (a production freshness pass over a
+    10^10-row store revalidates millions of URLs): the driver merge in
+    TakeOrderedAndProject becomes the serial bottleneck, so the
+    selection switches to an exact two-phase threshold cut —
+
+    1. one ``approx_percentile`` aggregation (partial+merge, fully
+       parallel) finds a score cutoff whose rank error is bounded by
+       ``n/accuracy``, deliberately biased HIGH so strictly-above rows
+       number <= budget;
+    2. ``score > cutoff`` rows are all in the exact top-``budget`` by
+       construction (score is the primary sort key) — a plain filter,
+       no sort, no driver traffic;
+    3. only the boundary band (``score <= cutoff``, top ``budget - c``
+       by the same (score desc, id) order) goes through a small
+       TakeOrdered — its k is bounded by ~3x the rank error, a few
+       percent of ``budget``.
+
+    The union is EXACTLY the (score desc, id)-top-``budget`` set
+    (ties at the cutoff land in the band and are id-tie-broken there);
+    unlike the small path it is returned UNORDERED — callers that need
+    order sort the budget-row result.  Verified against the plain
+    orderBy+limit path in tests/test_recrawl_loopback.py."""
+    scored = history.withColumn(
+        "score",
+        F.expr("CAST(age_s * change_count * 1000 AS BIGINT) DIV crawl_count"),
     )
+    if budget <= _TOPK_DRIVER_MAX:
+        return scored.orderBy(F.desc("score"), id_col).limit(budget)
+
+    # ``n_rows``: exact history size if the caller knows it (a
+    # freshness service tracks its store size; table stats on a real
+    # catalog) — saves one count job per pass
+    n = n_rows if n_rows is not None else scored.count()
+    if n <= budget:
+        return scored
+    # rank error of approx_percentile(accuracy) is <= n/accuracy; ask
+    # for the quantile 2 error-widths ABOVE 1 - budget/n so that
+    # count(score > cutoff) <= budget - n/accuracy even at worst-case
+    # error, and the residual band k stays <= 3n/accuracy (~3% of
+    # budget at the chosen accuracy).
+    accuracy = int(max(1_000, min(50_000, (100 * n) // budget)))
+    q = min(1.0, 1.0 - (budget / n) + 2.0 / accuracy)
+    cutoff = scored.agg(
+        F.expr(f"approx_percentile(score, {q!r}, {accuracy})").alias("c")
+    ).first()["c"]
+    above = scored.filter(F.col("score") > F.lit(cutoff))
+    c = above.count()
+    if c > budget:
+        # approximation under-shot despite the bias (pathological
+        # score distribution): exact top-k over the ~budget-row slice
+        return above.orderBy(F.desc("score"), id_col).limit(budget)
+    band = (
+        scored.filter(F.col("score") <= F.lit(cutoff))
+        .orderBy(F.desc("score"), id_col)
+        .limit(budget - c)
+    )
+    return above.unionByName(band)
 
 
 def crawl_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -119,9 +119,13 @@ class RecrawlPass:
         return run
 
     def run(
-        self, store: DataFrame, now_s: int
+        self, store: DataFrame, now_s: int, store_rows: int | None = None
     ) -> tuple[DataFrame, DataFrame, DataFrame]:
         """Returns ``(new_store, outcomes, records)``.
+
+        ``store_rows`` (optional): exact store size if the caller
+        tracks it — forwarded to the top-k selection so large-budget
+        passes skip one count job.
 
         ``new_store`` has exactly :data:`STORE_COLS` again;
         ``outcomes`` is the per-attempted-URL audit slice
@@ -142,9 +146,9 @@ class RecrawlPass:
         # cached: budget-bounded rows, referenced by the fetch stage
         # AND the untouched anti-join — without the cache the top-k
         # scan over the full store would run twice
-        due = recrawl_priority(hist, self.budget, id_col="url").drop(
-            "age_s", "score"
-        ).cache()
+        due = recrawl_priority(
+            hist, self.budget, id_col="url", n_rows=store_rows
+        ).drop("age_s", "score").cache()
 
         # same salted per-host fetch layout as the discovery crawl
         claimed = (

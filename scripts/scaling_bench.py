@@ -72,10 +72,10 @@ SIZE = os.environ.get("SPARK_GRAFT_SCALE_SIZE", "large")
 SIZES = {
     "large": {"n_ex": 48000, "n_cs": 24000, "q1_rep": 96,
               "pi_rep": 128, "cc_edges": 8_000_000, "sess_rep": 192,
-              "codec_rows": 2048, "rc_urls": 1_000_000, "rc_budget": 100_000},
+              "codec_rows": 2048, "rc_urls": 16_000_000, "rc_budget": 1_600_000},
     "small": {"n_ex": 12000, "n_cs": 8000, "q1_rep": 24,
               "pi_rep": 64, "cc_edges": 4_000_000, "sess_rep": 96,
-              "codec_rows": 512, "rc_urls": 400_000, "rc_budget": 40_000},
+              "codec_rows": 512, "rc_urls": 8_000_000, "rc_budget": 800_000},
 }[SIZE]
 out = {}
 

@@ -214,3 +214,51 @@ def test_recrawl_second_pass_converges(spark, server):
     assert rec2.count() == 0
     assert all(r.crawl_count == 3 and r.change_count in (1, 2)
                for r in store3.collect())
+
+
+def test_recrawl_priority_threshold_path_is_exact(spark):
+    """The large-budget threshold cut (approx_percentile cutoff +
+    boundary TakeOrdered) must select EXACTLY the same set as the
+    plain (score desc, id) orderBy+limit — including id tie-breaks
+    at the cutoff score.  The history is built with heavy score
+    collisions (score = f(id % 97)) so the cutoff lands inside a
+    large tie group."""
+    from pyspark.sql import functions as F
+
+    from scrapelect_spark.operators import relational as rel
+
+    n, budget = 120_000, 30_000
+    hist = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (100 + (F.col("id") % 97) * 37).cast("long").alias("age_s"),
+        (1 + F.col("id") % 5).cast("long").alias("change_count"),
+        (1 + F.col("id") % 9).cast("long").alias("crawl_count"),
+    )
+    assert budget > rel._TOPK_DRIVER_MAX  # exercises the threshold path
+    got = rel.recrawl_priority(hist, budget, id_col="url")
+    want = (
+        hist.withColumn(
+            "score",
+            F.expr("CAST(age_s * change_count * 1000 AS BIGINT) DIV crawl_count"),
+        )
+        .orderBy(F.desc("score"), "url")
+        .limit(budget)
+    )
+    got_set = {r.url for r in got.select("url").collect()}
+    want_set = {r.url for r in want.select("url").collect()}
+    assert len(got_set) == budget
+    assert got_set == want_set
+
+
+def test_recrawl_priority_threshold_path_budget_covers_all(spark):
+    from pyspark.sql import functions as F
+
+    from scrapelect_spark.operators.relational import recrawl_priority
+
+    hist = spark.range(500).select(
+        F.col("id").alias("url").cast("string"),
+        F.lit(100).cast("long").alias("age_s"),
+        F.lit(1).cast("long").alias("change_count"),
+        F.lit(1).cast("long").alias("crawl_count"),
+    )
+    assert recrawl_priority(hist, 50_000, id_col="url").count() == 500
