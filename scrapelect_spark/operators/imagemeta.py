@@ -541,12 +541,238 @@ ORDER BY image_id
 """
 
 
+def laplacian_stats(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+    sharp_milli_threshold: int = 8_000,
+) -> DataFrame:
+    """(id, image bytes) → exact-integer sharpness statistics via the
+    4-neighbor Laplacian over the integer luma plane: ``L[i,j] =
+    4·y[i,j] − y[i−1,j] − y[i+1,j] − y[i,j−1] − y[i,j+1]`` on interior
+    pixels, summed as ``abs_lap_sum = Σ|L|``.  ``lap_mean_milli`` is
+    the mean |L| per interior pixel ×1000 (integer floor division), and
+    ``is_sharp`` thresholds it — the classic blur/flat curation filter
+    (variance-of-Laplacian family), done with NO floats so a SQL oracle
+    reproduces every value bit-for-bit.  Solid/blurred content → 0;
+    text, edges, texture → high.  Per-row error capture as everywhere
+    in the multimodal stack; Arrow-batched ``mapInPandas``, rows fully
+    independent → partition-parallel at any corpus size."""
+    from .multimodal import decode_image
+
+    schema = (
+        f"{id_col} long, w int, h int, abs_lap_sum long, "
+        "lap_mean_milli long, is_sharp long, failed long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, means, sharps, fails = (
+                [], [], [], [], [], [], []
+            )
+            for iid, raw, fmt in zip(
+                pdf[id_col], pdf[bytes_col], pdf[fmt_col]
+            ):
+                ids.append(iid)
+                try:
+                    arr = decode_image(raw, fmt).astype(np.int64)
+                    luma = (
+                        arr[:, :, 0] * 299 + arr[:, :, 1] * 587
+                        + arr[:, :, 2] * 114
+                    ) // 1000
+                    h, w = luma.shape
+                    if h < 3 or w < 3:
+                        raise ValueError("image too small for Laplacian")
+                    lap = (
+                        4 * luma[1:-1, 1:-1]
+                        - luma[:-2, 1:-1] - luma[2:, 1:-1]
+                        - luma[1:-1, :-2] - luma[1:-1, 2:]
+                    )
+                    total = int(np.abs(lap).sum())
+                    interior = (h - 2) * (w - 2)
+                    mean_milli = total * 1000 // interior
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(total)
+                    means.append(mean_milli)
+                    sharps.append(
+                        1 if mean_milli >= sharp_milli_threshold else 0
+                    )
+                    fails.append(0)
+                except Exception:  # noqa: BLE001 — permissive corpus
+                    ws.append(None)
+                    hs.append(None)
+                    sums.append(None)
+                    means.append(None)
+                    sharps.append(None)
+                    fails.append(1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "w": pd.array(ws, dtype="Int32"),
+                    "h": pd.array(hs, dtype="Int32"),
+                    "abs_lap_sum": pd.array(sums, dtype="Int64"),
+                    "lap_mean_milli": pd.array(means, dtype="Int64"),
+                    "is_sharp": pd.array(sharps, dtype="Int64"),
+                    "failed": fails,
+                }
+            )
+
+    return images.mapInPandas(run, schema=schema)
+
+
+def image_sharpness_stats(spark, sf_dir: str) -> DataFrame:
+    """Gate for exact Laplacian sharpness: per doc synthesize a real
+    PNG whose interior Laplacian has a closed form —
+
+    * docs ≡0 (mod 3): SOLID gray at 32×64 → every |L| = 0 → blurry.
+    * docs ≡1 (mod 3): CHECKERBOARD of (a, a+96) at h=32,
+      w=16+(doc_id%8)·4 — each interior pixel's 4 neighbors are all
+      the other value → |L| = 4·96 = 384 everywhere →
+      abs_lap_sum = 384·30·(w−2), lap_mean_milli = 384000 → sharp.
+    * docs ≡2 (mod 3): 1-px HORIZONTAL STRIPES of (a, a+64) — vertical
+      neighbors differ, horizontal match → |L| = 2·64 = 128 →
+      abs_lap_sum = 128·30·(w−2), lap_mean_milli = 128000 → sharp.
+
+    Docs ≡0 (mod 23) get truncated bytes and must error-capture.  The
+    gray values (a = doc_id-dependent) shift per doc but cancel out of
+    the Laplacian — the oracle reproduces every number in closed form,
+    so the decode+stencil path has no tolerance to hide in."""
+    from .tables import load, spread
+    from ..sources.png import encode_png
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, fmts = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                h = 32
+                if doc_id % 3 == 0:
+                    g = np.full((h, 64), doc_id % 256, dtype=np.uint8)
+                elif doc_id % 3 == 1:
+                    w = 16 + (doc_id % 8) * 4
+                    a = doc_id % 128
+                    ij = np.add.outer(np.arange(h), np.arange(w)) % 2
+                    g = (a + ij * 96).astype(np.uint8)
+                else:
+                    w = 16 + (doc_id % 8) * 4
+                    a = doc_id % 160
+                    rows = (np.arange(h) % 2) * 64 + a
+                    g = np.repeat(
+                        rows.astype(np.uint8)[:, None], w, axis=1
+                    )
+                blob = encode_png(np.stack([g, g, g], axis=-1))
+                if doc_id % 23 == 0:
+                    blob = blob[: len(blob) // 2]  # truncated stream
+                ids.append(doc_id)
+                blobs.append(blob)
+                fmts.append("png")
+            yield pd.DataFrame(
+                {"image_id": ids, "bytes": blobs, "fmt": fmts}
+            )
+
+    images = d.select("doc_id").mapInPandas(
+        synth, schema="image_id long, bytes binary, fmt string"
+    )
+    return laplacian_stats(images).orderBy("image_id")
+
+
+_SHARPNESS_SQL = """
+SELECT doc_id AS image_id,
+       CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 64
+            ELSE 16 + (doc_id % 8) * 4 END AS INTEGER) AS w,
+       CAST(CASE WHEN doc_id % 23 = 0 THEN NULL ELSE 32 END
+            AS INTEGER) AS h,
+       CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 0
+            WHEN doc_id % 3 = 1
+              THEN 384 * 30 * (16 + (doc_id % 8) * 4 - 2)
+            ELSE 128 * 30 * (16 + (doc_id % 8) * 4 - 2) END
+            AS BIGINT) AS abs_lap_sum,
+       CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 0
+            WHEN doc_id % 3 = 1 THEN 384000
+            ELSE 128000 END AS BIGINT) AS lap_mean_milli,
+       CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT) AS is_sharp,
+       CAST(doc_id % 23 = 0 AS BIGINT) AS failed
+FROM documents WHERE doc_id < 300
+ORDER BY image_id
+"""
+
+
+def image_phash_clusters(spark, sf_dir: str) -> DataFrame:
+    """Gate for perceptual image DEDUP CLUSTERING — the step after
+    near-dup pair detection: phash the corpus (same planted Hamming-2
+    near-copies as ``image_phash_neardup``), band-join + exact-verify
+    pairs, run connected components over the pair graph, and assign
+    EVERY corpus image a cluster id (min doc_id of its component;
+    singletons label themselves via the left join — no edge required).
+    ``is_canonical`` marks the one image per cluster a curation
+    pipeline keeps.  At 100 TB this is the LAION-style image-dedup
+    shape end-to-end: decode → hash → banded candidate join → bit_count
+    verify → O(log n) star-contraction CC → one broadcast-ready label
+    join back; the corpus is never self-joined all-pairs."""
+    from .dedup import connected_components
+    from .tables import load, spread
+    from ..sources.png import decode_png, encode_png, phash64
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+
+    def synth_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                arr = decode_png(encode_png(_phash_image(doc_id)))
+                ids.append(doc_id)
+                hashes.append(phash64(arr))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    hashed = d.select("doc_id").mapInPandas(
+        synth_hash, schema="doc_id long, phash long"
+    ).localCheckpoint()
+    edges = phash_neardup(hashed, max_hamming=7).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(edges)
+    return (
+        hashed.select("doc_id")
+        .join(labels.withColumnRenamed("cluster", "_c"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_c"), F.col("doc_id")).alias("cluster"),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("cluster")).cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PHASH_CLUSTERS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN doc_id % 10 = 6 THEN doc_id - 1 ELSE doc_id END
+            AS BIGINT) AS cluster,
+       CAST(doc_id % 10 <> 6 AS BIGINT) AS is_canonical
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "image_exif_extract": image_exif_extract,
     "image_phash_neardup": image_phash_neardup,
     "image_dctphash_neardup": image_dctphash_neardup,
     "image_jpeg_quality": image_jpeg_quality,
     "image_pixel_stats": image_pixel_stats,
+    "image_sharpness_stats": image_sharpness_stats,
+    "image_phash_clusters": image_phash_clusters,
 }
 
 ORACLE_SQL = {
@@ -555,4 +781,6 @@ ORACLE_SQL = {
     "image_dctphash_neardup": _DCTPHASH_NEARDUP_SQL,
     "image_jpeg_quality": _JPEG_QUALITY_SQL,
     "image_pixel_stats": _PIXEL_STATS_SQL,
+    "image_sharpness_stats": _SHARPNESS_SQL,
+    "image_phash_clusters": _PHASH_CLUSTERS_SQL,
 }
