@@ -765,6 +765,179 @@ ORDER BY doc_id
 """
 
 
+def color_stats(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """(id, image bytes) → exact-integer COLOR statistics: per-channel
+    sums (tint detection), total chroma ``Σ (max(r,g,b) − min(r,g,b))``,
+    the permille of exactly-gray pixels (``r==g==b``), and an
+    ``is_grayscale`` flag.  Grayscale / low-saturation filtering is a
+    standard image-curation step (drop scans, line art, dead cameras
+    from a photo corpus; or keep them for a document corpus) — computed
+    with NO floats so any SQL oracle reproduces it bit-for-bit.
+    Per-row error capture; Arrow-batched ``mapInPandas``, rows fully
+    independent → partition-parallel at any corpus size."""
+    from .multimodal import decode_image
+
+    schema = (
+        f"{id_col} long, w int, h int, r_sum long, g_sum long, "
+        "b_sum long, chroma_sum long, gray_permille long, "
+        "is_grayscale long, failed long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "id", "w", "h", "r", "g", "b", "ch", "gp", "gs", "f"
+            )}
+            for iid, raw, fmt in zip(
+                pdf[id_col], pdf[bytes_col], pdf[fmt_col]
+            ):
+                cols["id"].append(iid)
+                try:
+                    arr = decode_image(raw, fmt).astype(np.int64)
+                    h, w = arr.shape[:2]
+                    hi = arr.max(axis=2)
+                    lo = arr.min(axis=2)
+                    chroma = hi - lo
+                    npix = h * w
+                    n_gray = int((chroma == 0).sum())
+                    cols["w"].append(w)
+                    cols["h"].append(h)
+                    cols["r"].append(int(arr[:, :, 0].sum()))
+                    cols["g"].append(int(arr[:, :, 1].sum()))
+                    cols["b"].append(int(arr[:, :, 2].sum()))
+                    cols["ch"].append(int(chroma.sum()))
+                    cols["gp"].append(n_gray * 1000 // npix)
+                    cols["gs"].append(1 if n_gray == npix else 0)
+                    cols["f"].append(0)
+                except Exception:  # noqa: BLE001 — permissive corpus
+                    for k in ("w", "h", "r", "g", "b", "ch", "gp", "gs"):
+                        cols[k].append(None)
+                    cols["f"].append(1)
+            yield pd.DataFrame(
+                {
+                    id_col: cols["id"],
+                    "w": pd.array(cols["w"], dtype="Int32"),
+                    "h": pd.array(cols["h"], dtype="Int32"),
+                    "r_sum": pd.array(cols["r"], dtype="Int64"),
+                    "g_sum": pd.array(cols["g"], dtype="Int64"),
+                    "b_sum": pd.array(cols["b"], dtype="Int64"),
+                    "chroma_sum": pd.array(cols["ch"], dtype="Int64"),
+                    "gray_permille": pd.array(cols["gp"], dtype="Int64"),
+                    "is_grayscale": pd.array(cols["gs"], dtype="Int64"),
+                    "failed": cols["f"],
+                }
+            )
+
+    return images.mapInPandas(run, schema=schema)
+
+
+def image_color_stats(spark, sf_dir: str) -> DataFrame:
+    """Gate for exact color statistics: per doc synthesize a real PNG
+    whose channel sums and chroma have closed forms —
+
+    * docs ≡0 (mod 3): SOLID GRAY ``g = doc_id % 256`` at 32×64 —
+      every channel sums to 2048·g, chroma 0, grayscale.
+    * docs ≡1 (mod 3): SOLID COLOR ``(r, g, b) = (doc_id%128 + 64,
+      doc_id%64, doc_id%32)`` at h=32, w=16+(doc_id%8)·4 — b ≤ g < r
+      by construction, so chroma = (r − b) per pixel, zero gray
+      pixels.
+    * docs ≡2 (mod 3): VERTICAL SPLIT — left half gray
+      ``doc_id % 256``, right half the fixed color (200, 100, 0)
+      (chroma 200) → gray_permille exactly 500.
+
+    Docs ≡0 (mod 23) get truncated bytes and must error-capture.  The
+    oracle reproduces every number in closed form."""
+    from .tables import load, spread
+    from ..sources.png import encode_png
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, fmts = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                h = 32
+                if doc_id % 3 == 0:
+                    g = np.full((h, 64), doc_id % 256, dtype=np.uint8)
+                    img = np.stack([g, g, g], axis=-1)
+                elif doc_id % 3 == 1:
+                    w = 16 + (doc_id % 8) * 4
+                    img = np.empty((h, w, 3), dtype=np.uint8)
+                    img[:, :, 0] = doc_id % 128 + 64
+                    img[:, :, 1] = doc_id % 64
+                    img[:, :, 2] = doc_id % 32
+                else:
+                    w = 16 + (doc_id % 8) * 4
+                    img = np.empty((h, w, 3), dtype=np.uint8)
+                    img[:, : w // 2, :] = doc_id % 256
+                    img[:, w // 2:, 0] = 200
+                    img[:, w // 2:, 1] = 100
+                    img[:, w // 2:, 2] = 0
+                blob = encode_png(img)
+                if doc_id % 23 == 0:
+                    blob = blob[: len(blob) // 2]  # truncated stream
+                ids.append(doc_id)
+                blobs.append(blob)
+                fmts.append("png")
+            yield pd.DataFrame(
+                {"image_id": ids, "bytes": blobs, "fmt": fmts}
+            )
+
+    images = d.select("doc_id").mapInPandas(
+        synth, schema="image_id long, bytes binary, fmt string"
+    )
+    return color_stats(images).orderBy("image_id")
+
+
+_COLOR_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 23 = 0 AS fail,
+         doc_id % 3 AS m,
+         CAST(16 + (doc_id % 8) * 4 AS BIGINT) AS wv,
+         CAST(doc_id % 256 AS BIGINT) AS gray,
+         CAST(doc_id % 128 + 64 AS BIGINT) AS cr,
+         CAST(doc_id % 64 AS BIGINT) AS cg,
+         CAST(doc_id % 32 AS BIGINT) AS cb
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id AS image_id,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 64 ELSE wv END AS INTEGER) AS w,
+       CAST(CASE WHEN fail THEN NULL ELSE 32 END AS INTEGER) AS h,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 2048 * gray
+            WHEN m = 1 THEN 32 * wv * cr
+            ELSE 16 * wv * gray + 16 * wv * 200 END AS BIGINT) AS r_sum,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 2048 * gray
+            WHEN m = 1 THEN 32 * wv * cg
+            ELSE 16 * wv * gray + 16 * wv * 100 END AS BIGINT) AS g_sum,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 2048 * gray
+            WHEN m = 1 THEN 32 * wv * cb
+            ELSE 16 * wv * gray END AS BIGINT) AS b_sum,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 0
+            WHEN m = 1 THEN 32 * wv * (cr - cb)
+            ELSE 16 * wv * 200 END AS BIGINT) AS chroma_sum,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 1000
+            WHEN m = 1 THEN 0 ELSE 500 END AS BIGINT) AS gray_permille,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_grayscale,
+       CAST(fail AS BIGINT) AS failed
+FROM p
+ORDER BY image_id
+"""
+
+
 QUERIES = {
     "image_exif_extract": image_exif_extract,
     "image_phash_neardup": image_phash_neardup,
@@ -773,6 +946,7 @@ QUERIES = {
     "image_pixel_stats": image_pixel_stats,
     "image_sharpness_stats": image_sharpness_stats,
     "image_phash_clusters": image_phash_clusters,
+    "image_color_stats": image_color_stats,
 }
 
 ORACLE_SQL = {
@@ -783,4 +957,5 @@ ORACLE_SQL = {
     "image_pixel_stats": _PIXEL_STATS_SQL,
     "image_sharpness_stats": _SHARPNESS_SQL,
     "image_phash_clusters": _PHASH_CLUSTERS_SQL,
+    "image_color_stats": _COLOR_STATS_SQL,
 }

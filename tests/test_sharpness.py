@@ -88,6 +88,41 @@ def test_linear_ramp_is_blurry(spark):
     assert got[0].abs_lap_sum == 0 and got[0].is_sharp == 0
 
 
+def test_color_stats_random_crosscheck(spark):
+    from scrapelect_spark.operators.imagemeta import color_stats
+
+    rng = np.random.default_rng(11)
+    color = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
+    gray1 = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    gray = np.stack([gray1, gray1, gray1], axis=-1)
+    df = spark.createDataFrame(
+        [
+            (0, encode_png(color), "png"),
+            (1, encode_png(gray), "png"),
+            (2, b"\x89PNG junk", "png"),
+        ],
+        "image_id long, bytes binary, fmt string",
+    )
+    got = {r.image_id: r for r in color_stats(df).collect()}
+
+    c = color.astype(np.int64)
+    chroma = c.max(axis=2) - c.min(axis=2)
+    r0 = got[0]
+    assert (r0.r_sum, r0.g_sum, r0.b_sum) == tuple(
+        int(c[:, :, k].sum()) for k in range(3)
+    )
+    assert r0.chroma_sum == int(chroma.sum())
+    assert r0.gray_permille == int((chroma == 0).sum()) * 1000 // chroma.size
+    assert r0.is_grayscale == 0 and r0.failed == 0
+
+    r1 = got[1]
+    assert r1.chroma_sum == 0 and r1.gray_permille == 1000
+    assert r1.is_grayscale == 1
+    assert r1.r_sum == r1.g_sum == r1.b_sum == int(gray1.astype(np.int64).sum())
+
+    assert got[2].failed == 1 and got[2].chroma_sum is None
+
+
 def test_rgb_luma_weighting(spark):
     # non-gray pixels: luma = (299r + 587g + 114b) // 1000 must be the
     # plane the stencil sees — a pure-blue/pure-red checkerboard has a
