@@ -938,6 +938,172 @@ ORDER BY image_id
 """
 
 
+def border_stats(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """(id, image bytes) → exact letterbox/pillarbox geometry: the
+    number of leading/trailing rows identical to the top-left /
+    bottom-right corner pixel (and likewise for columns), plus the
+    implied content box.  Uniform bars around content are the standard
+    video-thumbnail / screenshot artifact a curation pipeline crops
+    before hashing or training; a fully-uniform image reads as
+    content 0×0 (the blank-image drop case).  All-integer comparisons
+    — bit-exact against any SQL oracle; per-row error capture,
+    Arrow-batched ``mapInPandas``."""
+    from .multimodal import decode_image
+
+    schema = (
+        f"{id_col} long, w int, h int, top_border int, "
+        "bottom_border int, left_border int, right_border int, "
+        "content_w int, content_h int, failed long"
+    )
+
+    def _leading(flags: np.ndarray) -> int:
+        return int(np.argmin(flags)) if not flags.all() else len(flags)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "w", "h", "t", "b", "l", "r", "cw", "ch", "f"
+            )}
+            for iid, raw, fmt in zip(
+                pdf[id_col], pdf[bytes_col], pdf[fmt_col]
+            ):
+                out["id"].append(iid)
+                try:
+                    arr = decode_image(raw, fmt)
+                    h, w = arr.shape[:2]
+                    eq00 = (arr == arr[0, 0]).all(axis=2)
+                    eq11 = (arr == arr[h - 1, w - 1]).all(axis=2)
+                    t = _leading(eq00.all(axis=1))
+                    b = _leading(eq11.all(axis=1)[::-1])
+                    le = _leading(eq00.all(axis=0))
+                    r = _leading(eq11.all(axis=0)[::-1])
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["t"].append(t)
+                    out["b"].append(b)
+                    out["l"].append(le)
+                    out["r"].append(r)
+                    out["cw"].append(max(0, w - le - r))
+                    out["ch"].append(max(0, h - t - b))
+                    out["f"].append(0)
+                except Exception:  # noqa: BLE001 — permissive corpus
+                    for k in ("w", "h", "t", "b", "l", "r", "cw", "ch"):
+                        out[k].append(None)
+                    out["f"].append(1)
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "w": pd.array(out["w"], dtype="Int32"),
+                    "h": pd.array(out["h"], dtype="Int32"),
+                    "top_border": pd.array(out["t"], dtype="Int32"),
+                    "bottom_border": pd.array(out["b"], dtype="Int32"),
+                    "left_border": pd.array(out["l"], dtype="Int32"),
+                    "right_border": pd.array(out["r"], dtype="Int32"),
+                    "content_w": pd.array(out["cw"], dtype="Int32"),
+                    "content_h": pd.array(out["ch"], dtype="Int32"),
+                    "failed": out["f"],
+                }
+            )
+
+    return images.mapInPandas(run, schema=schema)
+
+
+def image_border_stats(spark, sf_dir: str) -> DataFrame:
+    """Gate for letterbox/pillarbox geometry: per doc synthesize a
+    real PNG with known bars —
+
+    * docs ≡0 (mod 3): fully UNIFORM 32×64 → every border consumes the
+      whole image, content 0×0 (blank-drop case).
+    * docs ≡1 (mod 3): LETTERBOX — 3 black rows on top, 5 on the
+      bottom, content rows a per-column gradient ``(col+7)%250 + 5``
+      (never 0, non-uniform rows) at h=32, w=16+(doc_id%8)·4.
+    * docs ≡2 (mod 3): PILLARBOX — 2 white columns left, 4 right,
+      content a per-row ramp ``(row+3)%250 + 1`` (never 255, varies
+      down each column).
+
+    Docs ≡0 (mod 23) get truncated bytes and must error-capture."""
+    from .tables import load, spread
+    from ..sources.png import encode_png
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, fmts = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                h = 32
+                if doc_id % 3 == 0:
+                    g = np.full((h, 64), doc_id % 256, dtype=np.uint8)
+                elif doc_id % 3 == 1:
+                    w = 16 + (doc_id % 8) * 4
+                    grad = ((np.arange(w) + 7) % 250 + 5).astype(np.uint8)
+                    g = np.repeat(grad[None, :], h, axis=0).copy()
+                    g[:3, :] = 0
+                    g[-5:, :] = 0
+                else:
+                    w = 16 + (doc_id % 8) * 4
+                    ramp = ((np.arange(h) + 3) % 250 + 1).astype(np.uint8)
+                    g = np.repeat(ramp[:, None], w, axis=1).copy()
+                    g[:, :2] = 255
+                    g[:, -4:] = 255
+                blob = encode_png(np.stack([g, g, g], axis=-1))
+                if doc_id % 23 == 0:
+                    blob = blob[: len(blob) // 2]  # truncated stream
+                ids.append(doc_id)
+                blobs.append(blob)
+                fmts.append("png")
+            yield pd.DataFrame(
+                {"image_id": ids, "bytes": blobs, "fmt": fmts}
+            )
+
+    images = d.select("doc_id").mapInPandas(
+        synth, schema="image_id long, bytes binary, fmt string"
+    )
+    return border_stats(images).orderBy("image_id")
+
+
+_BORDER_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 23 = 0 AS fail,
+         doc_id % 3 AS m,
+         CAST(16 + (doc_id % 8) * 4 AS INTEGER) AS wv
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id AS image_id,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 64 ELSE wv END AS INTEGER) AS w,
+       CAST(CASE WHEN fail THEN NULL ELSE 32 END AS INTEGER) AS h,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 32 WHEN m = 1 THEN 3 ELSE 0 END
+            AS INTEGER) AS top_border,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 32 WHEN m = 1 THEN 5 ELSE 0 END
+            AS INTEGER) AS bottom_border,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 64 WHEN m = 1 THEN 0 ELSE 2 END
+            AS INTEGER) AS left_border,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 64 WHEN m = 1 THEN 0 ELSE 4 END
+            AS INTEGER) AS right_border,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 0 WHEN m = 1 THEN wv ELSE wv - 6 END
+            AS INTEGER) AS content_w,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN m = 0 THEN 0 WHEN m = 1 THEN 24 ELSE 32 END
+            AS INTEGER) AS content_h,
+       CAST(fail AS BIGINT) AS failed
+FROM p
+ORDER BY image_id
+"""
+
+
 QUERIES = {
     "image_exif_extract": image_exif_extract,
     "image_phash_neardup": image_phash_neardup,
@@ -947,6 +1113,7 @@ QUERIES = {
     "image_sharpness_stats": image_sharpness_stats,
     "image_phash_clusters": image_phash_clusters,
     "image_color_stats": image_color_stats,
+    "image_border_stats": image_border_stats,
 }
 
 ORACLE_SQL = {
@@ -958,4 +1125,5 @@ ORACLE_SQL = {
     "image_sharpness_stats": _SHARPNESS_SQL,
     "image_phash_clusters": _PHASH_CLUSTERS_SQL,
     "image_color_stats": _COLOR_STATS_SQL,
+    "image_border_stats": _BORDER_STATS_SQL,
 }

@@ -123,6 +123,51 @@ def test_color_stats_random_crosscheck(spark):
     assert got[2].failed == 1 and got[2].chroma_sum is None
 
 
+def test_border_stats_geometry(spark):
+    from scrapelect_spark.operators.imagemeta import border_stats
+
+    rng = np.random.default_rng(3)
+    # asymmetric bars around random (never-bar-colored) content
+    content = rng.integers(10, 240, (20, 30, 3), dtype=np.uint8)
+    img = np.zeros((20 + 2 + 7, 30 + 1 + 3, 3), dtype=np.uint8)
+    img[2:22, 1:31] = content
+    uniform = np.full((9, 9, 3), 123, dtype=np.uint8)
+    # corner colors differ: top-left black bars, bottom-right white
+    mixed = np.zeros((10, 10, 3), dtype=np.uint8)
+    mixed[:, :] = rng.integers(10, 240, (10, 10, 3), dtype=np.uint8)
+    mixed[:2, :] = 0          # top 2 rows black
+    mixed[:, -3:] = 255       # right 3 cols white (incl. corner)
+    mixed[-1, :] = 255        # bottom row white
+    df = spark.createDataFrame(
+        [
+            (0, encode_png(img), "png"),
+            (1, encode_png(uniform), "png"),
+            (2, encode_png(mixed), "png"),
+            (3, b"nope", "png"),
+        ],
+        "image_id long, bytes binary, fmt string",
+    )
+    got = {r.image_id: r for r in border_stats(df).collect()}
+
+    r0 = got[0]
+    assert (r0.top_border, r0.bottom_border) == (2, 7)
+    assert (r0.left_border, r0.right_border) == (1, 3)
+    assert (r0.content_w, r0.content_h) == (30, 20)
+
+    r1 = got[1]
+    assert r1.top_border == r1.bottom_border == 9
+    assert r1.content_w == 0 and r1.content_h == 0
+
+    r2 = got[2]
+    # top bars measured against the BLACK top-left corner (the white
+    # right columns break row 0's uniformity → 0), bottom/right
+    # against the WHITE bottom-right corner
+    assert r2.top_border == 0 and r2.bottom_border == 1
+    assert r2.right_border == 3 and r2.left_border == 0
+
+    assert got[3].failed == 1 and got[3].content_w is None
+
+
 def test_rgb_luma_weighting(spark):
     # non-gray pixels: luma = (299r + 587g + 114b) // 1000 must be the
     # plane the stencil sees — a pure-blue/pure-red checkerboard has a
