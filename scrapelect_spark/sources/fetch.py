@@ -194,7 +194,14 @@ class HttpFetcher:
         in_cols = set(claimed.columns)
         has_etag = revalidate and "etag" in in_cols
         has_lm = revalidate and "last_modified" in in_cols
-        extra = list(FETCH_SCHEMA_EXTRA)
+        extra = list(FETCH_SCHEMA_EXTRA) + [
+            # non-null only when the server redirected: the URL the
+            # body was actually served from (urllib follows 3xx like
+            # reqwest's default policy; reference mod.rs get_html).
+            # The crawl loop resolves relative links against it and
+            # marks it seen-but-not-queued.
+            StructField("final_url", StringType(), True),
+        ]
         if revalidate:
             # response validators replace any input validator columns
             extra += [
@@ -218,7 +225,7 @@ class HttpFetcher:
                 url: str,
                 etag: str | None = None,
                 last_mod: str | None = None,
-            ) -> tuple[str | None, int, str | None, str | None]:
+            ) -> tuple[str | None, int, str | None, str | None, str | None]:
                 host = (urlsplit(url).hostname or "").lower()
                 wait = last_hit.get(host, 0.0) + delay_s - time.monotonic()
                 if wait > 0:
@@ -239,29 +246,31 @@ class HttpFetcher:
                         charset = sniff_encoding(
                             body, resp.headers.get_content_charset()
                         )
+                        served = resp.geturl()
                         return (
                             body.decode(charset, errors="replace"),
                             resp.status,
                             resp.headers.get("ETag"),
                             resp.headers.get("Last-Modified"),
+                            served if served != url else None,
                         )
                 except urllib.error.HTTPError as e:
                     if e.code == 304:
                         # not modified: keep the validators we sent —
                         # they still identify the cached copy
-                        return None, 304, etag, last_mod
+                        return None, 304, etag, last_mod, None
                     # keep the real status (404/500/...) so live fetches
                     # and CorpusFetcher replays agree on the column
-                    return None, int(e.code), None, None
+                    return None, int(e.code), None, None, None
                 except ContentDecodeError:
                     # gzip bomb / truncated stream: the body is
                     # unusable and must not leak through as page text
-                    return None, 0, None, None
+                    return None, 0, None, None, None
                 except Exception:
-                    return None, 0, None, None  # timeout / DNS / refused
+                    return None, 0, None, None, None  # timeout / DNS / refused
 
             for pdf in batches:
-                html, status, etags, lms = [], [], [], []
+                html, status, etags, lms, finals = [], [], [], [], []
                 in_etag = (
                     pdf["etag"] if has_etag else [None] * len(pdf)
                 )
@@ -269,7 +278,7 @@ class HttpFetcher:
                     pdf["last_modified"] if has_lm else [None] * len(pdf)
                 )
                 for url, et, lm in zip(pdf["url"], in_etag, in_lm):
-                    b, s, ret, rlm = get(
+                    b, s, ret, rlm, fin = get(
                         url,
                         et if isinstance(et, str) and et else None,
                         lm if isinstance(lm, str) and lm else None,
@@ -278,6 +287,7 @@ class HttpFetcher:
                     status.append(s)
                     etags.append(ret)
                     lms.append(rlm)
+                    finals.append(fin)
                 pdf = pdf.copy()
                 if revalidate:
                     pdf = pdf.drop(
@@ -286,6 +296,7 @@ class HttpFetcher:
                     )
                 pdf["html"] = pd.Series(html, dtype=object)
                 pdf["status"] = status
+                pdf["final_url"] = pd.Series(finals, dtype=object)
                 if revalidate:
                     pdf["etag"] = pd.Series(etags, dtype=object)
                     pdf["last_modified"] = pd.Series(lms, dtype=object)

@@ -112,7 +112,7 @@ PROCESS_SCHEMA = StructType(
         StructField("page_url", StringType(), False),
         StructField("page_seq", LongType(), False),
         StructField("depth", IntegerType(), False),
-        StructField("kind", StringType(), False),  # link | record | error
+        StructField("kind", StringType(), False),  # link | record | error | redirect
         StructField("seq", IntegerType(), False),
         StructField("value", StringType(), True),
     ]
@@ -325,14 +325,25 @@ class Crawler:
                     out["seq"].append(i)
                     out["value"].append(value)
 
-                for url, html, pseq, depth in zip(
-                    pdf["url"], pdf["html"], pdf["page_seq_assigned"], pdf["depth"]
+                for url, html, pseq, depth, finu in zip(
+                    pdf["url"], pdf["html"], pdf["page_seq_assigned"],
+                    pdf["depth"], pdf["final_url"],
                 ):
                     if html is None:
                         emit(url, pseq, depth, "error", 0, "fetch failed: 404")
                         continue
+                    # a 3xx chain was followed: relative links resolve
+                    # against the URL the body was SERVED from, and the
+                    # target is recorded so the frontier can mark it
+                    # seen-but-not-queued (its content is already held
+                    # under the requested URL)
+                    base = finu if isinstance(finu, str) and finu else url
+                    if base != url:
+                        canon = canonicalize_url(base)
+                        if canon is not None and canon != canonicalize_url(url):
+                            emit(url, pseq, depth, "redirect", 0, canon)
                     root = parse_html(html)
-                    for i, target in enumerate(extract_links(root, url)):
+                    for i, target in enumerate(extract_links(root, base)):
                         if target is not None:
                             emit(url, pseq, depth, "link", i, target)
                     if interp is not None:
@@ -488,8 +499,13 @@ class Crawler:
         # sandbox/replay path) or HttpFetcher (real GETs in mapInPandas)
         fetched = self.fetcher.fetch(claimed)
 
+        has_final = "final_url" in fetched.columns
+        fin_col = (
+            F.col("final_url") if has_final
+            else F.lit(None).cast("string").alias("final_url")
+        )
         processed = fetched.select(
-            "url", "html", "page_seq_assigned", "depth"
+            "url", "html", "page_seq_assigned", "depth", fin_col
         ).mapInPandas(self._process_batch_udf(), schema=PROCESS_SCHEMA)
         processed = processed.cache()
 
@@ -576,6 +592,53 @@ class Crawler:
             )
         new_urls = definitely_new.unionByName(maybe)
 
+        # --- redirect targets: seen-but-not-queued ---------------------
+        # Content behind a 3xx is already held under the requested URL;
+        # the served URL joins the seen set (and the frontier log, with
+        # excluded='redirect') so later links to it are not refetched.
+        # Only the HttpFetcher path can produce these (CorpusFetcher has
+        # no final_url column), and the count probe below is a cached-
+        # input job, so corpus replays and redirect-free crawls add no
+        # shuffle work here.
+        red_urls = None
+        if has_final and (
+            processed.filter(F.col("kind") == "redirect").limit(1).count() > 0
+        ):
+            red = (
+                processed.filter(F.col("kind") == "redirect")
+                .select(
+                    F.col("value").alias("url"),
+                    "depth",
+                    "page_seq",
+                    F.lit(-1).cast("int").alias("link_seq"),
+                )
+                .groupBy("url")
+                .agg(F.min(F.struct("page_seq", "link_seq", "depth")).alias("s"))
+                .select(
+                    "url",
+                    F.col("s.depth").alias("depth"),
+                    F.col("s.page_seq").alias("page_seq"),
+                    F.col("s.link_seq").alias("link_seq"),
+                )
+            )
+            red_flagged = self._maybe_seen_filter(self._with_bucket(red))
+            red_new = red_flagged.filter(F.col("maybe_seen") == "n").drop(
+                "maybe_seen"
+            )
+            red_maybe = red_flagged.filter(F.col("maybe_seen") == "y").drop(
+                "maybe_seen"
+            )
+            if self._seen_df is not None:
+                red_maybe = red_maybe.join(
+                    self._seen_df.select("url"), on="url", how="left_anti"
+                )
+            red_urls = red_new.unionByName(red_maybe)
+            # a same-batch link to the redirect target is already-held
+            # content — never queue it
+            new_urls = new_urls.join(
+                red_urls.select("url"), on="url", how="left_anti"
+            )
+
         new_frontier = (
             new_urls.withColumn("host", F.expr("parse_url(url, 'HOST')"))
             .withColumn("host", F.lower(F.coalesce(F.col("host"), F.lit(""))))
@@ -587,6 +650,21 @@ class Crawler:
                 "url", "host", "depth", "page_seq", "link_seq", "priority", "batch", "bucket"
             )
         )
+        if red_urls is not None:
+            red_frontier = (
+                red_urls.withColumn("host", F.expr("parse_url(url, 'HOST')"))
+                .withColumn(
+                    "host", F.lower(F.coalesce(F.col("host"), F.lit("")))
+                )
+                .withColumn("priority", F.lit(self.cfg.default_priority))
+                .withColumn("batch", F.lit(batch).cast("long"))
+                .select(
+                    "url", "host", "depth", "page_seq", "link_seq",
+                    "priority", "batch", "bucket",
+                )
+                .withColumn("excluded", F.lit("redirect"))
+            )
+            new_frontier = new_frontier.unionByName(red_frontier)
 
         new_frontier = new_frontier.cache()
 

@@ -518,7 +518,10 @@ def test_revalidate_off_keeps_plain_schema(spark):
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         df = spark.createDataFrame([(f"{base}/a.html",)], "url string")
         out = HttpFetcher(timeout_s=5.0, crawl_delay_s=0.0).fetch(df)
-        assert out.columns == ["url", "html", "status"]
-        assert out.collect()[0].status == 200
+        # plain schema: no validator columns; final_url is part of the
+        # base fetch contract (null unless the server redirected)
+        assert out.columns == ["url", "html", "status", "final_url"]
+        row = out.collect()[0]
+        assert row.status == 200 and row.final_url is None
     finally:
         srv.shutdown()
