@@ -98,13 +98,40 @@ class CrawlConfig:
 
 def extract_links(root, base_url: str) -> list[Optional[str]]:
     """All ``<a href>`` targets in document order, resolved against the
-    page URL and canonicalized (None for unusable hrefs).  Shared with
-    the sequential reference simulator — identical by construction."""
+    page URL and canonicalized (None for unusable hrefs, INCLUDING
+    ``rel=nofollow`` anchors — the position is kept so link_seq
+    lineage stays stable).  Shared with the sequential reference
+    simulator — identical by construction."""
     out: list[Optional[str]] = []
     for el in root.descendants():
         if el.tag == "a" and "href" in el.attrs:
-            out.append(resolve_and_canonicalize(el.attrs["href"], base_url))
+            rel = el.attrs.get("rel", "").lower().split()
+            if "nofollow" in rel:
+                out.append(None)
+            else:
+                out.append(
+                    resolve_and_canonicalize(el.attrs["href"], base_url)
+                )
     return out
+
+
+def page_robots_directives(root) -> frozenset:
+    """Lowercased directive tokens from every ``<meta name="robots">``
+    tag (comma- or space-separated); ``none`` expands to
+    ``noindex + nofollow`` per the de-facto standard.  Page-level
+    ``nofollow`` drops every outlink, ``noindex`` suppresses the
+    extracted record while links are still followed."""
+    toks: set[str] = set()
+    for el in root.descendants():
+        if (
+            el.tag == "meta"
+            and el.attrs.get("name", "").strip().lower() == "robots"
+        ):
+            for t in el.attrs.get("content", "").replace(",", " ").split():
+                toks.add(t.strip().lower())
+    if "none" in toks:
+        toks |= {"noindex", "nofollow"}
+    return frozenset(toks)
 
 
 PROCESS_SCHEMA = StructType(
@@ -343,10 +370,12 @@ class Crawler:
                         if canon is not None and canon != canonicalize_url(url):
                             emit(url, pseq, depth, "redirect", 0, canon)
                     root = parse_html(html)
-                    for i, target in enumerate(extract_links(root, base)):
-                        if target is not None:
-                            emit(url, pseq, depth, "link", i, target)
-                    if interp is not None:
+                    directives = page_robots_directives(root)
+                    if "nofollow" not in directives:
+                        for i, target in enumerate(extract_links(root, base)):
+                            if target is not None:
+                                emit(url, pseq, depth, "link", i, target)
+                    if interp is not None and "noindex" not in directives:
                         try:
                             rec = interp.interpret_document(statements, root, url)
                             emit(url, pseq, depth, "record", 0, to_json(rec))

@@ -22,7 +22,12 @@ from ..functions.interpreter import Interpreter, warm_selectors
 from ..functions.value import to_json
 from ..plans.parser import parse_program
 from .canonicalize import canonicalize_url, host_of
-from .crawl import ALLOWED_SCHEMES, CrawlConfig, extract_links
+from .crawl import (
+    ALLOWED_SCHEMES,
+    CrawlConfig,
+    extract_links,
+    page_robots_directives,
+)
 from .robots import RobotsPolicy
 
 
@@ -97,7 +102,8 @@ class SequentialCrawler:
             if html is None:
                 continue
             root = parse_html(html)
-            if self.statements is not None:
+            directives = page_robots_directives(root)
+            if self.statements is not None and "noindex" not in directives:
                 try:
                     rec = self.interp.interpret_document(
                         self.statements, root, url
@@ -106,6 +112,8 @@ class SequentialCrawler:
                 except Exception:
                     pass
             if depth >= self.cfg.max_depth:
+                continue
+            if "nofollow" in directives:
                 continue
             for link_seq, target in enumerate(extract_links(root, url)):
                 if target is None:

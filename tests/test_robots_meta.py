@@ -1,0 +1,123 @@
+"""rel=nofollow / <meta name=robots> semantics: anchor-level and
+page-level nofollow drop outlinks, noindex suppresses the record while
+links are still followed, and the distributed crawl matches the
+sequential simulator byte-for-byte on a corpus that exercises all of
+it (both sides share the same directive functions by construction —
+this pins the BEHAVIOR, not just the sharing).
+"""
+
+from scrapelect_spark.functions.dom import parse_html
+from scrapelect_spark.streaming.crawl import (
+    Crawler,
+    CrawlConfig,
+    extract_links,
+    page_robots_directives,
+)
+from scrapelect_spark.streaming.reference_sim import SequentialCrawler
+
+PROG = 'title: h1 { t: $element | text(); } | take(key: "t");'
+
+
+def test_rel_nofollow_keeps_positions():
+    html = (
+        '<html><body>'
+        '<a href="/a.html">a</a>'
+        '<a rel="nofollow" href="/b.html">b</a>'
+        '<a rel="NOFOLLOW noopener" href="/c.html">c</a>'
+        '<a rel="noopener" href="/d.html">d</a>'
+        "</body></html>"
+    )
+    links = extract_links(parse_html(html), "http://x.test/p.html")
+    assert links == [
+        "http://x.test/a.html",
+        None,  # nofollow — position kept so link_seq lineage is stable
+        None,  # case-insensitive, multi-token rel
+        "http://x.test/d.html",
+    ]
+
+
+def test_page_robots_directives():
+    def d(meta):
+        return page_robots_directives(
+            parse_html(f"<html><head>{meta}</head><body></body></html>")
+        )
+
+    assert d('<meta name="robots" content="noindex, nofollow">') == {
+        "noindex", "nofollow",
+    }
+    assert d('<meta name="ROBOTS" content="NOINDEX">') == {"noindex"}
+    assert d('<meta name="robots" content="none">') >= {
+        "noindex", "nofollow",
+    }
+    assert d('<meta name="viewport" content="width=1">') == frozenset()
+    assert d("") == frozenset()
+    # two tags merge
+    assert d(
+        '<meta name="robots" content="noindex">'
+        '<meta name="robots" content="nofollow">'
+    ) == {"noindex", "nofollow"}
+
+
+def _corpus(base):
+    return {
+        f"{base}/root.html": (
+            "<html><body><h1>root</h1>"
+            f'<a href="{base}/noidx.html">ni</a>'
+            f'<a href="{base}/nofol.html">nf</a>'
+            f'<a rel="nofollow" href="{base}/orphan.html">o</a>'
+            "</body></html>"
+        ),
+        # noindex: no record, but its link IS followed
+        f"{base}/noidx.html": (
+            '<html><head><meta name="robots" content="noindex"></head>'
+            f'<body><h1>noidx</h1><a href="{base}/leaf.html">l</a>'
+            "</body></html>"
+        ),
+        # page-level nofollow: record kept, outlink dropped
+        f"{base}/nofol.html": (
+            '<html><head><meta name="robots" content="nofollow"></head>'
+            f'<body><h1>nofol</h1><a href="{base}/dead.html">d</a>'
+            "</body></html>"
+        ),
+        f"{base}/leaf.html": "<html><body><h1>leaf</h1></body></html>",
+        f"{base}/orphan.html": "<html><body><h1>orphan</h1></body></html>",
+        f"{base}/dead.html": "<html><body><h1>dead</h1></body></html>",
+    }
+
+
+def test_crawl_honors_meta_robots(spark, tmp_path):
+    base = "http://m.test"
+    corpus = _corpus(base)
+    corpus_df = spark.createDataFrame(
+        list(corpus.items()), "url string, html string"
+    )
+    seeds = [(f"{base}/root.html", 0)]
+    cfg = CrawlConfig(
+        batch_size=8, per_host_limit=8, fetch_partitions=2, compact_every=0
+    )
+
+    c = Crawler(
+        spark, str(tmp_path / "m"), corpus_df, seeds, program=PROG,
+        config=cfg,
+    )
+    c.run(max_batches=5)
+    sim = SequentialCrawler(corpus, seeds, program=PROG, config=cfg)
+    sim.run()
+
+    visited = {u for u, _, _ in c.visit_log()}
+    # anchor-level nofollow: orphan never discovered
+    assert f"{base}/orphan.html" not in visited
+    # page-level nofollow: dead never discovered
+    assert f"{base}/dead.html" not in visited
+    # noindex page itself IS crawled and its links followed
+    assert f"{base}/noidx.html" in visited
+    assert f"{base}/leaf.html" in visited
+
+    recs = c.records_json()
+    assert f"{base}/noidx.html" not in recs     # noindex → no record
+    assert '"nofol"' in recs[f"{base}/nofol.html"]  # nofollow → record kept
+    assert '"leaf"' in recs[f"{base}/leaf.html"]
+
+    # distributed crawl ≡ sequential simulator, byte-for-byte
+    assert c.visit_log() == sim.visit_log
+    assert c.records_json() == sim.records
