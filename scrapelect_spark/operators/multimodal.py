@@ -2556,7 +2556,125 @@ ORDER BY doc_id
 """
 
 
+def extract_audio_tags(
+    audio: DataFrame, bytes_col: str = "bytes", id_col: str = "audio_id"
+) -> DataFrame:
+    """(id, audio bytes) → ID3 tag metadata (title/artist/album/track/
+    year + tag_version) — the audio analogue of EXIF extraction: a
+    crawl corpus keeps authorship/date/source metadata for diversity
+    and temporal splits.  ID3v2.{2,3,4} headers take precedence over
+    the ID3v1 trailer; untagged or malformed audio becomes a
+    ``failed=1`` row, never a dead batch.  Arrow-batched
+    ``mapInPandas``, rows fully independent → partition-parallel."""
+    from ..sources.id3 import parse_id3v1, parse_id3v2
+
+    schema = (
+        f"{id_col} long, title string, artist string, album string, "
+        "track string, year string, tag_version string, failed long"
+    )
+    fields = ("title", "artist", "album", "track", "year")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (id_col, *fields, "tag_version", "failed")}
+            for aid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                out[id_col].append(aid)
+                try:
+                    raw = bytes(raw)
+                    v2 = parse_id3v2(raw)
+                    if v2 is not None:
+                        tags, version = v2[0], f"2.{raw[3]}"
+                    else:
+                        tags = parse_id3v1(raw)
+                        if tags is None:
+                            raise ValueError("no ID3 tag")
+                        version = "1"
+                    for f_ in fields:
+                        out[f_].append(tags.get(f_))
+                    out["tag_version"].append(version)
+                    out["failed"].append(0)
+                except Exception:  # noqa: BLE001 — permissive corpus
+                    for f_ in fields:
+                        out[f_].append(None)
+                    out["tag_version"].append(None)
+                    out["failed"].append(1)
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(run, schema=schema)
+
+
+def audio_id3_extract(spark, sf_dir: str) -> DataFrame:
+    """Gate for ID3 tag extraction: per doc build a tagged blob whose
+    version and text-encoding rotate by doc_id%4 — v2.3 latin-1,
+    v2.3 UTF-16+BOM, v2.4 UTF-8 (TDRC year frame), ID3v1.1 trailer
+    only — all carrying the same doc_id-derived strings (with a
+    non-ASCII 'í' so the three text encodings are actually
+    distinguishable on the wire).  Docs ≡0 (mod 23) get untagged
+    bytes and must error-capture.  The oracle reproduces every string
+    in closed form."""
+    from .tables import load, spread
+    from ..sources.id3 import encode_id3v1, encode_id3v2
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 240))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                tags = {
+                    "title": f"Títle {doc_id}",
+                    "artist": f"Artist {doc_id % 7}",
+                    "album": f"Album {doc_id % 5}",
+                    "track": str(doc_id % 30 + 1),
+                    "year": str(1970 + doc_id % 50),
+                }
+                payload = b"\x00" * 16
+                if doc_id % 23 == 0:
+                    blob = payload  # untagged
+                elif doc_id % 4 == 0:
+                    blob = encode_id3v2(tags, payload, version=3, encoding=0)
+                elif doc_id % 4 == 1:
+                    blob = encode_id3v2(tags, payload, version=3, encoding=1)
+                elif doc_id % 4 == 2:
+                    blob = encode_id3v2(tags, payload, version=4, encoding=3)
+                else:
+                    blob = encode_id3v1(tags, payload)
+                ids.append(doc_id)
+                blobs.append(blob)
+            yield pd.DataFrame({"audio_id": ids, "bytes": blobs})
+
+    audio = d.select("doc_id").mapInPandas(
+        synth, schema="audio_id long, bytes binary"
+    )
+    return extract_audio_tags(audio).orderBy("audio_id")
+
+
+_ID3_SQL = """
+SELECT doc_id AS audio_id,
+       CASE WHEN doc_id % 23 = 0 THEN NULL
+            ELSE 'Títle ' || doc_id END AS title,
+       CASE WHEN doc_id % 23 = 0 THEN NULL
+            ELSE 'Artist ' || (doc_id % 7) END AS artist,
+       CASE WHEN doc_id % 23 = 0 THEN NULL
+            ELSE 'Album ' || (doc_id % 5) END AS album,
+       CASE WHEN doc_id % 23 = 0 THEN NULL
+            ELSE CAST(doc_id % 30 + 1 AS VARCHAR) END AS track,
+       CASE WHEN doc_id % 23 = 0 THEN NULL
+            ELSE CAST(1970 + doc_id % 50 AS VARCHAR) END AS year,
+       CASE WHEN doc_id % 23 = 0 THEN NULL
+            WHEN doc_id % 4 = 0 THEN '2.3'
+            WHEN doc_id % 4 = 1 THEN '2.3'
+            WHEN doc_id % 4 = 2 THEN '2.4'
+            ELSE '1' END AS tag_version,
+       CAST(doc_id % 23 = 0 AS BIGINT) AS failed
+FROM documents WHERE doc_id < 240
+ORDER BY audio_id
+"""
+
+
 QUERIES = {
+    "audio_id3_extract": audio_id3_extract,
     "audio_wav_features": audio_wav_features,
     "audio_adpcm_roundtrip": audio_adpcm_roundtrip,
     "audio_adpcm_stereo": audio_adpcm_stereo,
@@ -2584,6 +2702,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "audio_id3_extract": _ID3_SQL,
     "audio_wav_features": _AUDIO_SQL,
     "audio_adpcm_roundtrip": _ADPCM_SQL,
     "audio_adpcm_stereo": _ADPCM_STEREO_SQL,
