@@ -1104,6 +1104,157 @@ ORDER BY image_id
 """
 
 
+def autorotate_stats(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """(id, JPEG bytes) → EXIF-orientation-aware decode: parse tag 274
+    from the APP1 segment (default 1 when absent), undo the rotation
+    with :func:`sources.exif.apply_orientation`, and report the
+    upright geometry plus the brightest-quadrant corner (0 TL, 1 TR,
+    2 BL, 3 BR by luma sum) — the probe that proves the PIXELS were
+    rotated, not just the dimensions.  Cameras store sideways sensor
+    data + orientation; a curation pipeline must upright images
+    before hashing/training or mirrored/rotated near-dups split.
+    Per-row error capture; Arrow-batched ``mapInPandas``."""
+    from .multimodal import decode_image
+    from ..sources.exif import TAG_ORIENTATION, apply_orientation, parse_exif_jpeg
+
+    schema = (
+        f"{id_col} long, orientation long, w int, h int, "
+        "bright_corner long, failed long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "orientation", "w", "h", "bright_corner", "failed"
+            )}
+            for iid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                out[id_col].append(iid)
+                try:
+                    raw = bytes(raw)
+                    try:
+                        o = int(
+                            parse_exif_jpeg(raw).get(TAG_ORIENTATION, 1)
+                        )
+                    except Exception:
+                        o = 1  # no/malformed EXIF: stored data is upright
+                    arr = decode_image(raw, "jpeg")
+                    up = apply_orientation(arr, o if 1 <= o <= 8 else 1)
+                    luma = (
+                        up[:, :, 0].astype(np.int64) * 299
+                        + up[:, :, 1].astype(np.int64) * 587
+                        + up[:, :, 2].astype(np.int64) * 114
+                    )
+                    h, w = luma.shape
+                    hh, hw = h // 2, w // 2
+                    quads = [
+                        int(luma[:hh, :hw].sum()),   # 0 TL
+                        int(luma[:hh, hw:].sum()),   # 1 TR
+                        int(luma[hh:, :hw].sum()),   # 2 BL
+                        int(luma[hh:, hw:].sum()),   # 3 BR
+                    ]
+                    out["orientation"].append(o)
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["bright_corner"].append(
+                        int(np.argmax(np.array(quads)))
+                    )
+                    out["failed"].append(0)
+                except Exception:  # noqa: BLE001 — permissive corpus
+                    for k in ("orientation", "w", "h", "bright_corner"):
+                        out[k].append(None)
+                    out["failed"].append(1)
+            yield pd.DataFrame(
+                {
+                    id_col: out[id_col],
+                    "orientation": pd.array(
+                        out["orientation"], dtype="Int64"
+                    ),
+                    "w": pd.array(out["w"], dtype="Int32"),
+                    "h": pd.array(out["h"], dtype="Int32"),
+                    "bright_corner": pd.array(
+                        out["bright_corner"], dtype="Int64"
+                    ),
+                    "failed": out["failed"],
+                }
+            )
+
+    return images.mapInPandas(run, schema=schema)
+
+
+def image_autorotate(spark, sf_dir: str) -> DataFrame:
+    """Gate for EXIF auto-rotation: a 32×48 JPEG whose top-left
+    quadrant is bright (220 on 40 — JPEG loss cannot flip a 180-luma
+    quadrant margin) is tagged with orientation ``1 + doc_id % 8``
+    (byte order alternating II/MM).  After uprighting, the bright
+    quadrant must land at the spec corner — ``[TL,TR,BR,BL][(o−1)%4]``
+    — and dims swap exactly for orientations 5-8.  Docs ≡0 (mod 10)
+    carry no EXIF (→ orientation 1, no rotation); docs ≡0 (mod 23)
+    are truncated and must error-capture."""
+    from .tables import load, spread
+    from ..sources import exif as E
+    from ..sources.jpeg import encode_jpeg
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 240))
+
+    base = np.full((32, 48, 3), 40, np.uint8)
+    base[:16, :24] = 220
+    base_jpeg = encode_jpeg(base)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 10 == 0:
+                    blob = base_jpeg
+                else:
+                    bo = "II" if doc_id % 2 == 0 else "MM"
+                    blob = E.insert_exif_jpeg(
+                        base_jpeg,
+                        E.build_tiff(
+                            {E.TAG_ORIENTATION: 1 + doc_id % 8}, bo
+                        ),
+                    )
+                if doc_id % 23 == 0:
+                    blob = blob[: len(blob) // 2]
+                ids.append(doc_id)
+                blobs.append(blob)
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    images = d.select("doc_id").mapInPandas(
+        synth, schema="image_id long, bytes binary"
+    )
+    return autorotate_stats(images).orderBy("image_id")
+
+
+_AUTOROTATE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 23 = 0 AS fail,
+         CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 1 + doc_id % 8 END AS o
+  FROM documents WHERE doc_id < 240
+)
+SELECT doc_id AS image_id,
+       CAST(CASE WHEN fail THEN NULL ELSE o END AS BIGINT) AS orientation,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN o >= 5 THEN 32 ELSE 48 END AS INTEGER) AS w,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN o >= 5 THEN 48 ELSE 32 END AS INTEGER) AS h,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN (o - 1) % 4 = 0 THEN 0
+            WHEN (o - 1) % 4 = 1 THEN 1
+            WHEN (o - 1) % 4 = 2 THEN 3
+            ELSE 2 END AS BIGINT) AS bright_corner,
+       CAST(fail AS BIGINT) AS failed
+FROM p
+ORDER BY image_id
+"""
+
+
 QUERIES = {
     "image_exif_extract": image_exif_extract,
     "image_phash_neardup": image_phash_neardup,
@@ -1114,6 +1265,7 @@ QUERIES = {
     "image_phash_clusters": image_phash_clusters,
     "image_color_stats": image_color_stats,
     "image_border_stats": image_border_stats,
+    "image_autorotate": image_autorotate,
 }
 
 ORACLE_SQL = {
@@ -1126,4 +1278,5 @@ ORACLE_SQL = {
     "image_phash_clusters": _PHASH_CLUSTERS_SQL,
     "image_color_stats": _COLOR_STATS_SQL,
     "image_border_stats": _BORDER_STATS_SQL,
+    "image_autorotate": _AUTOROTATE_SQL,
 }

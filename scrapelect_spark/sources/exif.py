@@ -230,3 +230,34 @@ def insert_exif_jpeg(jpeg: bytes, tiff: bytes) -> bytes:
         raise ValueError("exif: APP1 payload too large")
     seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
     return jpeg[:2] + seg + jpeg[2:]
+
+
+def apply_orientation(arr, orientation: int):
+    """Undo a TIFF/EXIF orientation (tag 274) on an HxWxC pixel array —
+    the transform that renders the stored data upright, matching the
+    de-facto standard table (TIFF 6.0 §Orientation; same mapping as
+    PIL's exif_transpose).  Returns a contiguous copy; orientation 1
+    (or anything out of range → treated as malformed) must be handled
+    by the caller — this raises on values outside 1..8."""
+    import numpy as np
+
+    if not 1 <= int(orientation) <= 8:
+        raise ValueError(f"bad EXIF orientation {orientation}")
+    o = int(orientation)
+    if o == 1:
+        out = arr
+    elif o == 2:          # mirrored horizontally
+        out = arr[:, ::-1]
+    elif o == 3:          # rotated 180
+        out = arr[::-1, ::-1]
+    elif o == 4:          # mirrored vertically
+        out = arr[::-1]
+    elif o == 5:          # transposed (flip along TL-BR diagonal)
+        out = arr.transpose(1, 0, 2)
+    elif o == 6:          # rotated 90 CW to display
+        out = np.rot90(arr, -1)
+    elif o == 7:          # transverse (flip along TR-BL diagonal)
+        out = arr.transpose(1, 0, 2)[::-1, ::-1]
+    else:                 # 8: rotated 90 CCW to display
+        out = np.rot90(arr, 1)
+    return np.ascontiguousarray(out)

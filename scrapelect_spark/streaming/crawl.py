@@ -98,10 +98,24 @@ class CrawlConfig:
 
 def extract_links(root, base_url: str) -> list[Optional[str]]:
     """All ``<a href>`` targets in document order, resolved against the
-    page URL and canonicalized (None for unusable hrefs, INCLUDING
-    ``rel=nofollow`` anchors — the position is kept so link_seq
-    lineage stays stable).  Shared with the sequential reference
-    simulator — identical by construction."""
+    page's effective base and canonicalized (None for unusable hrefs,
+    INCLUDING ``rel=nofollow`` anchors — the position is kept so
+    link_seq lineage stays stable).  The effective base honors the
+    document's first ``<base href>`` (itself resolved against the page
+    URL, per the HTML spec); with no base tag it is the page URL —
+    which the crawl loop already sets to the SERVED url after a
+    redirect.  Shared with the sequential reference simulator —
+    identical by construction."""
+    from urllib.parse import urljoin
+
+    effective = base_url
+    for el in root.descendants():
+        if el.tag == "base" and "href" in el.attrs:
+            try:
+                effective = urljoin(base_url, el.attrs["href"].strip())
+            except ValueError:
+                pass
+            break  # the spec honors only the FIRST base element
     out: list[Optional[str]] = []
     for el in root.descendants():
         if el.tag == "a" and "href" in el.attrs:
@@ -110,7 +124,7 @@ def extract_links(root, base_url: str) -> list[Optional[str]]:
                 out.append(None)
             else:
                 out.append(
-                    resolve_and_canonicalize(el.attrs["href"], base_url)
+                    resolve_and_canonicalize(el.attrs["href"], effective)
                 )
     return out
 

@@ -187,3 +187,41 @@ def test_phash_neardup_pigeonhole_worst_case(spark):
     got = {(r.doc_a, r.doc_b)
            for r in phash_neardup(df, max_hamming=7).collect()}
     assert got == {(0, 1)}
+
+
+# ------------------------------------------------------- orientation
+
+
+def test_apply_orientation_mappings():
+    import numpy as np
+
+    from scrapelect_spark.sources.exif import apply_orientation
+
+    a = np.arange(2 * 3 * 1, dtype=np.int64).reshape(2, 3, 1)
+    # stored array: [[0,1,2],[3,4,5]] — hand-computed upright results
+    exp = {
+        1: [[0, 1, 2], [3, 4, 5]],
+        2: [[2, 1, 0], [5, 4, 3]],            # mirror horizontal
+        3: [[5, 4, 3], [2, 1, 0]],            # rotate 180
+        4: [[3, 4, 5], [0, 1, 2]],            # mirror vertical
+        5: [[0, 3], [1, 4], [2, 5]],          # transpose
+        6: [[3, 0], [4, 1], [5, 2]],          # 90 CW
+        7: [[5, 2], [4, 1], [3, 0]],          # transverse
+        8: [[2, 5], [1, 4], [0, 3]],          # 90 CCW
+    }
+    for o, want in exp.items():
+        got = apply_orientation(a, o)[:, :, 0].tolist()
+        assert got == want, (o, got)
+
+    # mirrors and 180 are involutions; 6∘8 is identity
+    for o in (2, 3, 4, 5, 7):
+        assert (
+            apply_orientation(apply_orientation(a, o), o) == a
+        ).all(), o
+    assert (apply_orientation(apply_orientation(a, 6), 8) == a).all()
+
+    import pytest as _pytest
+
+    for bad in (0, 9, -1):
+        with _pytest.raises(ValueError):
+            apply_orientation(a, bad)

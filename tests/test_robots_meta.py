@@ -36,6 +36,35 @@ def test_rel_nofollow_keeps_positions():
     ]
 
 
+def test_base_href_resolution():
+    html = (
+        '<html><head><base href="/deep/dir/"></head><body>'
+        '<a href="rel.html">r</a>'
+        '<a href="/abs.html">a</a>'
+        '<a href="http://other.test/x.html">x</a>'
+        "</body></html>"
+    )
+    links = extract_links(parse_html(html), "http://x.test/p.html")
+    assert links == [
+        "http://x.test/deep/dir/rel.html",   # against the base element
+        "http://x.test/abs.html",            # absolute path unaffected
+        "http://other.test/x.html",          # absolute URL unaffected
+    ]
+    # base itself resolves against the page URL when relative; only
+    # the FIRST base element counts
+    html2 = (
+        '<html><head><base href="sub/"><base href="/other/"></head>'
+        '<body><a href="leaf.html">l</a></body></html>'
+    )
+    links2 = extract_links(parse_html(html2), "http://x.test/a/p.html")
+    assert links2 == ["http://x.test/a/sub/leaf.html"]
+    # no base tag: unchanged behavior
+    html3 = '<html><body><a href="leaf.html">l</a></body></html>'
+    assert extract_links(parse_html(html3), "http://x.test/a/p.html") == [
+        "http://x.test/a/leaf.html"
+    ]
+
+
 def test_page_robots_directives():
     def d(meta):
         return page_robots_directives(
