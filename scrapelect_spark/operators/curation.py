@@ -208,9 +208,169 @@ ORDER BY image_id
 """
 
 
+def extract_image_refs(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page url, html) → one row per image REFERENCE in document
+    order: ``<img src>``, every ``srcset`` candidate (descriptor kept:
+    '1x'/'2x'/'640w'…), and the ``data-src`` lazy-loading fallback.
+    URLs resolve against the page's effective base (``<base href>``
+    honored, same helper as the crawl's link extraction) and are
+    canonicalized, so the output joins directly against the frontier /
+    WARC store.  This is the ingestion FRONT-END of the image+caption
+    pair cascade: (img_url, alt) pairs feed the fetch stage and then
+    :func:`curate_image_caption_pairs`.  Arrow-batched
+    ``mapInPandas``, shuffle-free — scan → flat-map, embarrassingly
+    parallel at any corpus size."""
+    from ..functions.dom import parse_html
+    from ..streaming.canonicalize import resolve_and_canonicalize
+    from ..streaming.crawl import effective_base
+
+    schema = (
+        "page_url string, seq int, img_url string, alt string, "
+        "source string, descriptor string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "page_url", "seq", "img_url", "alt", "source", "descriptor"
+            )}
+
+            def emit(url, seq, img, alt, src_kind, desc):
+                out["page_url"].append(url)
+                out["seq"].append(seq)
+                out["img_url"].append(img)
+                out["alt"].append(alt)
+                out["source"].append(src_kind)
+                out["descriptor"].append(desc)
+
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                root = parse_html(html)
+                base = effective_base(root, url)
+                seq = 0
+                for el in root.descendants():
+                    if el.tag != "img":
+                        continue
+                    alt = el.attrs.get("alt")
+                    if "src" in el.attrs:
+                        r = resolve_and_canonicalize(el.attrs["src"], base)
+                        if r is not None:
+                            emit(url, seq, r, alt, "src", None)
+                            seq += 1
+                    if "srcset" in el.attrs:
+                        for cand in el.attrs["srcset"].split(","):
+                            parts = cand.strip().split()
+                            if not parts:
+                                continue
+                            r = resolve_and_canonicalize(parts[0], base)
+                            if r is None:
+                                continue
+                            desc = parts[1] if len(parts) > 1 else "1x"
+                            emit(url, seq, r, alt, "srcset", desc)
+                            seq += 1
+                    if "src" not in el.attrs and "data-src" in el.attrs:
+                        r = resolve_and_canonicalize(
+                            el.attrs["data-src"], base
+                        )
+                        if r is not None:
+                            emit(url, seq, r, alt, "data-src", None)
+                            seq += 1
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(run, schema=schema)
+
+
+def crawl_image_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for image-reference extraction: per doc synthesize a page
+    at ``http://d{doc_id%8}.test/p/{doc_id}.html`` with
+    ``1 + doc_id%3`` plain relative ``<img src>`` tags (resolved
+    against the page DIRECTORY — the relative-URL path), docs ≡0
+    (mod 4) add a 2-candidate ``srcset`` image, docs ≡0 (mod 5) a
+    lazy ``data-src`` image with no alt.  The oracle reproduces every
+    resolved URL, alt string, source kind, descriptor, and
+    document-order seq in closed form."""
+    from .tables import load, spread
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = 1 + doc_id % 3
+                body = "".join(
+                    f'<img src="img/{doc_id}_{i}.png" alt="alt {doc_id} {i}">'
+                    for i in range(k)
+                )
+                if doc_id % 4 == 0:
+                    body += (
+                        f'<img alt="ss {doc_id}" '
+                        f'srcset="s/{doc_id}_a.png 1x, s/{doc_id}_b.png 2x">'
+                    )
+                if doc_id % 5 == 0:
+                    body += f'<img data-src="lazy/{doc_id}.png">'
+                urls.append(f"http://d{doc_id % 8}.test/p/{doc_id}.html")
+                htmls.append(f"<html><body>{body}</body></html>")
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.select("doc_id").mapInPandas(
+        synth, schema="url string, html string"
+    )
+    return extract_image_refs(pages).orderBy("page_url", "seq")
+
+
+_IMAGE_REFS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         1 + doc_id % 3 AS k,
+         'http://d' || (doc_id % 8) || '.test/p/' AS dir,
+         'http://d' || (doc_id % 8) || '.test/p/' || doc_id || '.html'
+           AS page_url
+  FROM documents WHERE doc_id < 300
+),
+plain AS (
+  SELECT page_url, CAST(i AS INTEGER) AS seq,
+         dir || 'img/' || doc_id || '_' || i || '.png' AS img_url,
+         'alt ' || doc_id || ' ' || i AS alt,
+         'src' AS source, CAST(NULL AS VARCHAR) AS descriptor
+  FROM p, (SELECT UNNEST([0, 1, 2]) AS i)
+  WHERE i < k
+),
+sset AS (
+  SELECT page_url, CAST(k + j AS INTEGER) AS seq,
+         dir || 's/' || doc_id || '_'
+             || CASE WHEN j = 0 THEN 'a' ELSE 'b' END || '.png' AS img_url,
+         'ss ' || doc_id AS alt,
+         'srcset' AS source,
+         CASE WHEN j = 0 THEN '1x' ELSE '2x' END AS descriptor
+  FROM p, (SELECT UNNEST([0, 1]) AS j)
+  WHERE doc_id % 4 = 0
+),
+lazy AS (
+  SELECT page_url,
+         CAST(k + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END
+              AS INTEGER) AS seq,
+         dir || 'lazy/' || doc_id || '.png' AS img_url,
+         CAST(NULL AS VARCHAR) AS alt,
+         'data-src' AS source, CAST(NULL AS VARCHAR) AS descriptor
+  FROM p WHERE doc_id % 5 = 0
+)
+SELECT * FROM plain
+UNION ALL SELECT * FROM sset
+UNION ALL SELECT * FROM lazy
+ORDER BY page_url, seq
+"""
+
+
 QUERIES = {
     "curate_pairs_pipeline": curate_pairs_pipeline,
+    "crawl_image_refs": crawl_image_refs,
 }
 ORACLE_SQL = {
     "curate_pairs_pipeline": _CURATE_SQL,
+    "crawl_image_refs": _IMAGE_REFS_SQL,
 }

@@ -96,6 +96,22 @@ class CrawlConfig:
     compact_every: int = 64
 
 
+def effective_base(root, base_url: str) -> str:
+    """The document's effective base URL: the FIRST ``<base href>``
+    (itself resolved against the page URL, per the HTML spec), else
+    the page URL — which the crawl loop already sets to the SERVED
+    url after a redirect."""
+    from urllib.parse import urljoin
+
+    for el in root.descendants():
+        if el.tag == "base" and "href" in el.attrs:
+            try:
+                return urljoin(base_url, el.attrs["href"].strip())
+            except ValueError:
+                return base_url
+    return base_url
+
+
 def extract_links(root, base_url: str) -> list[Optional[str]]:
     """All ``<a href>`` targets in document order, resolved against the
     page's effective base and canonicalized (None for unusable hrefs,
@@ -106,16 +122,7 @@ def extract_links(root, base_url: str) -> list[Optional[str]]:
     which the crawl loop already sets to the SERVED url after a
     redirect.  Shared with the sequential reference simulator —
     identical by construction."""
-    from urllib.parse import urljoin
-
-    effective = base_url
-    for el in root.descendants():
-        if el.tag == "base" and "href" in el.attrs:
-            try:
-                effective = urljoin(base_url, el.attrs["href"].strip())
-            except ValueError:
-                pass
-            break  # the spec honors only the FIRST base element
+    effective = effective_base(root, base_url)
     out: list[Optional[str]] = []
     for el in root.descendants():
         if el.tag == "a" and "href" in el.attrs:

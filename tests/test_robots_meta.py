@@ -150,3 +150,36 @@ def test_crawl_honors_meta_robots(spark, tmp_path):
     # distributed crawl ≡ sequential simulator, byte-for-byte
     assert c.visit_log() == sim.visit_log
     assert c.records_json() == sim.records
+
+
+def test_extract_image_refs(spark):
+    from scrapelect_spark.operators.curation import extract_image_refs
+
+    html = (
+        '<html><head><base href="/deep/"></head><body>'
+        '<img src="a.png" alt="A">'
+        '<img srcset=" b1.png 480w , b2.png 2x ,, " alt="B">'
+        '<img data-src="c.png">'
+        '<img src="d.png" data-src="ignored.png">'
+        "<img>"  # no source at all → no row
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [("http://x.test/p/page.html", html),
+         ("http://x.test/none.html", None)],
+        "url string, html string",
+    )
+    rows = extract_image_refs(df).orderBy("seq").collect()
+    assert [r.img_url for r in rows] == [
+        "http://x.test/deep/a.png",       # base href applies
+        "http://x.test/deep/b1.png",
+        "http://x.test/deep/b2.png",
+        "http://x.test/deep/c.png",
+        "http://x.test/deep/d.png",       # src wins over data-src
+    ]
+    assert [r.source for r in rows] == [
+        "src", "srcset", "srcset", "data-src", "src"
+    ]
+    assert [r.descriptor for r in rows] == [None, "480w", "2x", None, None]
+    assert rows[0].alt == "A" and rows[3].alt is None
+    assert all(r.page_url == "http://x.test/p/page.html" for r in rows)
