@@ -8,6 +8,9 @@ counts are exact BIGINTs (SURVEY-style float discipline).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -472,7 +475,150 @@ ORDER BY source
 """
 
 
+def extract_main_text(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_chars: int = 40,
+    max_link_density: float = 0.30,
+) -> DataFrame:
+    """(page url, html) → boilerplate-stripped main text — the
+    paragraph-extraction pass that turns a crawl corpus into a text
+    corpus (trafilatura/boilerpipe family, deterministic subset): a
+    ``<p>`` block survives when its text is at least ``min_chars``
+    characters AND its link density (characters inside ``<a>``
+    descendants / total characters) is at most ``max_link_density`` —
+    navs, footers, tag clouds and "related links" blocks are nearly
+    all link text, article prose nearly none.  Output keeps both the
+    joined main text and the kept/dropped character tallies (the
+    boilerplate-ratio curation signal).  Arrow-batched
+    ``mapInPandas``, shuffle-free scan → flat-map."""
+    from ..functions.dom import parse_html
+
+    schema = (
+        "page_url string, n_blocks int, n_kept int, main_len int, "
+        "boiler_len int, main_text string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "page_url", "n_blocks", "n_kept", "main_len",
+                "boiler_len", "main_text",
+            )}
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                root = parse_html(html)
+                kept, n_blocks, boiler = [], 0, 0
+                for el in root.descendants():
+                    if el.tag != "p":
+                        continue
+                    n_blocks += 1
+                    text = " ".join(el.all_text().split())
+                    if not text:
+                        continue
+                    link_chars = sum(
+                        len(" ".join(a.all_text().split()))
+                        for a in el.descendants()
+                        if a.tag == "a"
+                    )
+                    density = link_chars / len(text)
+                    if len(text) >= min_chars and density <= max_link_density:
+                        kept.append(text)
+                    else:
+                        boiler += len(text)
+                main = "\n".join(kept)
+                out["page_url"].append(url)
+                out["n_blocks"].append(n_blocks)
+                out["n_kept"].append(len(kept))
+                out["main_len"].append(len(main))
+                out["boiler_len"].append(boiler)
+                out["main_text"].append(main)
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(run, schema=schema)
+
+
+def corpus_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for boilerplate removal: per doc synthesize a page with a
+    nav paragraph (pure link text → dropped), ``1 + doc_id%3`` article
+    paragraphs of closed-form prose (``'para i ' + 'x'*(40+doc_id%5)``,
+    one inline link well under the density bound → kept), a short
+    teaser (< 40 chars → dropped), and a footer of links (→ dropped).
+    The oracle rebuilds the exact joined text, lengths, and block
+    counts in closed form."""
+    from .tables import load, spread
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = 1 + doc_id % 3
+                xs = "x" * (40 + doc_id % 5)
+                paras = "".join(
+                    f"<p>para {i} <a href=\"/r\">go</a> {xs}</p>"
+                    for i in range(k)
+                )
+                html = (
+                    "<html><body>"
+                    '<p><a href="/h">Home</a> <a href="/a">About</a> '
+                    '<a href="/c">Contact</a></p>'
+                    f"{paras}"
+                    f"<p>short teaser {doc_id % 10}</p>"
+                    '<p><a href="/t">Terms</a> <a href="/p">Privacy</a></p>'
+                    "</body></html>"
+                )
+                urls.append(f"http://d{doc_id % 8}.test/a/{doc_id}.html")
+                htmls.append(html)
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.select("doc_id").mapInPandas(
+        synth, schema="url string, html string"
+    )
+    return extract_main_text(pages).select(
+        "page_url", "n_blocks", "n_kept", "main_len", "boiler_len",
+        F.md5("main_text").alias("main_md5"),
+    ).orderBy("page_url")
+
+
+_MAIN_TEXT_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         1 + doc_id % 3 AS k,
+         'para ' AS pre,
+         repeat('x', 40 + doc_id % 5) AS xs
+  FROM documents WHERE doc_id < 300
+),
+joined AS (
+  SELECT doc_id, k, xs,
+         CASE k
+           WHEN 1 THEN 'para 0 go ' || xs
+           WHEN 2 THEN 'para 0 go ' || xs || chr(10) || 'para 1 go ' || xs
+           ELSE 'para 0 go ' || xs || chr(10) || 'para 1 go ' || xs
+                || chr(10) || 'para 2 go ' || xs
+         END AS main_text
+  FROM p
+)
+SELECT 'http://d' || (doc_id % 8) || '.test/a/' || doc_id || '.html'
+         AS page_url,
+       CAST(k + 3 AS INTEGER) AS n_blocks,
+       CAST(k AS INTEGER) AS n_kept,
+       CAST(LENGTH(main_text) AS INTEGER) AS main_len,
+       -- dropped text: 'Home About Contact' (18) + 'short teaser N'
+       -- (14) + 'Terms Privacy' (13)
+       CAST(18 + 14 + 13 AS INTEGER) AS boiler_len,
+       md5(main_text) AS main_md5
+FROM joined
+ORDER BY page_url
+"""
+
+
 QUERIES = {
+    "corpus_main_text": corpus_main_text,
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
     "text_langid_heuristic": text_langid_heuristic,
@@ -485,6 +631,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_main_text": _MAIN_TEXT_SQL,
     "text_token_stats": _TOKEN_SQL,
     "text_quality_scores": _QUALITY_SQL,
     "text_langid_heuristic": _langid_sql(),

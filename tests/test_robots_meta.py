@@ -183,3 +183,31 @@ def test_extract_image_refs(spark):
     assert [r.descriptor for r in rows] == [None, "480w", "2x", None, None]
     assert rows[0].alt == "A" and rows[3].alt is None
     assert all(r.page_url == "http://x.test/p/page.html" for r in rows)
+
+
+def test_extract_main_text(spark):
+    from scrapelect_spark.operators.curation import extract_image_refs  # noqa: F401
+    from scrapelect_spark.operators.textstats import extract_main_text
+
+    prose = "This is a long enough paragraph of real prose " + "y" * 20
+    linky = '<a href="/1">one</a> <a href="/2">two</a> <a href="/3">three</a>'
+    html = (
+        "<html><body>"
+        f"<p>{linky}</p>"                 # pure links → dropped
+        f"<p>{prose}</p>"                 # kept
+        "<p>   </p>"                      # empty after normalize → no-op
+        "<p>short</p>"                    # < 40 chars → dropped
+        f'<p>{prose} <a href="/x">tiny</a></p>'  # low density → kept
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [("http://x.test/a.html", html)], "url string, html string"
+    )
+    r = extract_main_text(df).collect()[0]
+    assert r.n_blocks == 5
+    assert r.n_kept == 2
+    assert r.main_text == prose + "\n" + prose + " tiny"
+    assert r.main_len == len(r.main_text)
+    # dropped: 'one two three' (13) + 'short' (5); the whitespace-only
+    # block contributes nothing
+    assert r.boiler_len == 13 + 5
