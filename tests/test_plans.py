@@ -592,3 +592,26 @@ def test_curation_pushdown_no_window(spark, tmp_path):
     assert "GreaterThanOrEqual(h" in plan
     out.collect()  # sanity: the cascade executes
 
+
+
+def test_html_extraction_front_ends_are_shuffle_free(spark):
+    """extract_image_refs and extract_main_text are scan → flat-map
+    pipelines: at 100 TB they must stream page rows through one
+    mapInPandas stage with NO Exchange — partition count in, partition
+    count out, no repartitioning the corpus to extract from it."""
+    from scrapelect_spark.operators.curation import extract_image_refs
+    from scrapelect_spark.operators.textstats import extract_main_text
+
+    pages = spark.createDataFrame(
+        [(f"http://h.test/{i}.html",
+          f'<p><img src="a{i}.png" alt="x"> body text {i} ' + "z" * 50 + "</p>")
+         for i in range(64)],
+        "url string, html string",
+    ).repartition(8)
+
+    for op in (extract_image_refs, extract_main_text):
+        plan = plan_of(op(pages))
+        # no shuffle beyond the input's own round-robin repartition
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert plan.count("Exchange") <= 1, plan
+        assert "MapInPandas" in plan
