@@ -252,6 +252,29 @@ def extract_image_refs(
                 base = effective_base(root, url)
                 seq = 0
                 for el in root.descendants():
+                    if el.tag == "source" and "srcset" in el.attrs:
+                        # <picture><source srcset …> candidates: the
+                        # caption is the sibling <img alt> per the spec
+                        parent = el.parent
+                        alt = None
+                        if parent is not None and parent.tag == "picture":
+                            alt = next(
+                                (c.attrs.get("alt")
+                                 for c in parent.child_elements()
+                                 if c.tag == "img"),
+                                None,
+                            )
+                        for cand in el.attrs["srcset"].split(","):
+                            parts = cand.strip().split()
+                            if not parts:
+                                continue
+                            r = resolve_and_canonicalize(parts[0], base)
+                            if r is None:
+                                continue
+                            desc = parts[1] if len(parts) > 1 else "1x"
+                            emit(url, seq, r, alt, "source", desc)
+                            seq += 1
+                        continue
                     if el.tag != "img":
                         continue
                     alt = el.attrs.get("alt")

@@ -211,3 +211,27 @@ def test_extract_main_text(spark):
     # dropped: 'one two three' (13) + 'short' (5); the whitespace-only
     # block contributes nothing
     assert r.boiler_len == 13 + 5
+
+
+def test_extract_image_refs_picture_source(spark):
+    from scrapelect_spark.operators.curation import extract_image_refs
+
+    html = (
+        "<html><body><picture>"
+        '<source srcset="w1.webp 1x, w2.webp 2x" type="image/webp">'
+        '<img src="fallback.png" alt="Pic">'
+        "</picture>"
+        '<source srcset="orphan.png">'  # source outside picture: no alt
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [("http://x.test/p.html", html)], "url string, html string"
+    )
+    rows = extract_image_refs(df).orderBy("seq").collect()
+    assert [(r.img_url.rsplit("/", 1)[1], r.alt, r.source, r.descriptor)
+            for r in rows] == [
+        ("w1.webp", "Pic", "source", "1x"),
+        ("w2.webp", "Pic", "source", "2x"),
+        ("fallback.png", "Pic", "src", None),
+        ("orphan.png", None, "source", "1x"),
+    ]
