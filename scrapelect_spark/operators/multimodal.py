@@ -518,6 +518,23 @@ def audio_features(
                     except Exception as e:
                         msg = str(e) or type(e).__name__
                         err[i] = f"MPEG audio decode failed: {msg}"
+                elif fmt in ("ogg", "oga"):
+                    # REAL path for Ogg-FLAC (RFC 3533 pages + the xiph
+                    # FLAC mapping, sources/ogg.py).  Ogg-Vorbis payloads
+                    # fail the mapping check and error-capture — the
+                    # psychoacoustic codec itself stays a declared stub.
+                    try:
+                        from ..sources.ogg import demux_flac_ogg
+
+                        samples, rate = decode_flac(demux_flac_ogg(bytes(raw)))
+                        if samples.ndim > 1:  # downmix for RMS
+                            samples = samples.mean(axis=1)
+                        dur[i] = len(samples) / rate
+                        x = samples.astype(np.float64) / 32768.0
+                        rms[i] = float(np.sqrt(np.mean(x * x)))
+                    except Exception as e:
+                        msg = str(e) or type(e).__name__
+                        err[i] = f"Ogg decode failed: {msg}"
                 else:
                     err[i] = f"audio decode for {fmt!r} requires a codec library"
             yield pd.DataFrame(
@@ -1632,6 +1649,96 @@ ORDER BY doc_id
 """
 
 
+def audio_ogg_flac_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Gate for the Ogg container path (RFC 3533 pages + xiph
+    FLAC-to-Ogg mapping, sources/ogg.py): synthesize a sine per doc,
+    encode to FLAC frames, mux one-frame-per-packet into an Ogg
+    bitstream, route the bytes through the ``audio_features``
+    'ogg' dispatch shape (demux → decode), and assert SQL-side that
+    the roundtrip is BIT-EXACT, that the final page's granule equals
+    the sample count (the mapping's seek contract), and that every
+    page CRC verified (read_ogg raises otherwise).  Docs ≡0 (mod 13)
+    get a corrupted page and must error-capture."""
+    from pyspark.sql import functions as F
+
+    from .tables import load, spread
+    from ..sources.flac import decode_flac, encode_flac_parts
+    from ..sources.ogg import demux_flac_ogg, mux_flac_ogg, read_ogg
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
+
+    def synth_and_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            dur = np.empty(n_rows, dtype=object)
+            exact = np.empty(n_rows, dtype=object)
+            gran = np.empty(n_rows, dtype=object)
+            failed = np.empty(n_rows, dtype=object)
+            for i, doc_id in enumerate(pdf["doc_id"]):
+                doc_id = int(doc_id)
+                n = 4000 + (doc_id % 5) * 400
+                amp = ((doc_id % 9) + 1) / 16.0
+                t = np.arange(n)
+                x = np.round(
+                    amp * 32767 * np.sin(2 * np.pi * 330 * t / _WAV_RATE)
+                ).astype(np.int16)
+                try:
+                    header, frames = encode_flac_parts(
+                        x, _WAV_RATE, block_size=4096
+                    )
+                    spf, left = [], n
+                    for _ in frames:
+                        spf.append(min(4096, left))
+                        left -= spf[-1]
+                    blob = mux_flac_ogg(header, frames, spf)
+                    if doc_id % 13 == 0:
+                        # flip the last body byte: page CRC must reject
+                        blob = blob[:-1] + bytes([blob[-1] ^ 0xFF])
+                    y, rate = decode_flac(demux_flac_ogg(blob))
+                    dur[i] = len(y) / rate
+                    exact[i] = 1 if (
+                        rate == _WAV_RATE
+                        and np.array_equal(y, x.astype(np.int32))
+                    ) else 0
+                    gran[i] = 1 if read_ogg(blob)[-1][1] == n else 0
+                    failed[i] = 0
+                except Exception:
+                    dur[i], exact[i], gran[i], failed[i] = None, None, None, 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "duration_s": dur,
+                    "exact": exact,
+                    "granule_ok": gran,
+                    "failed": failed,
+                }
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_verify,
+            schema="doc_id long, duration_s double, exact long, "
+            "granule_ok long, failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_OGG_FLAC_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 13 = 0 THEN NULL
+       ELSE (4000 + (doc_id % 5) * 400) / 16000.0 END AS duration_s,
+  CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 1 END AS BIGINT) AS exact,
+  CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 1 END AS BIGINT)
+    AS granule_ok,
+  CAST(doc_id % 13 = 0 AS BIGINT) AS failed
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+"""
+
+
 _MP2_RATE = 32000
 
 
@@ -2684,6 +2791,7 @@ QUERIES = {
     "video_mpeg1_p_sample": video_mpeg1_p_sample,
     "video_mpeg1_b_sample": video_mpeg1_b_sample,
     "audio_flac_roundtrip": audio_flac_roundtrip,
+    "audio_ogg_flac_roundtrip": audio_ogg_flac_roundtrip,
     "audio_mp2_roundtrip": audio_mp2_roundtrip,
     "audio_mp1_roundtrip": audio_mp1_roundtrip,
     "video_mpeg_ps_roundtrip": video_mpeg_ps_roundtrip,
@@ -2712,6 +2820,7 @@ ORACLE_SQL = {
     "video_mpeg1_p_sample": _MPEG1_P_SQL,
     "video_mpeg1_b_sample": _MPEG1_B_SQL,
     "audio_flac_roundtrip": _FLAC_SQL,
+    "audio_ogg_flac_roundtrip": _OGG_FLAC_SQL,
     "audio_mp2_roundtrip": _MP2_SQL,
     "audio_mp1_roundtrip": _MP1_SQL,
     "video_mpeg_ps_roundtrip": _PS_SQL,

@@ -299,6 +299,18 @@ def encode_flac(
 ) -> bytes:
     """int16 samples (1-D mono, or 2-D ``(n, 2)`` stereo) → a complete
     FLAC stream (fLaC marker + STREAMINFO + fixed-blocksize frames)."""
+    header, frames = encode_flac_parts(pcm16, rate, block_size)
+    return header + b"".join(frames)
+
+
+def encode_flac_parts(
+    pcm16: np.ndarray, rate: int, block_size: int = 4096
+) -> tuple[bytes, list[bytes]]:
+    """Same encoder, structured output: ``(header, [frame, ...])``
+    where header = fLaC marker + STREAMINFO and each frame is one
+    complete FLAC frame — the boundaries an Ogg encapsulation
+    (one frame per packet, xiph FLAC-to-Ogg mapping) needs.
+    ``encode_flac`` is exactly ``header + b"".join(frames)``."""
     s = np.asarray(pcm16)
     if s.ndim == 1:
         s = s[:, None]
@@ -313,7 +325,7 @@ def encode_flac(
         s.astype("<i2").tobytes()  # interleaved little-endian, per spec
     ).digest()
 
-    frames = bytearray()
+    frames: list[bytes] = []
     min_fs = max_fs = None
     for fi, start in enumerate(range(0, n, block_size)):
         blk = s[start : start + block_size]
@@ -344,7 +356,7 @@ def encode_flac(
         body.align()
         frame = bytes(head) + body.bytes()
         frame += struct.pack(">H", _crc16(frame))
-        frames += frame
+        frames.append(frame)
         fs = len(frame)
         min_fs = fs if min_fs is None else min(min_fs, fs)
         max_fs = fs if max_fs is None else max(max_fs, fs)
@@ -360,7 +372,7 @@ def encode_flac(
     info.write(n, 36)
     streaminfo = info.bytes() + md5
     header = b"fLaC" + bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo
-    return header + bytes(frames)
+    return header, frames
 
 
 # ------------------------------------------------------------------ decoder
