@@ -1739,6 +1739,144 @@ ORDER BY doc_id
 """
 
 
+def audio_mp3_metadata(spark, sf_dir: str) -> DataFrame:
+    """Gate for header-level .mp3 support (sources/mp3.py — the
+    metadata tier a corpus pipeline needs: duration, bitrate profile,
+    CBR/VBR, ID3 presence; the Huffman payload remains a declared
+    stub).  Per doc synthesize a frame stream with rotating sample
+    rate ([44.1k, 48k, 32k] by doc_id%3) and ``20 + doc_id%10``
+    frames: docs ≡0 (mod 4) alternate 128/320 kbps per frame (VBR),
+    others are CBR at [128, 192, 320] kbps (doc_id%4 − 1); docs ≡0
+    (mod 2) carry a leading ID3v2 tag that must be skipped; docs ≡0
+    (mod 23) get a corrupted mid-stream header and must
+    error-capture.  Every output is closed-form."""
+    from pyspark.sql import functions as F
+
+    from .tables import load, spread
+    from ..sources.id3 import encode_id3v2
+    from ..sources.mp3 import make_header, scan_mp3
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 240))
+
+    rates = [44_100, 48_000, 32_000]
+    cbr_rates = [None, 128, 192, 320]
+
+    def synth_and_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "doc_id", "n_frames", "sample_rate", "duration_s",
+                "bitrate_min_kbps", "bitrate_max_kbps", "is_cbr",
+                "has_id3", "failed",
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rate = rates[doc_id % 3]
+                n = 20 + doc_id % 10
+                out = bytearray()
+                if doc_id % 2 == 0:
+                    out += encode_id3v2({"title": f"t{doc_id}"})
+                prefix_len = len(out)
+                for fi in range(n):
+                    if doc_id % 4 == 0:
+                        kbps = 128 if fi % 2 == 0 else 320
+                    else:
+                        kbps = cbr_rates[doc_id % 4]
+                    fb = 144 * kbps * 1000 // rate
+                    out += make_header(kbps, rate) + b"\x00" * (fb - 4)
+                if doc_id % 23 == 0:
+                    # smash the second frame's sync byte
+                    first_fb = (
+                        144 * (128 if doc_id % 4 == 0
+                               else cbr_rates[doc_id % 4]) * 1000 // rate
+                    )
+                    out[prefix_len + first_fb] = 0x00
+                cols["doc_id"].append(doc_id)
+                try:
+                    m = scan_mp3(bytes(out))
+                    cols["n_frames"].append(m["n_frames"])
+                    cols["sample_rate"].append(m["sample_rate"])
+                    cols["duration_s"].append(m["duration_s"])
+                    cols["bitrate_min_kbps"].append(m["bitrate_min_kbps"])
+                    cols["bitrate_max_kbps"].append(m["bitrate_max_kbps"])
+                    cols["is_cbr"].append(1 if m["is_cbr"] else 0)
+                    cols["has_id3"].append(1 if m["has_id3"] else 0)
+                    cols["failed"].append(0)
+                except Exception:
+                    for k in ("n_frames", "sample_rate", "duration_s",
+                              "bitrate_min_kbps", "bitrate_max_kbps",
+                              "is_cbr", "has_id3"):
+                        cols[k].append(None)
+                    cols["failed"].append(1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(cols["doc_id"], dtype="Int64"),
+                    "n_frames": pd.array(cols["n_frames"], dtype="Int64"),
+                    "sample_rate": pd.array(
+                        cols["sample_rate"], dtype="Int64"
+                    ),
+                    "duration_s": pd.array(
+                        cols["duration_s"], dtype="Float64"
+                    ),
+                    "bitrate_min_kbps": pd.array(
+                        cols["bitrate_min_kbps"], dtype="Int64"
+                    ),
+                    "bitrate_max_kbps": pd.array(
+                        cols["bitrate_max_kbps"], dtype="Int64"
+                    ),
+                    "is_cbr": pd.array(cols["is_cbr"], dtype="Int64"),
+                    "has_id3": pd.array(cols["has_id3"], dtype="Int64"),
+                    "failed": cols["failed"],
+                }
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_scan,
+            schema="doc_id long, n_frames long, sample_rate long, "
+            "duration_s double, bitrate_min_kbps long, "
+            "bitrate_max_kbps long, is_cbr long, has_id3 long, "
+            "failed long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MP3_META_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 23 = 0 AS fail,
+         CAST(20 + doc_id % 10 AS BIGINT) AS n,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS BIGINT) AS rate,
+         doc_id % 4 = 0 AS vbr
+  FROM documents WHERE doc_id < 240
+)
+SELECT doc_id,
+       CASE WHEN fail THEN NULL ELSE n END AS n_frames,
+       CASE WHEN fail THEN NULL ELSE rate END AS sample_rate,
+       CASE WHEN fail THEN NULL
+            ELSE n * 1152 / CAST(rate AS DOUBLE) END AS duration_s,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN vbr THEN 128
+            WHEN doc_id % 4 = 1 THEN 128
+            WHEN doc_id % 4 = 2 THEN 192
+            ELSE 320 END AS BIGINT) AS bitrate_min_kbps,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN vbr THEN 320
+            WHEN doc_id % 4 = 1 THEN 128
+            WHEN doc_id % 4 = 2 THEN 192
+            ELSE 320 END AS BIGINT) AS bitrate_max_kbps,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN vbr THEN 0 ELSE 1 END AS BIGINT) AS is_cbr,
+       CAST(CASE WHEN fail THEN NULL
+            WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS has_id3,
+       CAST(fail AS BIGINT) AS failed
+FROM p
+ORDER BY doc_id
+"""
+
+
 _MP2_RATE = 32000
 
 
@@ -2792,6 +2930,7 @@ QUERIES = {
     "video_mpeg1_b_sample": video_mpeg1_b_sample,
     "audio_flac_roundtrip": audio_flac_roundtrip,
     "audio_ogg_flac_roundtrip": audio_ogg_flac_roundtrip,
+    "audio_mp3_metadata": audio_mp3_metadata,
     "audio_mp2_roundtrip": audio_mp2_roundtrip,
     "audio_mp1_roundtrip": audio_mp1_roundtrip,
     "video_mpeg_ps_roundtrip": video_mpeg_ps_roundtrip,
@@ -2821,6 +2960,7 @@ ORACLE_SQL = {
     "video_mpeg1_b_sample": _MPEG1_B_SQL,
     "audio_flac_roundtrip": _FLAC_SQL,
     "audio_ogg_flac_roundtrip": _OGG_FLAC_SQL,
+    "audio_mp3_metadata": _MP3_META_SQL,
     "audio_mp2_roundtrip": _MP2_SQL,
     "audio_mp1_roundtrip": _MP1_SQL,
     "video_mpeg_ps_roundtrip": _PS_SQL,

@@ -102,3 +102,59 @@ def test_long_v1_fields_truncate():
             "year": "1984", "track": "3"}
     got = parse_id3v1(encode_id3v1(tags))
     assert got["title"] == "x" * 30 and got["album"] == "z" * 30
+
+
+# --------------------------------------------------- mp3 header scan
+
+
+def test_mp3_scan_basics():
+    from scrapelect_spark.sources.mp3 import make_header, scan_mp3
+
+    def frames(specs):
+        out = bytearray()
+        for kbps, rate, pad in specs:
+            fb = 144 * kbps * 1000 // rate + pad
+            out += make_header(kbps, rate, pad) + b"\x00" * (fb - 4)
+        return bytes(out)
+
+    cbr = frames([(128, 44_100, 0)] * 5)
+    m = scan_mp3(cbr)
+    assert m["n_frames"] == 5 and m["sample_rate"] == 44_100
+    assert m["is_cbr"] and not m["has_id3"]
+    assert m["duration_s"] == pytest.approx(5 * 1152 / 44_100)
+
+    vbr = frames([(128, 48_000, 0), (320, 48_000, 1), (192, 48_000, 0)])
+    m = scan_mp3(vbr)
+    assert (m["bitrate_min_kbps"], m["bitrate_max_kbps"]) == (128, 320)
+    assert not m["is_cbr"]
+
+    # padding bit changes the frame size by exactly one byte — the
+    # walk must land on the next sync either way (covered by vbr above)
+
+    # leading ID3v2 skipped
+    tagged = encode_id3v2({"title": "x"}) + cbr
+    m = scan_mp3(tagged)
+    assert m["has_id3"] and m["n_frames"] == 5
+
+    # truncated final frame still counts
+    m = scan_mp3(cbr[:-30])
+    assert m["n_frames"] == 5
+
+
+def test_mp3_scan_rejections():
+    from scrapelect_spark.sources.mp3 import make_header, scan_mp3
+
+    with pytest.raises(ValueError, match="no frames"):
+        scan_mp3(b"")
+    with pytest.raises(ValueError, match="bad frame header"):
+        scan_mp3(b"\x00" * 100)
+    good = make_header(128, 44_100) + b"\x00" * 500
+    bad = bytearray(good + good[:4] + b"\x00" * 10)
+    bad[len(good)] = 0x12  # second header loses sync
+    with pytest.raises(ValueError, match="bad frame header"):
+        scan_mp3(bytes(bad))
+    # Layer II header must be rejected by the L3 scanner
+    l2 = bytearray(make_header(128, 44_100))
+    l2[1] = (l2[1] & ~0b110) | (0b10 << 1)  # layer bits → Layer II
+    with pytest.raises(ValueError, match="bad frame header"):
+        scan_mp3(bytes(l2) + b"\x00" * 100)
