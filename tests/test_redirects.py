@@ -144,3 +144,50 @@ def test_fetcher_final_url_column(spark, server):
     assert red.status == 200 and "new" in red.html
     plain = rows[f"{base}/dup.html"]
     assert plain.final_url is None and plain.status == 200
+
+
+def test_redirect_seen_state_survives_resume(spark, server, tmp_path):
+    """The redirect target's seen-but-not-queued entry is persisted in
+    the seen/frontier tables, so a FRESH Crawler resuming from the
+    checkpoint must not refetch it when a later page links to it —
+    and the interrupted-then-resumed crawl must equal an
+    uninterrupted one byte-for-byte."""
+    srv, log = server
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    empty = spark.createDataFrame([], "url string, html string")
+    cfg = CrawlConfig(
+        batch_size=2, per_host_limit=2, fetch_partitions=2, compact_every=0
+    )
+    seeds = [(f"{base}/start.html", 0)]
+
+    def mk(workdir):
+        return Crawler(
+            spark, workdir, empty, seeds, program=PROG, config=cfg,
+            fetcher=HttpFetcher(timeout_s=5.0, crawl_delay_s=0.01),
+        )
+
+    # uninterrupted reference run
+    ref = mk(str(tmp_path / "ref"))
+    ref.run(max_batches=8)
+
+    # interrupted: small batches force the redirect (batch 2) and
+    # /dup.html's direct link to the target into different batches
+    log.clear()
+    work = str(tmp_path / "resume")
+    c1 = mk(work)
+    c1.run(max_batches=2)
+    assert 0 < len(c1.visit_log()) < len(ref.visit_log())
+    wire_before = list(log)
+
+    c2 = mk(work)  # fresh instance, same checkpoint
+    c2.run(max_batches=8)
+
+    assert c2.visit_log() == ref.visit_log()
+    assert c2.seen_set() == ref.seen_set()
+    assert c2.records_json() == ref.records_json()
+    # the target was served only for 3xx hops, never refetched after
+    # resume (the wire log spans c1+c2: the count stays at the
+    # reference run's hop count)
+    assert len(wire_before) < len(log)
+    assert log.count("/sub/new.html") <= 2
+    assert f"{base}/sub/new.html" in c2.seen_set()
