@@ -306,6 +306,110 @@ def extract_image_refs(
     return pages.mapInPandas(run, schema=schema)
 
 
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page url, html) → one row per ``<a href>`` in document order:
+    canonicalized target, whitespace-normalized anchor TEXT, and the
+    nofollow bit.  Anchor text is the classic link-graph feature
+    (target-side relevance signal, caption-like training pairs,
+    anchor-weighted PageRank) — the crawl's link emission keeps only
+    the URL, this operator keeps the words.  Same base resolution as
+    the crawl (``<base href>`` + served URL).  Arrow-batched
+    ``mapInPandas``, shuffle-free scan → flat-map."""
+    from ..functions.dom import parse_html
+    from ..streaming.canonicalize import resolve_and_canonicalize
+    from ..streaming.crawl import effective_base
+
+    schema = (
+        "page_url string, seq int, target_url string, anchor_text string, "
+        "nofollow long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "page_url", "seq", "target_url", "anchor_text", "nofollow"
+            )}
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                root = parse_html(html)
+                base = effective_base(root, url)
+                seq = 0
+                for el in root.descendants():
+                    if el.tag != "a" or "href" not in el.attrs:
+                        continue
+                    target = resolve_and_canonicalize(el.attrs["href"], base)
+                    if target is None:
+                        continue
+                    rel = el.attrs.get("rel", "").lower().split()
+                    out["page_url"].append(url)
+                    out["seq"].append(seq)
+                    out["target_url"].append(target)
+                    out["anchor_text"].append(
+                        " ".join(el.all_text().split())
+                    )
+                    out["nofollow"].append(1 if "nofollow" in rel else 0)
+                    seq += 1
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(run, schema=schema)
+
+
+def crawl_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for anchor-text extraction: per doc a page with
+    ``1 + doc_id%4`` links whose targets and texts are closed-form
+    (``anchor i for {doc_id}``); links ≡2 (mod 3) carry
+    rel=nofollow (kept as data, unlike the frontier path which drops
+    them); one link has nested markup (``<b>``) that must flatten
+    into the text."""
+    from .tables import load, spread
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = 1 + doc_id % 4
+                links = "".join(
+                    '<a href="/t/{i}.html"{rel}>anchor <b>{i}</b> for {d}</a>'
+                    .format(
+                        i=i, d=doc_id,
+                        rel=' rel="nofollow"' if i % 3 == 2 else "",
+                    )
+                    for i in range(k)
+                )
+                urls.append(f"http://a{doc_id % 8}.test/p/{doc_id}.html")
+                htmls.append(f"<html><body>{links}</body></html>")
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.select("doc_id").mapInPandas(
+        synth, schema="url string, html string"
+    )
+    return extract_anchors(pages).orderBy("page_url", "seq")
+
+
+_ANCHORS_SQL = """
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 4 AS k,
+         'http://a' || (doc_id % 8) || '.test' AS host,
+         'http://a' || (doc_id % 8) || '.test/p/' || doc_id || '.html'
+           AS page_url
+  FROM documents WHERE doc_id < 300
+)
+SELECT page_url, CAST(i AS INTEGER) AS seq,
+       host || '/t/' || i || '.html' AS target_url,
+       'anchor ' || i || ' for ' || doc_id AS anchor_text,
+       CAST(i % 3 = 2 AS BIGINT) AS nofollow
+FROM p, (SELECT UNNEST([0, 1, 2, 3]) AS i)
+WHERE i < k
+ORDER BY page_url, seq
+"""
+
+
 def crawl_image_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate for image-reference extraction: per doc synthesize a page
     at ``http://d{doc_id%8}.test/p/{doc_id}.html`` with
@@ -392,8 +496,10 @@ ORDER BY page_url, seq
 QUERIES = {
     "curate_pairs_pipeline": curate_pairs_pipeline,
     "crawl_image_refs": crawl_image_refs,
+    "crawl_anchor_texts": crawl_anchor_texts,
 }
 ORACLE_SQL = {
     "curate_pairs_pipeline": _CURATE_SQL,
     "crawl_image_refs": _IMAGE_REFS_SQL,
+    "crawl_anchor_texts": _ANCHORS_SQL,
 }
