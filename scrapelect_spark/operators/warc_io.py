@@ -224,6 +224,130 @@ ORDER BY doc_id, url
 """
 
 
+def feed_seed_frontier(
+    feeds: DataFrame, bytes_col: str = "feed", id_col: str = "feed_id"
+) -> DataFrame:
+    """RSS/Atom payloads (sources/feed.py, plain or gzip) →
+    frontier-ready seed rows ``(feed_id, url, title, published,
+    feed_kind, parse_error)`` — the news/blog discovery twin of
+    :func:`sitemap_seed_frontier`, with the entry title carried along
+    (a caption-like training signal) and pubDate/updated for the
+    freshness scheduler.  Malformed or DTD-carrying payloads produce
+    one error row.  Scan → MapInPandas, no shuffle."""
+    from ..sources.feed import parse_feed
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "feed_id": [], "url": [], "title": [],
+                "published": [], "feed_kind": [], "parse_error": [],
+            }
+
+            def row(fid, url=None, title=None, pub=None, kind=None,
+                    err=None):
+                out["feed_id"].append(fid)
+                out["url"].append(url)
+                out["title"].append(title)
+                out["published"].append(pub)
+                out["feed_kind"].append(kind)
+                out["parse_error"].append(err)
+
+            for fid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    kind, entries = parse_feed(bytes(raw))
+                    for e in entries:
+                        row(fid, e["link"], e["title"], e["published"],
+                            kind)
+                except Exception as exc:  # noqa: BLE001
+                    row(fid, err=str(exc) or type(exc).__name__)
+            yield pd.DataFrame(out)
+
+    return feeds.mapInPandas(
+        run,
+        schema="feed_id string, url string, title string, "
+        "published string, feed_kind string, parse_error string",
+    )
+
+
+def crawl_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for RSS/Atom seed ingestion: each doc publishes a feed
+    with ``1 + doc_id%3`` entries (closed-form links/titles/dates);
+    format rotates RSS / Atom / gzipped-RSS by doc_id%3, and docs ≡0
+    (mod 23) carry a DTD (entity-expansion guard) that must surface
+    as a parse_error row."""
+    from ..sources.feed import build_atom, build_rss
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                items = [
+                    {
+                        "link": f"http://f{doc_id % 8}.test/a/{doc_id}_{k}",
+                        "title": f"story {doc_id} {k}",
+                        "published": f"2024-01-{1 + (doc_id + k) % 28:02d}",
+                        "id": f"g{doc_id}-{k}",
+                    }
+                    for k in range(1 + doc_id % 3)
+                ]
+                if doc_id % 23 == 0:
+                    blob = (
+                        b'<?xml version="1.0"?><!DOCTYPE rss [<!ENTITY '
+                        b'x "y">]><rss version="2.0"><channel>'
+                        b"</channel></rss>"
+                    )
+                elif doc_id % 3 == 0:
+                    blob = build_rss(items)
+                elif doc_id % 3 == 1:
+                    blob = build_atom(items)
+                else:
+                    blob = build_rss(items, gzip_payload=True)
+                ids.append(str(doc_id))
+                blobs.append(blob)
+            yield pd.DataFrame({"feed_id": ids, "feed": blobs})
+
+    seeds = feed_seed_frontier(
+        d.select("doc_id").mapInPandas(
+            synth, schema="feed_id string, feed binary"
+        )
+    )
+    return (
+        seeds.select(
+            F.col("feed_id").cast("long").alias("doc_id"),
+            "url",
+            "title",
+            "published",
+            "feed_kind",
+            F.when(F.col("parse_error").isNotNull(), 1)
+            .otherwise(0).cast("long").alias("failed"),
+        )
+        .orderBy("doc_id", "url")
+    )
+
+
+_FEED_SQL = """
+WITH ks AS (
+  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS k
+  FROM documents WHERE doc_id < 300 AND doc_id % 23 <> 0
+)
+SELECT doc_id,
+  'http://f' || (doc_id % 8) || '.test/a/' || doc_id || '_' || k AS url,
+  'story ' || doc_id || ' ' || k AS title,
+  '2024-01-' || lpad(CAST(1 + (doc_id + k) % 28 AS VARCHAR), 2, '0')
+    AS published,
+  CASE WHEN doc_id % 3 = 1 THEN 'atom' ELSE 'rss' END AS feed_kind,
+  CAST(0 AS BIGINT) AS failed
+FROM ks
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, CAST(1 AS BIGINT)
+FROM documents WHERE doc_id < 300 AND doc_id % 23 = 0
+ORDER BY doc_id, url
+"""
+
+
 def archive_extract(
     archives: DataFrame,
     id_col: str = "archive_id",
@@ -368,10 +492,12 @@ ORDER BY doc_id, member_name
 QUERIES = {
     "crawl_warc_roundtrip": crawl_warc_roundtrip,
     "crawl_sitemap_ingest": crawl_sitemap_ingest,
+    "crawl_feed_ingest": crawl_feed_ingest,
     "crawl_archive_ingest": crawl_archive_ingest,
 }
 ORACLE_SQL = {
     "crawl_warc_roundtrip": _WARC_SQL,
     "crawl_sitemap_ingest": _SITEMAP_SQL,
+    "crawl_feed_ingest": _FEED_SQL,
     "crawl_archive_ingest": _ARCHIVE_SQL,
 }

@@ -237,3 +237,66 @@ def test_robots_sitemap_directive():
     generic = parse_robots(txt, user_agent="otherbot")
     assert generic.sitemaps == rules.sitemaps
     assert not generic.allowed("/private/x")
+
+
+# ------------------------------------------------------------ RSS/Atom
+
+
+def test_feed_rss_atom_roundtrip():
+    from scrapelect_spark.sources.feed import (
+        build_atom,
+        build_rss,
+        parse_feed,
+    )
+
+    items = [
+        {"link": "http://x.test/a", "title": "A story",
+         "published": "2024-01-02", "id": "g1"},
+        {"link": "http://x.test/b", "title": "B",
+         "published": None, "id": None},
+    ]
+    kind, got = parse_feed(build_rss(items))
+    assert kind == "rss"
+    assert got[0]["link"] == "http://x.test/a"
+    assert got[0]["title"] == "A story" and got[0]["id"] == "g1"
+    assert got[1]["published"] is None
+
+    kind, got = parse_feed(build_atom(items))
+    assert kind == "atom"
+    assert [e["link"] for e in got] == ["http://x.test/a", "http://x.test/b"]
+
+    # gzip payload
+    kind, got = parse_feed(build_rss(items, gzip_payload=True))
+    assert kind == "rss" and len(got) == 2
+
+
+def test_feed_atom_link_rel_selection():
+    from scrapelect_spark.sources.feed import parse_feed
+
+    atom = (
+        b'<?xml version="1.0"?>'
+        b'<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+        b'<link rel="self" href="http://x.test/self"/>'
+        b'<link rel="alternate" href="http://x.test/alt"/>'
+        b"<title>t</title><updated>2024-02-03</updated>"
+        b"</entry></feed>"
+    )
+    kind, got = parse_feed(atom)
+    assert kind == "atom" and got[0]["link"] == "http://x.test/alt"
+    assert got[0]["published"] == "2024-02-03"
+
+
+def test_feed_rejections():
+    import pytest as _p
+
+    from scrapelect_spark.sources.feed import parse_feed
+
+    with _p.raises(ValueError, match="DTD"):
+        parse_feed(b'<?xml version="1.0"?><!DOCTYPE rss [<!ENTITY a "b">]>'
+                   b"<rss><channel></channel></rss>")
+    with _p.raises(ValueError, match="malformed"):
+        parse_feed(b"<rss><channel>")
+    with _p.raises(ValueError, match="not an RSS"):
+        parse_feed(b"<html></html>")
+    with _p.raises(ValueError, match="channel"):
+        parse_feed(b'<rss version="2.0"></rss>')
