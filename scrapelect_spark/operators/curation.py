@@ -410,6 +410,141 @@ ORDER BY page_url, seq
 """
 
 
+def extract_og_meta(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page url, html) → one row per page with its OpenGraph /
+    Twitter-card metadata: ``og:title``, ``og:description``,
+    ``og:image`` (resolved against the effective base +
+    canonicalized), ``og:type``, and ``twitter:card``.  og:image +
+    og:title is the publisher-blessed image-caption pair — cleaner
+    than alt text when present — so this is a first-class pair-mining
+    source next to :func:`extract_image_refs`.  First tag wins per
+    property (the de-facto consumer rule); pages with no tags emit a
+    row of nulls with ``has_og = 0``.  Shuffle-free scan →
+    flat-map."""
+    from ..functions.dom import parse_html
+    from ..streaming.canonicalize import resolve_and_canonicalize
+    from ..streaming.crawl import effective_base
+
+    schema = (
+        "page_url string, og_title string, og_description string, "
+        "og_image string, og_type string, twitter_card string, "
+        "has_og long"
+    )
+    _PROPS = ("og:title", "og:description", "og:image", "og:type")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "page_url", "og_title", "og_description", "og_image",
+                "og_type", "twitter_card", "has_og",
+            )}
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                root = parse_html(html)
+                base = effective_base(root, url)
+                got: dict[str, str] = {}
+                for el in root.descendants():
+                    if el.tag != "meta":
+                        continue
+                    # OpenGraph uses property=, Twitter uses name=
+                    key = (
+                        el.attrs.get("property") or el.attrs.get("name")
+                        or ""
+                    ).strip().lower()
+                    content = el.attrs.get("content")
+                    if content is None:
+                        continue
+                    if (
+                        key in _PROPS or key == "twitter:card"
+                    ) and key not in got:
+                        got[key] = content.strip()
+                img = got.get("og:image")
+                if img is not None:
+                    img = resolve_and_canonicalize(img, base)
+                out["page_url"].append(url)
+                out["og_title"].append(got.get("og:title"))
+                out["og_description"].append(got.get("og:description"))
+                out["og_image"].append(img)
+                out["og_type"].append(got.get("og:type"))
+                out["twitter_card"].append(got.get("twitter:card"))
+                out["has_og"].append(
+                    1 if any(k.startswith("og:") for k in got) else 0
+                )
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(run, schema=schema)
+
+
+def crawl_og_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for OpenGraph metadata mining: docs ≡0 (mod 4) have NO og
+    tags (nulls, has_og 0); others carry og:title/description/type, a
+    RELATIVE og:image that must resolve against the page directory,
+    and docs ≡1 (mod 3) additionally a twitter:card; a duplicate
+    og:title later in the head must NOT override the first."""
+    from .tables import load, spread
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                metas = ""
+                if doc_id % 4 != 0:
+                    metas = (
+                        f'<meta property="og:title" content="Title {doc_id}">'
+                        f'<meta property="og:description" '
+                        f'content="Desc {doc_id % 9}">'
+                        f'<meta property="og:image" '
+                        f'content="img/{doc_id}.jpg">'
+                        '<meta property="og:type" content="article">'
+                        '<meta property="og:title" content="LOSER">'
+                    )
+                    if doc_id % 3 == 1:
+                        metas += (
+                            '<meta name="twitter:card" '
+                            'content="summary_large_image">'
+                        )
+                urls.append(f"http://o{doc_id % 8}.test/p/{doc_id}.html")
+                htmls.append(
+                    f"<html><head>{metas}</head><body>x</body></html>"
+                )
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.select("doc_id").mapInPandas(
+        synth, schema="url string, html string"
+    )
+    return extract_og_meta(pages).orderBy("page_url")
+
+
+_OG_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 4 = 0 AS bare,
+         'http://o' || (doc_id % 8) || '.test/p/' AS dir,
+         'http://o' || (doc_id % 8) || '.test/p/' || doc_id || '.html'
+           AS page_url
+  FROM documents WHERE doc_id < 300
+)
+SELECT page_url,
+       CASE WHEN bare THEN NULL ELSE 'Title ' || doc_id END AS og_title,
+       CASE WHEN bare THEN NULL
+            ELSE 'Desc ' || (doc_id % 9) END AS og_description,
+       CASE WHEN bare THEN NULL
+            ELSE dir || 'img/' || doc_id || '.jpg' END AS og_image,
+       CASE WHEN bare THEN NULL ELSE 'article' END AS og_type,
+       CASE WHEN NOT bare AND doc_id % 3 = 1
+            THEN 'summary_large_image' ELSE NULL END AS twitter_card,
+       CAST(NOT bare AS BIGINT) AS has_og
+FROM p
+ORDER BY page_url
+"""
+
+
 def crawl_image_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate for image-reference extraction: per doc synthesize a page
     at ``http://d{doc_id%8}.test/p/{doc_id}.html`` with
@@ -497,9 +632,11 @@ QUERIES = {
     "curate_pairs_pipeline": curate_pairs_pipeline,
     "crawl_image_refs": crawl_image_refs,
     "crawl_anchor_texts": crawl_anchor_texts,
+    "crawl_og_pairs": crawl_og_pairs,
 }
 ORACLE_SQL = {
     "curate_pairs_pipeline": _CURATE_SQL,
     "crawl_image_refs": _IMAGE_REFS_SQL,
     "crawl_anchor_texts": _ANCHORS_SQL,
+    "crawl_og_pairs": _OG_SQL,
 }

@@ -235,3 +235,31 @@ def test_extract_image_refs_picture_source(spark):
         ("fallback.png", "Pic", "src", None),
         ("orphan.png", None, "source", "1x"),
     ]
+
+
+def test_extract_og_meta(spark):
+    from scrapelect_spark.operators.curation import extract_og_meta
+
+    html = (
+        '<html><head><base href="/art/">'
+        '<meta property="og:title" content=" Spaced Title ">'
+        '<meta property="og:image" content="pic.png">'
+        '<meta name="twitter:card" content="summary">'
+        '<meta property="og:title" content="duplicate-loses">'
+        '<meta name="description" content="plain, not og">'
+        "</head><body></body></html>"
+    )
+    bare = "<html><head></head><body>no tags</body></html>"
+    df = spark.createDataFrame(
+        [("http://x.test/p/a.html", html),
+         ("http://x.test/p/b.html", bare)],
+        "url string, html string",
+    )
+    rows = {r.page_url: r for r in extract_og_meta(df).collect()}
+    a = rows["http://x.test/p/a.html"]
+    assert a.og_title == "Spaced Title"          # first wins, stripped
+    assert a.og_image == "http://x.test/art/pic.png"  # base href applies
+    assert a.twitter_card == "summary"
+    assert a.og_description is None and a.has_og == 1
+    b = rows["http://x.test/p/b.html"]
+    assert b.has_og == 0 and b.og_title is None and b.og_image is None
