@@ -545,6 +545,203 @@ ORDER BY page_url
 """
 
 
+def extract_jsonld(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page url, html) → one row per ``<script
+    type="application/ld+json">`` block: schema.org ``@type``,
+    headline/name, the primary image URL (handles the three common
+    shapes — a string, a list, or an ImageObject with ``url``;
+    resolved + canonicalized against the effective base),
+    datePublished, and author name (string or Person object).
+    JSON-LD is the third structured-metadata channel next to og:
+    tags and alt text; NewsArticle/Article blocks carry the
+    cleanest publisher captions.  Malformed JSON becomes a
+    ``parse_error`` row — never a dead batch.  Top-level arrays and
+    ``@graph`` containers emit one row per node.  Shuffle-free scan
+    → flat-map."""
+    import json as _json
+
+    from ..functions.dom import parse_html
+    from ..streaming.canonicalize import resolve_and_canonicalize
+    from ..streaming.crawl import effective_base
+
+    schema = (
+        "page_url string, seq int, ld_type string, headline string, "
+        "image_url string, date_published string, author string, "
+        "parse_error string"
+    )
+
+    def _image_of(node, base):
+        img = node.get("image")
+        if isinstance(img, list) and img:
+            img = img[0]
+        if isinstance(img, dict):
+            img = img.get("url")
+        if isinstance(img, str) and img.strip():
+            return resolve_and_canonicalize(img.strip(), base)
+        return None
+
+    def _author_of(node):
+        a = node.get("author")
+        if isinstance(a, list) and a:
+            a = a[0]
+        if isinstance(a, dict):
+            a = a.get("name")
+        return a if isinstance(a, str) and a.strip() else None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "page_url", "seq", "ld_type", "headline", "image_url",
+                "date_published", "author", "parse_error",
+            )}
+
+            def row(url, seq, t=None, h=None, img=None, dp=None,
+                    au=None, err=None):
+                out["page_url"].append(url)
+                out["seq"].append(seq)
+                out["ld_type"].append(t)
+                out["headline"].append(h)
+                out["image_url"].append(img)
+                out["date_published"].append(dp)
+                out["author"].append(au)
+                out["parse_error"].append(err)
+
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                root = parse_html(html)
+                base = effective_base(root, url)
+                seq = 0
+                for el in root.descendants():
+                    if el.tag != "script":
+                        continue
+                    if el.attrs.get("type", "").strip().lower() != (
+                        "application/ld+json"
+                    ):
+                        continue
+                    try:
+                        doc = _json.loads(el.all_text())
+                    except ValueError as e:
+                        row(url, seq, err=f"bad JSON-LD: {e}")
+                        seq += 1
+                        continue
+                    if isinstance(doc, dict) and "@graph" in doc:
+                        nodes = doc["@graph"]
+                    elif isinstance(doc, list):
+                        nodes = doc
+                    else:
+                        nodes = [doc]
+                    for node in nodes:
+                        if not isinstance(node, dict):
+                            continue
+                        t = node.get("@type")
+                        if isinstance(t, list) and t:
+                            t = t[0]
+                        headline = node.get("headline") or node.get("name")
+                        row(
+                            url, seq,
+                            t if isinstance(t, str) else None,
+                            headline if isinstance(headline, str) else None,
+                            _image_of(node, base),
+                            node.get("datePublished")
+                            if isinstance(node.get("datePublished"), str)
+                            else None,
+                            _author_of(node),
+                        )
+                        seq += 1
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(run, schema=schema)
+
+
+def crawl_jsonld_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for JSON-LD mining: docs rotate the three image shapes
+    (string / list / ImageObject) with relative URLs that must
+    resolve against the page directory; docs ≡1 (mod 4) wrap the node
+    in ``@graph``; docs ≡0 (mod 23) carry malformed JSON that must
+    surface as a parse_error row; docs ≡0 (mod 4) have no JSON-LD at
+    all (no rows)."""
+    from .tables import load, spread
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                script = ""
+                if doc_id % 23 == 0:
+                    script = (
+                        '<script type="application/ld+json">'
+                        "{not json</script>"
+                    )
+                elif doc_id % 4 != 0:
+                    img = f"img/{doc_id}.jpg"
+                    if doc_id % 3 == 0:
+                        img_json = f'"{img}"'
+                    elif doc_id % 3 == 1:
+                        img_json = f'["{img}", "ignored.png"]'
+                    else:
+                        img_json = (
+                            '{"@type": "ImageObject", "url": "%s"}' % img
+                        )
+                    node = (
+                        '{"@type": "NewsArticle", '
+                        + f'"headline": "Head {doc_id}", '
+                        + f'"image": {img_json}, '
+                        + f'"datePublished": "2024-0{1 + doc_id % 9}-02", '
+                        + '"author": {"@type": "Person", "name": '
+                        + f'"Writer {doc_id % 7}"' + "}}"
+                    )
+                    if doc_id % 4 == 1:
+                        node = '{"@graph": [%s]}' % node
+                    script = (
+                        f'<script type="application/ld+json">{node}'
+                        "</script>"
+                    )
+                urls.append(f"http://j{doc_id % 8}.test/p/{doc_id}.html")
+                htmls.append(
+                    f"<html><head>{script}</head><body>x</body></html>"
+                )
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.select("doc_id").mapInPandas(
+        synth, schema="url string, html string"
+    )
+    return extract_jsonld(pages).withColumn(
+        "failed",
+        F.when(F.col("parse_error").isNotNull(), 1).otherwise(0)
+        .cast("long"),
+    ).drop("parse_error").orderBy("page_url", "seq")
+
+
+_JSONLD_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'http://j' || (doc_id % 8) || '.test/p/' AS dir,
+         'http://j' || (doc_id % 8) || '.test/p/' || doc_id || '.html'
+           AS page_url
+  FROM documents WHERE doc_id < 300
+)
+SELECT page_url, CAST(0 AS INTEGER) AS seq,
+       'NewsArticle' AS ld_type,
+       'Head ' || doc_id AS headline,
+       dir || 'img/' || doc_id || '.jpg' AS image_url,
+       '2024-0' || (1 + doc_id % 9) || '-02' AS date_published,
+       'Writer ' || (doc_id % 7) AS author,
+       CAST(0 AS BIGINT) AS failed
+FROM p WHERE doc_id % 23 <> 0 AND doc_id % 4 <> 0
+UNION ALL
+SELECT page_url, CAST(0 AS INTEGER), NULL, NULL, NULL, NULL, NULL,
+       CAST(1 AS BIGINT)
+FROM p WHERE doc_id % 23 = 0
+ORDER BY page_url, seq
+"""
+
+
 def crawl_image_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate for image-reference extraction: per doc synthesize a page
     at ``http://d{doc_id%8}.test/p/{doc_id}.html`` with
@@ -633,10 +830,12 @@ QUERIES = {
     "crawl_image_refs": crawl_image_refs,
     "crawl_anchor_texts": crawl_anchor_texts,
     "crawl_og_pairs": crawl_og_pairs,
+    "crawl_jsonld_pairs": crawl_jsonld_pairs,
 }
 ORACLE_SQL = {
     "curate_pairs_pipeline": _CURATE_SQL,
     "crawl_image_refs": _IMAGE_REFS_SQL,
     "crawl_anchor_texts": _ANCHORS_SQL,
     "crawl_og_pairs": _OG_SQL,
+    "crawl_jsonld_pairs": _JSONLD_SQL,
 }

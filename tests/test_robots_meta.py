@@ -263,3 +263,35 @@ def test_extract_og_meta(spark):
     assert a.og_description is None and a.has_og == 1
     b = rows["http://x.test/p/b.html"]
     assert b.has_og == 0 and b.og_title is None and b.og_image is None
+
+
+def test_extract_jsonld(spark):
+    from scrapelect_spark.operators.curation import extract_jsonld
+
+    html = (
+        '<html><head><base href="/news/">'
+        '<script type="application/ld+json">'
+        '{"@graph": [{"@type": ["NewsArticle", "Article"], '
+        '"headline": "H1", "image": {"@type": "ImageObject", '
+        '"url": "a.png"}, "author": [{"name": "Ann"}]}, '
+        '{"@type": "Organization", "name": "Org"}]}'
+        "</script>"
+        '<script type="application/ld+json">broken {</script>'
+        '<script type="text/javascript">var x = 1;</script>'
+        "</head><body></body></html>"
+    )
+    df = spark.createDataFrame(
+        [("http://x.test/p.html", html)], "url string, html string"
+    )
+    rows = extract_jsonld(df).orderBy("seq").collect()
+    assert len(rows) == 3
+    a = rows[0]
+    assert a.ld_type == "NewsArticle"          # list → first
+    assert a.headline == "H1"
+    assert a.image_url == "http://x.test/news/a.png"  # ImageObject + base
+    assert a.author == "Ann"                   # list of Person → name
+    o = rows[1]
+    assert o.ld_type == "Organization" and o.headline == "Org"
+    assert o.image_url is None
+    bad = rows[2]
+    assert bad.parse_error and bad.ld_type is None
