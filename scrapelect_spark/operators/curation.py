@@ -742,6 +742,158 @@ ORDER BY page_url, seq
 """
 
 
+def extract_microdata(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page url, html) → one row per HTML-microdata PROPERTY:
+    top-level ``itemscope`` elements in document order, their
+    ``itemtype``, and each descendant ``itemprop`` with its value per
+    the WHATWG rules-lite — ``content`` attr for ``<meta>``,
+    ``src``/``href`` (base-resolved + canonicalized) for media/link
+    elements, flattened text otherwise.  Completes the
+    structured-data triple next to :func:`extract_og_meta` and
+    :func:`extract_jsonld`.  Nested itemscopes own their props (a
+    prop inside an inner scope belongs to the inner item).
+    Shuffle-free scan → flat-map."""
+    from ..functions.dom import parse_html
+    from ..streaming.canonicalize import resolve_and_canonicalize
+    from ..streaming.crawl import effective_base
+
+    schema = (
+        "page_url string, item_seq int, item_type string, "
+        "prop string, value string"
+    )
+    _URL_ATTR = {"img": "src", "audio": "src", "video": "src",
+                 "source": "src", "iframe": "src", "embed": "src",
+                 "a": "href", "area": "href", "link": "href"}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "page_url", "item_seq", "item_type", "prop", "value"
+            )}
+
+            def value_of(el, base):
+                if el.tag == "meta":
+                    return el.attrs.get("content", "").strip()
+                attr = _URL_ATTR.get(el.tag)
+                if attr is not None and attr in el.attrs:
+                    return resolve_and_canonicalize(el.attrs[attr], base)
+                if el.tag == "time" and "datetime" in el.attrs:
+                    return el.attrs["datetime"].strip()
+                return " ".join(el.all_text().split())
+
+            def walk_item(item, base, url, seq, itype):
+                # DFS: props belong to the NEAREST enclosing itemscope
+                stack = list(reversed(list(item.child_elements())))
+                while stack:
+                    el = stack.pop()
+                    if "itemprop" in el.attrs:
+                        v = value_of(el, base)
+                        if v is not None:
+                            out["page_url"].append(url)
+                            out["item_seq"].append(seq)
+                            out["item_type"].append(itype)
+                            out["prop"].append(el.attrs["itemprop"].strip())
+                            out["value"].append(v)
+                    if "itemscope" in el.attrs:
+                        continue  # inner item owns its subtree
+                    stack.extend(reversed(list(el.child_elements())))
+
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                root = parse_html(html)
+                base = effective_base(root, url)
+                seq = 0
+                # top-level itemscopes: not nested inside another scope
+                def top_items(el, inside):
+                    if "itemscope" in el.attrs and not inside:
+                        yield el
+                        inside = True
+                    for c in el.child_elements():
+                        yield from top_items(c, inside)
+
+                for item in top_items(root, False):
+                    itype = item.attrs.get("itemtype", "").strip() or None
+                    walk_item(item, base, url, seq, itype)
+                    seq += 1
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(run, schema=schema)
+
+
+def crawl_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for microdata extraction: docs ≡0 (mod 4) have no
+    itemscope (no rows); others carry one schema.org/Product item
+    with a ``name`` prop (text with nested markup to flatten), a
+    ``meta content`` price, and an ``img itemprop=image`` with a
+    RELATIVE src that must base-resolve; docs ≡1 (mod 3) add a
+    second top-level item (Person) whose prop must get item_seq 1."""
+    from .tables import load, spread
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                body = ""
+                if doc_id % 4 != 0:
+                    body = (
+                        '<div itemscope itemtype='
+                        '"https://schema.org/Product">'
+                        f'<span itemprop="name">Item <b>{doc_id}</b></span>'
+                        f'<meta itemprop="price" content="{doc_id % 50}.99">'
+                        f'<img itemprop="image" src="p/{doc_id}.png">'
+                        "</div>"
+                    )
+                    if doc_id % 3 == 1:
+                        body += (
+                            '<div itemscope itemtype='
+                            '"https://schema.org/Person">'
+                            f'<span itemprop="name">P {doc_id % 7}</span>'
+                            "</div>"
+                        )
+                urls.append(f"http://md{doc_id % 8}.test/s/{doc_id}.html")
+                htmls.append(f"<html><body>{body}</body></html>")
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.select("doc_id").mapInPandas(
+        synth, schema="url string, html string"
+    )
+    return extract_microdata(pages).orderBy("page_url", "item_seq", "prop")
+
+
+_MICRODATA_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'http://md' || (doc_id % 8) || '.test/s/' AS dir,
+         'http://md' || (doc_id % 8) || '.test/s/' || doc_id || '.html'
+           AS page_url
+  FROM documents WHERE doc_id < 300 AND doc_id % 4 <> 0
+)
+SELECT page_url, CAST(0 AS INTEGER) AS item_seq,
+       'https://schema.org/Product' AS item_type,
+       'image' AS prop, dir || 'p/' || doc_id || '.png' AS value
+FROM p
+UNION ALL
+SELECT page_url, CAST(0 AS INTEGER), 'https://schema.org/Product',
+       'name', 'Item ' || doc_id
+FROM p
+UNION ALL
+SELECT page_url, CAST(0 AS INTEGER), 'https://schema.org/Product',
+       'price', (doc_id % 50) || '.99'
+FROM p
+UNION ALL
+SELECT page_url, CAST(1 AS INTEGER), 'https://schema.org/Person',
+       'name', 'P ' || (doc_id % 7)
+FROM p WHERE doc_id % 3 = 1
+ORDER BY page_url, item_seq, prop
+"""
+
+
 def crawl_image_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate for image-reference extraction: per doc synthesize a page
     at ``http://d{doc_id%8}.test/p/{doc_id}.html`` with
@@ -831,6 +983,7 @@ QUERIES = {
     "crawl_anchor_texts": crawl_anchor_texts,
     "crawl_og_pairs": crawl_og_pairs,
     "crawl_jsonld_pairs": crawl_jsonld_pairs,
+    "crawl_microdata": crawl_microdata,
 }
 ORACLE_SQL = {
     "curate_pairs_pipeline": _CURATE_SQL,
@@ -838,4 +991,5 @@ ORACLE_SQL = {
     "crawl_anchor_texts": _ANCHORS_SQL,
     "crawl_og_pairs": _OG_SQL,
     "crawl_jsonld_pairs": _JSONLD_SQL,
+    "crawl_microdata": _MICRODATA_SQL,
 }

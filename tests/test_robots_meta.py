@@ -295,3 +295,34 @@ def test_extract_jsonld(spark):
     assert o.image_url is None
     bad = rows[2]
     assert bad.parse_error and bad.ld_type is None
+
+
+def test_extract_microdata_nesting(spark):
+    from scrapelect_spark.operators.curation import extract_microdata
+
+    html = (
+        '<html><head><base href="/shop/"></head><body>'
+        '<div itemscope itemtype="https://schema.org/Product">'
+        '<span itemprop="name">Widget</span>'
+        '<div itemscope itemtype="https://schema.org/Offer">'
+        '<meta itemprop="price" content="9.99">'
+        "</div>"
+        '<img itemprop="image" src="w.png">'
+        '<time itemprop="releaseDate" datetime="2024-05-06">May</time>'
+        "</div></body></html>"
+    )
+    df = spark.createDataFrame(
+        [("http://x.test/p/page.html", html)], "url string, html string"
+    )
+    rows = extract_microdata(df).collect()
+    by = {(r.item_seq, r.prop): r for r in rows}
+    # outer item owns name/image/releaseDate; the nested Offer's price
+    # belongs to the INNER scope which is not a top-level item here —
+    # it is swallowed by the inner-scope cut (props of nested items
+    # are not the outer item's)
+    assert (0, "name") in by and by[(0, "name")].value == "Widget"
+    assert by[(0, "image")].value == "http://x.test/shop/w.png"
+    assert by[(0, "releaseDate")].value == "2024-05-06"
+    assert (0, "price") not in by
+    types = {r.item_type for r in rows}
+    assert types == {"https://schema.org/Product"}
