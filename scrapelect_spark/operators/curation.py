@@ -894,6 +894,157 @@ ORDER BY page_url, item_seq, prop
 """
 
 
+def extract_link_rels(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page url, html) → the dedup/i18n link relations: one row per
+    ``<link rel=canonical>`` (first wins — the publisher's duplicate-
+    cluster key, complementing redirect targets and phash clusters)
+    and per ``<link rel=alternate hreflang=…>`` (the multilingual
+    parallel-page map — how a corpus pipeline mines aligned
+    translations).  hrefs resolve against the effective base +
+    canonicalize; ``is_self`` marks a canonical pointing at the page
+    itself.  Shuffle-free scan → flat-map."""
+    from ..functions.dom import parse_html
+    from ..streaming.canonicalize import (
+        canonicalize_url,
+        resolve_and_canonicalize,
+    )
+    from ..streaming.crawl import effective_base
+
+    schema = (
+        "page_url string, rel string, href string, hreflang string, "
+        "is_self long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "page_url", "rel", "href", "hreflang", "is_self"
+            )}
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                root = parse_html(html)
+                base = effective_base(root, url)
+                self_canon = canonicalize_url(url)
+                seen_canonical = False
+                for el in root.descendants():
+                    if el.tag != "link" or "href" not in el.attrs:
+                        continue
+                    rels = el.attrs.get("rel", "").lower().split()
+                    href = resolve_and_canonicalize(el.attrs["href"], base)
+                    if href is None:
+                        continue
+                    if "canonical" in rels and not seen_canonical:
+                        seen_canonical = True
+                        out["page_url"].append(url)
+                        out["rel"].append("canonical")
+                        out["href"].append(href)
+                        out["hreflang"].append(None)
+                        out["is_self"].append(
+                            1 if href == self_canon else 0
+                        )
+                    elif "alternate" in rels and "hreflang" in el.attrs:
+                        out["page_url"].append(url)
+                        out["rel"].append("alternate")
+                        out["href"].append(href)
+                        out["hreflang"].append(
+                            el.attrs["hreflang"].strip().lower()
+                        )
+                        out["is_self"].append(
+                            1 if href == self_canon else 0
+                        )
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(run, schema=schema)
+
+
+def crawl_link_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for canonical/hreflang extraction: docs ≡0 (mod 3) point
+    canonical at THEMSELVES (is_self 1), others at the mobile-free
+    variant ``…/c/<doc_id>`` (is_self 0); a SECOND canonical later in
+    the head must be ignored; docs ≡0 (mod 2) carry
+    ``1 + doc_id%3`` hreflang alternates over [en, de, ja], one of
+    which (en) is the page itself."""
+    from .tables import load, spread
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+    langs = ["en", "de", "ja"]
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                page = f"http://l{doc_id % 8}.test/en/{doc_id}.html"
+                head = ""
+                if doc_id % 3 == 0:
+                    head += f'<link rel="canonical" href="{page}">'
+                else:
+                    head += (
+                        f'<link rel="canonical" '
+                        f'href="/c/{doc_id}">'
+                    )
+                head += '<link rel="canonical" href="/LOSER">'
+                if doc_id % 2 == 0:
+                    for li in range(1 + doc_id % 3):
+                        lang = langs[li]
+                        target = (
+                            page if lang == "en"
+                            else f"/{lang}/{doc_id}.html"
+                        )
+                        head += (
+                            f'<link rel="alternate" hreflang="{lang}" '
+                            f'href="{target}">'
+                        )
+                urls.append(page)
+                htmls.append(
+                    f"<html><head>{head}</head><body>x</body></html>"
+                )
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.select("doc_id").mapInPandas(
+        synth, schema="url string, html string"
+    )
+    return extract_link_rels(pages).orderBy(
+        "page_url", "rel", "hreflang"
+    )
+
+
+_LINK_RELS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'http://l' || (doc_id % 8) || '.test' AS host,
+         'http://l' || (doc_id % 8) || '.test/en/' || doc_id || '.html'
+           AS page_url
+  FROM documents WHERE doc_id < 300
+),
+canon AS (
+  SELECT page_url, 'canonical' AS rel,
+         CASE WHEN doc_id % 3 = 0 THEN page_url
+              ELSE host || '/c/' || doc_id END AS href,
+         CAST(NULL AS VARCHAR) AS hreflang,
+         CAST(doc_id % 3 = 0 AS BIGINT) AS is_self
+  FROM p
+),
+alts AS (
+  SELECT page_url, 'alternate' AS rel,
+         CASE WHEN l.lang = 'en' THEN page_url
+              ELSE host || '/' || l.lang || '/' || doc_id || '.html'
+         END AS href,
+         l.lang AS hreflang,
+         CAST(l.lang = 'en' AS BIGINT) AS is_self
+  FROM p, (SELECT UNNEST(['en', 'de', 'ja']) AS lang,
+                  UNNEST([0, 1, 2]) AS li) AS l
+  WHERE doc_id % 2 = 0 AND l.li < 1 + doc_id % 3
+)
+SELECT * FROM canon
+UNION ALL SELECT * FROM alts
+ORDER BY page_url, rel, hreflang
+"""
+
+
 def crawl_image_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate for image-reference extraction: per doc synthesize a page
     at ``http://d{doc_id%8}.test/p/{doc_id}.html`` with
@@ -984,6 +1135,7 @@ QUERIES = {
     "crawl_og_pairs": crawl_og_pairs,
     "crawl_jsonld_pairs": crawl_jsonld_pairs,
     "crawl_microdata": crawl_microdata,
+    "crawl_link_rels": crawl_link_rels,
 }
 ORACLE_SQL = {
     "curate_pairs_pipeline": _CURATE_SQL,
@@ -992,4 +1144,5 @@ ORACLE_SQL = {
     "crawl_og_pairs": _OG_SQL,
     "crawl_jsonld_pairs": _JSONLD_SQL,
     "crawl_microdata": _MICRODATA_SQL,
+    "crawl_link_rels": _LINK_RELS_SQL,
 }
