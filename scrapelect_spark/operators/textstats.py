@@ -617,7 +617,136 @@ ORDER BY page_url
 """
 
 
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """C4-style LINE deduplication across the corpus: a normalized
+    line appearing in ``min_occurrences``-or-more documents is kept
+    only at its FIRST occurrence (lowest ``(doc_id, line_no)``) and
+    dropped everywhere else — the standard kill for boilerplate
+    footers, cookie banners, and nav crumbs that survive per-page
+    extraction.  Unique lines always stay.  Returns the documents
+    reassembled (``text``) plus ``n_lines`` / ``n_kept``.
+
+    100-TB shape: explode to (line_hash, doc, line_no) → ONE
+    partial-agg shuffle computes each hash's count + global first
+    occurrence (min struct) → join back on line_hash (AQE/skew-safe:
+    the join key is the hash, the heavy boilerplate hash's rows
+    spread over its partitions) → filter keep → per-doc reassembly is
+    one more keyed aggregation.  No window over the corpus, no
+    driver-side state."""
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "line_no", "line"
+            ),
+        )
+        .withColumn("norm", F.trim(F.regexp_replace("line", r"\s+", " ")))
+        .withColumn("line_hash", F.md5("norm"))
+    )
+    firsts = lines.groupBy("line_hash").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct("doc_id", "line_no")).alias("first"),
+    )
+    kept = (
+        lines.join(firsts, "line_hash")
+        .filter(
+            (F.col("occ") < min_occurrences)
+            | (
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("line_no") == F.col("first.line_no"))
+            )
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count("*").alias("n_kept"),
+        )
+        .join(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                (F.size(F.split(F.col(text_col), "\n"))).alias("n_lines"),
+            ),
+            "doc_id",
+            "right",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.col("n_lines").cast("long"),
+        )
+    )
+
+
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for C4-style cross-document line dedup: every doc has a
+    UNIQUE body line (``body of <doc_id>``), every doc carries the
+    same boilerplate footer (``(c) example footer`` — survives ONLY
+    in doc 0, the global first occurrence), and docs ≡0 (mod 3) share
+    a cookie-banner line that survives only in doc 0 (the lowest
+    ≡0-mod-3 doc).  The oracle reproduces every reassembled text and
+    count in closed form."""
+    from .tables import load, spread
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                lines = [f"body of {doc_id}"]
+                if doc_id % 3 == 0:
+                    lines.append("accept all cookies")
+                lines.append("(c) example footer")
+                ids.append(doc_id)
+                texts.append("\n".join(lines))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    docs = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id long, text string"
+    )
+    return (
+        line_dedup(docs)
+        .select("doc_id", F.md5("text").alias("text_md5"), "n_kept",
+                "n_lines")
+        .orderBy("doc_id")
+    )
+
+
+_LINE_DEDUP_SQL = """
+SELECT doc_id,
+       md5(CASE
+         WHEN doc_id = 0
+           THEN 'body of 0' || chr(10) || 'accept all cookies'
+                || chr(10) || '(c) example footer'
+         ELSE 'body of ' || doc_id
+       END) AS text_md5,
+       CAST(CASE WHEN doc_id = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_kept,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT)
+         AS n_lines
+FROM documents WHERE doc_id < 300
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "corpus_line_dedup": corpus_line_dedup,
     "corpus_main_text": corpus_main_text,
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -631,6 +760,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_line_dedup": _LINE_DEDUP_SQL,
     "corpus_main_text": _MAIN_TEXT_SQL,
     "text_token_stats": _TOKEN_SQL,
     "text_quality_scores": _QUALITY_SQL,
