@@ -745,8 +745,187 @@ ORDER BY doc_id
 """
 
 
+def build_inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted index over the corpus: one row per term with its
+    document frequency, total term frequency, and the posting list
+    ``"doc:tf,doc:tf,…"`` sorted by doc id — the search-index build
+    every crawl corpus eventually feeds.
+
+    100-TB shape: explode → groupBy(term, doc) partial-agg (the tf
+    pass combines map-side, so a 10k-repeat word in one doc leaves its
+    partition as ONE row) → groupBy(term) for the postings.  Two keyed
+    aggregations, no windows, no Python.  At real index scale the
+    posting list for a stopword-grade term exceeds one row's budget —
+    shard it by doc-id range (groupBy(term, doc_id >> K)) before the
+    final agg; the gate keeps the single-row form and hashes the list."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["doc_id"].cast("string"),
+                    s["tf"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: build the inverted index over ``documents`` (doc_id <
+    300) and hash each posting list (the synthetic vocabulary is ~30
+    words, so every list is corpus-length — md5 keeps the compared
+    rows small while still pinning every (doc, tf) entry and order)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (
+        build_inverted_index(d)
+        .select(
+            "term",
+            "doc_freq",
+            "total_tf",
+            F.md5("postings").alias("postings_md5"),
+        )
+        .orderBy("term")
+    )
+
+
+_INVERTED_INDEX_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE doc_id < 300
+),
+tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words GROUP BY term, doc_id
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id))
+         AS postings_md5
+FROM tf GROUP BY term ORDER BY term
+"""
+
+
+#: a bigram is "rare" when its corpus frequency is at/below this
+_RARE_MAX_COUNT = 2
+#: drop a doc when rare bigrams exceed this percentage of its bigrams
+_RARE_MAX_PCT = 40
+
+
+def lm_novelty_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max_count: int = _RARE_MAX_COUNT,
+    rare_max_pct: int = _RARE_MAX_PCT,
+) -> DataFrame:
+    """CCNet-style language-model filtering, integer-exact: train a
+    bigram count model on the corpus itself (one aggregation), then
+    score each document by how many of its word bigrams are rare
+    (corpus frequency ≤ ``rare_max_count``) — the deterministic proxy
+    for "high perplexity under the corpus LM".  A doc is kept when
+    rare bigrams are ≤ ``rare_max_pct``% of its bigrams (gibberish,
+    mangled encodings, and boilerplate-free spam score rare-heavy).
+
+    100-TB shape: bigrams come from one zip-with-next ``transform``
+    over the split array (no per-doc window, no Python) → the model is
+    ONE partial-agg shuffle → score by hash-keyed join-back (hot
+    boilerplate bigrams spread under AQE) → one per-doc aggregation.
+    Counts stay integers end-to-end, so the keep decision is exact —
+    no float log-prob to drift between engines."""
+    bigrams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+    ).select(
+        "doc_id",
+        F.explode(
+            # guard: a 0/1-word doc has no bigrams (sequence(0,-1)
+            # would throw); it simply has no output row, like the SQL
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("bg"),
+    )
+    model = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bigrams.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                (F.col("c") <= rare_max_count).cast("long")
+            ).cast("long").alias("n_rare"),
+        )
+        .withColumn(
+            "keep",
+            F.col("n_rare") * 100 <= F.lit(rare_max_pct) * F.col("n_bigrams"),
+        )
+    )
+
+
+def corpus_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: self-trained bigram rarity scores over ``documents``
+    (doc_id < 300; the synthetic ~30-word vocabulary gives a natural
+    mix of common and singleton bigrams, so both keep outcomes occur)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return lm_novelty_scores(d).orderBy("doc_id")
+
+
+_LM_NOVELTY_SQL = rf"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
+           AS ord
+  FROM documents WHERE doc_id < 300
+),
+bigrams AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+  FROM words a JOIN words b
+    ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+),
+model AS (
+  SELECT bg, COUNT(*) AS c FROM bigrams GROUP BY bg
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN c <= {_RARE_MAX_COUNT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rare,
+       SUM(CASE WHEN c <= {_RARE_MAX_COUNT} THEN 1 ELSE 0 END) * 100
+         <= {_RARE_MAX_PCT} * COUNT(*) AS keep
+FROM bigrams JOIN model USING (bg)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "corpus_line_dedup": corpus_line_dedup,
+    "corpus_inverted_index": corpus_inverted_index,
+    "corpus_lm_novelty": corpus_lm_novelty,
     "corpus_main_text": corpus_main_text,
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -761,6 +940,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "corpus_line_dedup": _LINE_DEDUP_SQL,
+    "corpus_inverted_index": _INVERTED_INDEX_SQL,
+    "corpus_lm_novelty": _LM_NOVELTY_SQL,
     "corpus_main_text": _MAIN_TEXT_SQL,
     "text_token_stats": _TOKEN_SQL,
     "text_quality_scores": _QUALITY_SQL,
