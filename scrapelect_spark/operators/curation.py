@@ -1128,7 +1128,115 @@ ORDER BY page_url, seq
 """
 
 
+_BATCH_SIZE = 8
+
+
+def aspect_bucket_batches(
+    pairs: DataFrame, batch_size: int = _BATCH_SIZE
+) -> DataFrame:
+    """Aspect-ratio bucketed batch assignment — the diffusion-training
+    data-prep step (SDXL-style aspect bucketing): images are grouped
+    into integer aspect classes (``(w*4) div h`` clamped to [1, 16])
+    so every training batch holds same-shaped images; within a bucket
+    the order is the md5 of the id (reproducible shuffle), rows are
+    cut into ``batch_size`` batches, and the final partial batch per
+    bucket is dropped (``batch_id`` NULL), like a drop_last loader.
+
+    100-TB shape: ~16 buckets would mean ONE window task per bucket —
+    the same skew the quota sampler dodges — so the within-bucket
+    row_number decomposes over md5-prefix subbuckets exactly as in
+    :func:`textstats.corpus_quota_sample_bucketed`: per-(bucket, sub)
+    counts (partial-agg), per-bucket offsets over ≤16 tiny rows
+    broadcast back, then row_number only within (bucket, sub) — the
+    largest window task shrinks by the 16× sub fan-out (256× with a
+    2-char prefix).  Batch ids are exact integers; no Python."""
+    from pyspark.sql import Window
+
+    b = pairs.select(
+        "image_id",
+        F.least(
+            F.greatest(
+                F.expr("(CAST(w AS BIGINT) * 4) div CAST(h AS BIGINT)"),
+                F.lit(1),
+            ),
+            F.lit(16),
+        ).alias("bucket"),
+        F.md5(F.col("image_id").cast("string")).alias("pri"),
+    ).withColumn("sub", F.substring("pri", 1, 1))
+    counts = b.groupBy("bucket", "sub").agg(F.count(F.lit(1)).alias("n"))
+    w_bucket = Window.partitionBy("bucket")
+    w_off = (
+        Window.partitionBy("bucket")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket",
+        "sub",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"),
+        F.sum("n").over(w_bucket).alias("total"),
+    )
+    w_sub = Window.partitionBy("bucket", "sub").orderBy("pri")
+    return (
+        b.join(F.broadcast(offsets), ["bucket", "sub"])
+        .withColumn("rn", F.col("off") + F.row_number().over(w_sub))
+        .select(
+            "image_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.when(
+                F.col("rn")
+                <= (F.col("total") - F.col("total") % batch_size),
+                F.expr(f"(rn - 1) div {int(batch_size)}").cast("long"),
+            ).alias("batch_id"),
+        )
+    )
+
+
+def curate_aspect_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the ``curate_pairs_pipeline`` geometry formulas (``w = 32
+    + (doc_id%20)*16``, ``h = 64 + (doc_id%15)*32``) give a realistic
+    spread of aspect classes with uneven bucket sizes, so drop_last
+    remainders occur in several buckets."""
+    from .tables import load
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = d.select(
+        F.col("doc_id").alias("image_id"),
+        (F.lit(32) + (F.col("doc_id") % 20) * 16).cast("int").alias("w"),
+        (F.lit(64) + (F.col("doc_id") % 15) * 32).cast("int").alias("h"),
+    )
+    return aspect_bucket_batches(pairs).orderBy("image_id")
+
+
+_ASPECT_BATCHES_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id AS image_id,
+         32 + (doc_id % 20) * 16 AS w,
+         64 + (doc_id % 15) * 32 AS h
+  FROM documents WHERE doc_id < 300
+),
+b AS (
+  SELECT image_id,
+         LEAST(GREATEST((w * 4) // h, 1), 16) AS bucket,
+         md5(CAST(image_id AS VARCHAR)) AS pri
+  FROM pairs
+),
+r AS (
+  SELECT image_id, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY pri) AS rn,
+         COUNT(*) OVER (PARTITION BY bucket) AS total
+  FROM b
+)
+SELECT image_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN rn <= total - total % {_BATCH_SIZE}
+                 THEN (rn - 1) // {_BATCH_SIZE} END AS BIGINT) AS batch_id
+FROM r ORDER BY image_id
+"""
+
+
 QUERIES = {
+    "curate_aspect_batches": curate_aspect_batches,
     "curate_pairs_pipeline": curate_pairs_pipeline,
     "crawl_image_refs": crawl_image_refs,
     "crawl_anchor_texts": crawl_anchor_texts,
@@ -1138,6 +1246,7 @@ QUERIES = {
     "crawl_link_rels": crawl_link_rels,
 }
 ORACLE_SQL = {
+    "curate_aspect_batches": _ASPECT_BATCHES_SQL,
     "curate_pairs_pipeline": _CURATE_SQL,
     "crawl_image_refs": _IMAGE_REFS_SQL,
     "crawl_anchor_texts": _ANCHORS_SQL,
