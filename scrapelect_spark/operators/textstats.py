@@ -922,10 +922,104 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+#: passage window length and stride (tokens); stride < size ⇒ overlap
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def passage_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = _CHUNK_SIZE,
+    stride: int = _CHUNK_STRIDE,
+) -> DataFrame:
+    """RAG-style passage chunking: split each document into
+    overlapping ``size``-token windows every ``stride`` tokens (the
+    retrieval-corpus prep step before embedding).  Every document
+    yields at least one chunk; the last window is short when the doc
+    doesn't divide evenly.  One row per chunk with its token count
+    and text.
+
+    100-TB shape: pure per-row array arithmetic (``sequence`` of
+    window starts → ``slice`` → explode) — embarrassingly parallel,
+    zero shuffles, whole-stage codegen end to end."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+        )
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(
+                # window starts: 0, stride, 2·stride, … while start < n
+                F.filter(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size("ws") - 1, F.lit(0)),
+                        F.lit(stride),
+                    ),
+                    lambda s: s < F.size("ws"),
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"start div {int(stride)}").cast("long").alias("chunk_id"),
+            F.slice(F.col("ws"), F.col("start") + 1, size).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def corpus_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: chunk ``documents`` (doc_id < 300) and hash each chunk's
+    text; doc lengths straddle several window counts so the overlap
+    and the short-tail cases both occur."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (
+        passage_chunks(d)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_PASSAGE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE doc_id < 300
+),
+starts AS (
+  SELECT doc_id, ws, unnest(range(0, GREATEST(len(ws), 1),
+                                  {_CHUNK_STRIDE})) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(ws[start + 1 : start + {_CHUNK_SIZE}]) AS BIGINT)
+         AS n_tokens,
+       md5(array_to_string(ws[start + 1 : start + {_CHUNK_SIZE}], ' '))
+         AS chunk_md5
+FROM starts ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
     "corpus_line_dedup": corpus_line_dedup,
     "corpus_inverted_index": corpus_inverted_index,
     "corpus_lm_novelty": corpus_lm_novelty,
+    "corpus_passage_chunks": corpus_passage_chunks,
     "corpus_main_text": corpus_main_text,
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -942,6 +1036,7 @@ ORACLE_SQL = {
     "corpus_line_dedup": _LINE_DEDUP_SQL,
     "corpus_inverted_index": _INVERTED_INDEX_SQL,
     "corpus_lm_novelty": _LM_NOVELTY_SQL,
+    "corpus_passage_chunks": _PASSAGE_SQL,
     "corpus_main_text": _MAIN_TEXT_SQL,
     "text_token_stats": _TOKEN_SQL,
     "text_quality_scores": _QUALITY_SQL,
