@@ -13,6 +13,7 @@ from . import (
     scrp_queries,
     simsearch,
     textstats,
+    tokenizer,
     warc_io,
 )
 from ..streaming import windows as streaming_windows
@@ -20,7 +21,8 @@ from ..streaming import windows as streaming_windows
 _ALL_QUERIES = {}
 _ALL_ORACLE = {}
 for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
-            streaming_windows, warc_io, imagemeta, graph, curation):
+            streaming_windows, warc_io, imagemeta, graph, curation,
+            tokenizer):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLE.update(mod.ORACLE_SQL)
 
@@ -32,6 +34,7 @@ for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
 # CORRECTNESS_r03/r04 (those are the safest to fall off the end).
 _PRIORITY = [
     # new in round 5 (no driver row can exist yet)
+    "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",
     "corpus_lm_novelty",
