@@ -34,6 +34,8 @@ for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
 # CORRECTNESS_r03/r04 (those are the safest to fall off the end).
 _PRIORITY = [
     # new in round 5 (no driver row can exist yet)
+    "corpus_bm25_topk",
+    "corpus_gopher_rules",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

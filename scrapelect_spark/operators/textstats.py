@@ -1015,7 +1015,223 @@ FROM starts ORDER BY doc_id, chunk_id
 """
 
 
+#: Okapi BM25 constants (Robertson/Spärck Jones; the Lucene defaults)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+#: the retrieval query the gate scores the corpus against
+_BM25_QUERY = ("spark", "merge", "window")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    topk: int = 50,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against
+    ``query_terms`` and return the top-k.  idf = ln(1 + (N-df+0.5)/
+    (df+0.5)) (the Lucene variant, never negative).
+
+    100-TB shape: the corpus explode is filtered to the |Q|-term query
+    set BEFORE the tf shuffle, so the only corpus-wide exchanges move
+    (a) one row per (matching term, doc) for tf and (b) one row per
+    doc for its length; N/avgdl is a single-row partial aggregate and
+    the per-term df table is |Q| rows — both broadcast.  The final
+    top-k is TakeOrderedAndProject (no global sort)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+    )
+    dl = toks.select("doc_id", F.size("ws").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("part"), 6).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(topk)
+
+
+def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: BM25 top-50 for a 3-term query over ``documents``.
+    Covers multi-term accumulation, tf saturation, and the doc-length
+    normalization (synthetic doc lengths vary several × around
+    avgdl)."""
+    return bm25_topk(load(spark, sf_dir, "documents"), _BM25_QUERY)
+
+
+_BM25_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+  WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_QUERY)})
+  GROUP BY term, doc_id
+),
+df_t AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln(1 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+         * (tf.tf * ({_BM25_K1} + 1.0))
+         / (tf.tf + {_BM25_K1}
+            * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+       ), 6) AS bm25,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+FROM tf JOIN df_t USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 50
+"""
+
+
+#: Gopher rules (Rae et al. 2021 §A1.1): word-count bounds, mean word
+#: length 3–10, ≤10% hash/ellipsis symbols, ≥80% words with an
+#: alphabetic character, ≥2 required stopwords.  The synthetic corpus
+#: needs a reachable word-count floor; everything else is the paper's.
+_GOPHER_MIN_WORDS = 40
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_REQUIRED = ("the", "a", "of", "and", "to", "in", "that", "with")
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher repetition-free quality rules as integer-exact booleans
+    (ratios compared by cross-multiplication, so no float enters the
+    keep decision).  One row per doc with each rule's verdict and the
+    conjunction.
+
+    100-TB shape: pure per-row ``pyspark.sql.functions`` expressions —
+    no shuffle, no window, no Python; whole-stage codegen end to
+    end."""
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(ws).cast("long")
+    total_chars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_sym = (
+        F.size(F.filter(ws, lambda w: w.startswith("#"))).cast("long")
+        + F.size(F.filter(ws, lambda w: w.endswith("..."))).cast("long")
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(ws),
+            F.array(*[F.lit(s) for s in _GOPHER_REQUIRED]),
+        )
+    ).cast("long")
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        ((n_words >= _GOPHER_MIN_WORDS) & (n_words <= _GOPHER_MAX_WORDS))
+        .cast("long")
+        .alias("ok_words"),
+        ((total_chars >= 3 * n_words) & (total_chars <= 10 * n_words))
+        .cast("long")
+        .alias("ok_mean_len"),
+        (10 * n_sym <= n_words).cast("long").alias("ok_symbols"),
+        (10 * n_alpha >= 8 * n_words).cast("long").alias("ok_alpha"),
+        (n_stop >= 2).cast("long").alias("ok_stopwords"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            F.col("ok_words")
+            * F.col("ok_mean_len")
+            * F.col("ok_symbols")
+            * F.col("ok_alpha")
+            * F.col("ok_stopwords")
+        ).cast("long"),
+    )
+
+
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: Gopher rules over every document, ordered by doc_id —
+    both keep and each per-rule verdict are hash-pinned."""
+    return gopher_rules(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_GOPHER_SQL = rf"""
+WITH feat AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+),
+agg AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+      AS total_chars,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+      AS BIGINT) AS n_alpha,
+    CAST(len(list_filter(ws, w -> w LIKE '#%'))
+       + len(list_filter(ws, w -> w LIKE '%...')) AS BIGINT) AS n_sym,
+    CAST(len(list_intersect(list_distinct(ws),
+      [{", ".join(f"'{s}'" for s in _GOPHER_REQUIRED)}])) AS BIGINT)
+      AS n_stop
+  FROM feat
+)
+SELECT doc_id, n_words,
+  CAST(n_words >= {_GOPHER_MIN_WORDS}
+       AND n_words <= {_GOPHER_MAX_WORDS} AS BIGINT) AS ok_words,
+  CAST(total_chars >= 3 * n_words
+       AND total_chars <= 10 * n_words AS BIGINT) AS ok_mean_len,
+  CAST(10 * n_sym <= n_words AS BIGINT) AS ok_symbols,
+  CAST(10 * n_alpha >= 8 * n_words AS BIGINT) AS ok_alpha,
+  CAST(n_stop >= 2 AS BIGINT) AS ok_stopwords,
+  CAST((n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS})
+   AND (total_chars >= 3 * n_words AND total_chars <= 10 * n_words)
+   AND (10 * n_sym <= n_words)
+   AND (10 * n_alpha >= 8 * n_words)
+   AND (n_stop >= 2) AS BIGINT) AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "corpus_bm25_topk": corpus_bm25_topk,
+    "corpus_gopher_rules": corpus_gopher_rules,
     "corpus_line_dedup": corpus_line_dedup,
     "corpus_inverted_index": corpus_inverted_index,
     "corpus_lm_novelty": corpus_lm_novelty,
@@ -1033,6 +1249,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_bm25_topk": _BM25_SQL,
+    "corpus_gopher_rules": _GOPHER_SQL,
     "corpus_line_dedup": _LINE_DEDUP_SQL,
     "corpus_inverted_index": _INVERTED_INDEX_SQL,
     "corpus_lm_novelty": _LM_NOVELTY_SQL,

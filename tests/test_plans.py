@@ -615,3 +615,34 @@ def test_html_extraction_front_ends_are_shuffle_free(spark):
         assert plan.count("Exchange hashpartitioning") == 0, plan
         assert plan.count("Exchange") <= 1, plan
         assert "MapInPandas" in plan
+
+
+def test_bm25_prunes_corpus_before_shuffle(spark):
+    """BM25's corpus explode must be filtered to the |Q| query terms
+    BELOW every exchange (at 100 TB the tf shuffle carries only
+    matching (term, doc) rows, never the corpus vocabulary), the
+    per-term df table and the N/avgdl scalar must broadcast, and the
+    top-k must be TakeOrderedAndProject, not a global sort."""
+    from scrapelect_spark.operators.tables import load
+    from scrapelect_spark.operators.textstats import _BM25_QUERY, bm25_topk
+
+    df = bm25_topk(load(spark, SF, "documents"), _BM25_QUERY)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # every tf-side exchange sits ABOVE a term IN (...) filter: the
+    # first hashpartitioning exchange's subtree must contain the filter
+    first_shuffle = plan.index("Exchange hashpartitioning")
+    assert "IN (spark,merge,window)" in plan[first_shuffle:], plan
+
+
+def test_gopher_rules_shuffle_free(spark):
+    """The Gopher rule filter is a per-row projection: no exchange, no
+    window, no Python — whole-stage codegen over the scan."""
+    from scrapelect_spark.operators.tables import load
+    from scrapelect_spark.operators.textstats import gopher_rules
+
+    plan = plan_of(gopher_rules(load(spark, SF, "documents")))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
