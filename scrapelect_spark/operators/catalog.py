@@ -36,6 +36,7 @@ _PRIORITY = [
     # new in round 5 (no driver row can exist yet)
     "corpus_bm25_topk",
     "corpus_gopher_rules",
+    "crawl_trap_hosts",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -770,7 +770,85 @@ ORDER BY user_id, session_idx
 """
 
 
+def url_space_stats(urls: DataFrame, ratio: int = 5) -> DataFrame:
+    """Crawl-trap detection over a URL table: a host whose distinct
+    URL count exceeds ``ratio``× its distinct path-stem count is
+    generating its URL space from query parameters (session ids,
+    calendars, faceted search) — the classic crawler trap.  One row
+    per host with both counts and the integer-exact flag.
+
+    100-TB shape: host/stem derive per-row from the url string
+    (whole-stage codegen), then ONE groupBy(host) with two distinct
+    aggregates — Spark expands those into a partial-aggregated
+    (host, url/stem) pass, so a hot host combines map-side and never
+    concentrates raw rows in one task."""
+    parts = urls.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.col("url"),
+        F.split(F.col("url"), r"\?", 2).getItem(0).alias("stem"),
+    )
+    agg = parts.groupBy("host").agg(
+        F.count_distinct("url").cast("long").alias("n_urls"),
+        F.count_distinct("stem").cast("long").alias("n_stems"),
+    )
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_stems",
+        (F.col("n_urls") > ratio * F.col("n_stems")).cast("long").alias("is_trap"),
+    )
+
+
+def crawl_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: synthesize a crawl URL log from ``events`` — 20 hosts;
+    the 2 hosts with ``user_id % 20 < 2`` serve 7 paths but append a
+    per-event session id to every URL (the trap: tiny stem space,
+    unbounded URL space), everyone else serves ~97 stable paths —
+    and flag the traps."""
+    e = load(spark, sf_dir, "events")
+    is_trap_host = F.col("user_id") % 20 < 2
+    urls = e.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".test/cat/"),
+            F.when(is_trap_host, F.col("event_id") % 7)
+            .otherwise(F.col("event_id") % 97)
+            .cast("string"),
+            F.when(
+                is_trap_host,
+                F.concat(F.lit("?sid="), F.col("event_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("url")
+    )
+    return url_space_stats(urls).orderBy("host")
+
+
+_TRAP_SQL = r"""
+WITH urls AS (
+  SELECT 'http://h' || (user_id % 20) || '.test/cat/'
+         || CASE WHEN user_id % 20 < 2
+                 THEN event_id % 7 ELSE event_id % 97 END
+         || CASE WHEN user_id % 20 < 2
+                 THEN '?sid=' || event_id ELSE '' END AS url
+  FROM events
+),
+parts AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         url, str_split(url, '?')[1] AS stem
+  FROM urls
+)
+SELECT host,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT stem) AS BIGINT) AS n_stems,
+       CAST(COUNT(DISTINCT url) > 5 * COUNT(DISTINCT stem) AS BIGINT)
+         AS is_trap
+FROM parts GROUP BY host ORDER BY host
+"""
+
+
 QUERIES = {
+    "crawl_trap_hosts": crawl_trap_hosts,
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
     "events_sessionized": events_sessionized,
@@ -791,6 +869,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "crawl_trap_hosts": _TRAP_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_nation_revenue": _Q5_SQL,
