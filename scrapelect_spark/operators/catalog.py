@@ -37,6 +37,7 @@ _PRIORITY = [
     "corpus_bm25_topk",
     "corpus_gopher_rules",
     "crawl_trap_hosts",
+    "crawl_url_canonicalize",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -847,7 +847,73 @@ FROM parts GROUP BY host ORDER BY host
 """
 
 
+def crawl_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the frontier's URL identity function
+    (`streaming/canonicalize.py`, SURVEY §7.1 item 4) against a
+    closed-form oracle.  Messy URLs are synthesized from ``events``
+    in two shapes — upper-case scheme/host + default port +
+    dot-segments + fragment (odd ids), and https:443 with an empty
+    path and empty query (even ids) — and canonicalized through the
+    REAL Arrow-batched series transform the crawl loop uses.
+
+    100-TB shape: one pandas-UDF projection, no shuffle — the same
+    per-batch cost the frontier pays per micro-batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..streaming.canonicalize import canonicalize_series
+
+    canon_udf = pandas_udf(canonicalize_series, "string")
+    e = load(spark, sf_dir, "events").select("event_id", "user_id")
+    messy = e.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 2 == 1,
+            F.concat(
+                F.lit("HTTP://H"),
+                (F.col("user_id") % 10).cast("string"),
+                F.lit(".Test:80/a/./b"),
+                (F.col("event_id") % 5).cast("string"),
+                F.lit("/../c"),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit("?q="),
+                (F.col("event_id") % 3).cast("string"),
+                F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://h"),
+                (F.col("user_id") % 10).cast("string"),
+                F.lit(".test:443?#x"),
+            )
+        )
+        .alias("url"),
+    )
+    return (
+        messy.select("event_id", "url", canon_udf("url").alias("canon"))
+        .orderBy("event_id")
+        .limit(2000)
+    )
+
+
+_CANON_SQL = r"""
+SELECT event_id,
+  CASE WHEN event_id % 2 = 1
+    THEN 'HTTP://H' || (user_id % 10) || '.Test:80/a/./b' || (event_id % 5)
+         || '/../c' || (event_id % 7) || '?q=' || (event_id % 3) || '#frag'
+    ELSE 'HTTPS://h' || (user_id % 10) || '.test:443?#x'
+  END AS url,
+  CASE WHEN event_id % 2 = 1
+    THEN 'http://h' || (user_id % 10) || '.test/a/c' || (event_id % 7)
+         || '?q=' || (event_id % 3)
+    ELSE 'https://h' || (user_id % 10) || '.test/'
+  END AS canon
+FROM events ORDER BY event_id LIMIT 2000
+"""
+
+
 QUERIES = {
+    "crawl_url_canonicalize": crawl_url_canonicalize,
     "crawl_trap_hosts": crawl_trap_hosts,
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -869,6 +935,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "crawl_url_canonicalize": _CANON_SQL,
     "crawl_trap_hosts": _TRAP_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "q3_shipping_priority": _Q3_SQL,
