@@ -33,11 +33,24 @@ for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
 # the 9 that missed round 4, then everything with a green driver row in
 # CORRECTNESS_r03/r04 (those are the safest to fall off the end).
 _PRIORITY = [
+    # VERDICT r4 item #2 names these four as the round-5 "done"
+    # criterion (never had a driver row in ANY round) — they go first
+    "crawl_sitemap_ingest",
+    "crawl_warc_roundtrip",
+    "events_sessionized_stream",
+    "image_gif_roundtrip",
+    # green in r3 but dropped out of r4's 50-row window
+    "events_hourly_stream",
+    "image_decode_errors",
+    "image_jpeg_roundtrip",
+    "image_resize_nn",
+    "video_frame_sample",
     # new in round 5 (no driver row can exist yet)
     "corpus_bm25_topk",
     "corpus_gopher_rules",
     "crawl_trap_hosts",
     "crawl_url_canonicalize",
+    "embedding_semdedup",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",
@@ -86,17 +99,6 @@ _PRIORITY = [
     "audio_adpcm_stereo",
     "corpus_quota_sample_bucketed",
     "audio_g711_roundtrip",
-    # never had a driver row (r4)
-    "crawl_sitemap_ingest",
-    "crawl_warc_roundtrip",
-    "events_sessionized_stream",
-    "image_gif_roundtrip",
-    # green in r3 but dropped out of r4's 50-row window
-    "events_hourly_stream",
-    "image_decode_errors",
-    "image_jpeg_roundtrip",
-    "image_resize_nn",
-    "video_frame_sample",
 ]
 
 QUERIES = {}

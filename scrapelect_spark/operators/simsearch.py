@@ -706,7 +706,166 @@ ORDER BY ord
     )
 
 
+#: SemDeDup constants: cluster count, near-dup cosine threshold, and
+#: the planted-duplicate synthesis (every 6th base vector gets a copy
+#: with +0.05 on its first coordinate → cosine ≈ 0.9987 vs its
+#: source, while unrelated cosines in this corpus top out near 0.41,
+#: so τ=0.95 separates with a wide margin on both sides)
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = 0.95
+_SEMDEDUP_BASE = 300
+_SEMDEDUP_DUP_ID = 1000
+
+
+def semdedup_flags(el: DataFrame, k: int = _SEMDEDUP_K, tau: float = _SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every vector to its
+    nearest of the first ``k`` vectors (one Lloyd assignment, exact
+    DECIMAL distances, ties → lowest centroid id), then pairwise
+    cosine WITHIN each cluster; a vector is a duplicate when a
+    lower-id member of its own cluster has cosine > ``tau`` with it.
+    Returns (vec_id, k, keep).
+
+    100-TB shape: clustering bounds the quadratic blow-up — the pair
+    join's key is (cluster, ord), so candidate pairs are cluster-local
+    (|c|² per cluster, the SemDeDup contract: pick K so N/K fits a
+    task) and the dot/norm sums are partial-aggregated DECIMALs.  The
+    k·D centroid table is the only broadcast; nothing N-sized ever
+    reaches the driver."""
+    cent = (
+        el.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("k"), "ord", F.col("x").alias("c"))
+    )
+    diff = F.col("x") - F.col("c")
+    assign = (
+        el.join(F.broadcast(cent), "ord")
+        .groupBy("vec_id", "k")
+        .agg(F.sum((diff * diff).cast(DEC)).alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "k")).alias("m"))
+        .select("vec_id", F.col("m.k").alias("k"))
+    )
+    elk = el.join(assign, "vec_id")
+    a = elk.select(
+        F.col("k"), F.col("ord"),
+        F.col("vec_id").alias("va"), F.col("x").alias("xa"),
+    )
+    b = elk.select(
+        F.col("k"), F.col("ord"),
+        F.col("vec_id").alias("vb"), F.col("x").alias("xb"),
+    )
+    dots = (
+        a.join(b, ["k", "ord"])
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum((F.col("xa") * F.col("xb")).cast(DEC)).alias("dot"))
+    )
+    norms = el.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("n2")
+    )
+    dup_ids = (
+        dots.join(norms.select(F.col("vec_id").alias("va"), F.col("n2").alias("na")), "va")
+        .join(norms.select(F.col("vec_id").alias("vb"), F.col("n2").alias("nb")), "vb")
+        .filter(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            > tau
+        )
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dup_ids.withColumn("dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "k",
+            F.when(F.col("dup").isNull(), 1).otherwise(0).cast("long").alias("keep"),
+        )
+    )
+
+
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: SemDeDup over the first 300 embeddings plus planted
+    near-duplicates (every 6th vector re-appears as vec_id+1000 with
+    +0.05 on coordinate 1).  Nearly every planted copy lands in its
+    source's cluster and is flagged ``keep=0``; a copy of a vector
+    sitting on a cluster boundary can land in a neighboring cluster
+    and survive — the cluster-locality trade-off SemDeDup accepts by
+    design (at sf0.001 exactly one of the 50 copies, vec 1162, does
+    this)."""
+    el = _elements(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _SEMDEDUP_BASE)
+    )
+    dup_el = (
+        el.filter(F.col("vec_id") % 6 == 0)
+        .select(
+            (F.col("vec_id") + _SEMDEDUP_DUP_ID).alias("vec_id"),
+            "ord",
+            F.when(F.col("ord") == 1, F.col("x") + 0.05).otherwise(F.col("x")).alias("x"),
+        )
+    )
+    return semdedup_flags(el.unionByName(dup_el)).orderBy("vec_id")
+
+
+_SEMDEDUP_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, CAST(xf AS DOUBLE) AS x, ord FROM (
+    SELECT vec_id, unnest(embedding) AS xf,
+           generate_subscripts(embedding, 1) AS ord
+    FROM embeddings WHERE vec_id < {_SEMDEDUP_BASE}
+  )
+),
+el AS MATERIALIZED (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + {_SEMDEDUP_DUP_ID},
+         CASE WHEN ord = 1 THEN x + 0.05 ELSE x END, ord
+  FROM base WHERE vec_id % 6 = 0
+),
+cent AS MATERIALIZED (
+  SELECT vec_id AS k, ord, x AS c FROM el WHERE vec_id < {_SEMDEDUP_K}
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, k FROM (
+    SELECT e.vec_id, c.k,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(28,12))), c.k
+      ) AS rn
+    FROM el e JOIN cent c USING (ord) GROUP BY e.vec_id, c.k
+  ) WHERE rn = 1
+),
+elk AS MATERIALIZED (
+  SELECT e.vec_id, a.k, e.ord, e.x FROM el e JOIN assign a USING (vec_id)
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, SUM(CAST(x * x AS DECIMAL(28,12))) AS n2
+  FROM el GROUP BY vec_id
+),
+dots AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS dot
+  FROM elk a JOIN elk b ON a.k = b.k AND a.ord = b.ord
+                        AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+dups AS MATERIALIZED (
+  SELECT DISTINCT d.vb AS vec_id
+  FROM dots d JOIN norms na ON na.vec_id = d.va
+              JOIN norms nb ON nb.vec_id = d.vb
+  WHERE CAST(d.dot AS DOUBLE)
+        / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+        > {_SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.k,
+       CAST(CASE WHEN dups.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS keep
+FROM assign a LEFT JOIN dups USING (vec_id)
+ORDER BY a.vec_id
+"""
+
+
 QUERIES = {
+    "embedding_semdedup": embedding_semdedup,
     "ann_cosine_topk": ann_cosine_topk,
     "knn_label_vote": knn_label_vote,
     "embedding_power_iteration": embedding_power_iteration,
@@ -718,6 +877,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "embedding_semdedup": _SEMDEDUP_SQL,
     "ann_cosine_topk": _TOPK_SQL,
     "knn_label_vote": _KNN_SQL,
     "embedding_power_iteration": _power_iteration_sql(),
