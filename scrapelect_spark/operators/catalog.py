@@ -51,6 +51,7 @@ _PRIORITY = [
     "crawl_trap_hosts",
     "crawl_url_canonicalize",
     "embedding_semdedup",
+    "embedding_pq_adc",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -864,7 +864,262 @@ ORDER BY a.vec_id
 """
 
 
+#: Product-quantization constants: m subspaces of D/m dims each, K
+#: centroids per subspace (codes are 4 bits here; 8 bits = K=256 in
+#: production), fixed Lloyd rounds, and the ADC top-k size.
+_PQ_M = 4
+_PQ_SUBDIM = 16
+_PQ_K = 16
+_PQ_ROUNDS = 3
+_PQ_TOPK = 10
+
+
+def _pq_elements(el: DataFrame) -> DataFrame:
+    """Split exploded elements into (vec_id, sub, sord, x): subspace
+    ``sub`` = (ord-1) div SUBDIM, within-subspace ordinal ``sord``
+    1-based."""
+    return el.select(
+        "vec_id",
+        ((F.col("ord") - 1) / _PQ_SUBDIM).cast("long").alias("sub"),
+        ((F.col("ord") - 1) % _PQ_SUBDIM + 1).alias("sord"),
+        "x",
+    )
+
+
+def _pq_round(
+    spark: SparkSession,
+    pel: DataFrame,
+    cent: dict[tuple[int, int, int], float],
+) -> DataFrame:
+    """One PQ Lloyd round over ALL subspaces at once: the centroid
+    table keys on (sub, k) so every subspace's assignment + update
+    runs in the same two aggregations — m independent k-means without
+    m separate jobs.  Only the m·K·SUBDIM centroid table (1024 rows
+    here) is broadcast; the N·m assignment joins ``pel``
+    co-partitioned on vec_id."""
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(s, k, o, c) for (s, k, o), c in sorted(cent.items())],
+            "sub long, k long, sord long, c double",
+        )
+    )
+    diff = F.col("x") - F.col("c")
+    d2 = (
+        pel.join(cent_df, ["sub", "sord"])
+        .groupBy("vec_id", "sub", "k")
+        .agg(F.sum((diff * diff).cast(DEC)).alias("d2"))
+    )
+    assign = (
+        d2.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "k")).alias("m"))
+        .select("vec_id", "sub", F.col("m.k").alias("k"))
+    )
+    return (
+        pel.join(assign, ["vec_id", "sub"])
+        .groupBy("sub", "k", "sord")
+        .agg(
+            (
+                F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+
+
+def embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric-distance search (Jégou et al.
+    2011) — the memory-side half of IVF-PQ, the index family that
+    serves billion-vector ANN: vectors compress to m·log2(K) bits (16
+    bits here vs 64·32 raw) and queries scan CODES against a per-query
+    distance table instead of touching raw vectors.
+
+    Train m per-subspace codebooks (K centroids seeded from vec_id
+    0..K-1's sub-vectors, ``_PQ_ROUNDS`` Lloyd rounds, exact DECIMAL
+    distances, ties → lowest k), encode every vector as m codes, build
+    the query's (sub, k) distance table from vec_id 0, and return the
+    ADC top-10 (query excluded): (vec_id, code0..code3, adc_d2,
+    exact_d2) — exact_d2 alongside shows the quantization gap the
+    oracle verifies too.
+
+    Scale shape: per round, one co-partitioned join + two partial
+    aggregations; the broadcast side is always the m·K·SUBDIM codebook
+    (1024 rows), never the N·m code table.  The ADC scan is a
+    broadcast-join of the 64-row distance table against codes — at
+    10^9 vectors that is the only full pass, over 16-bit rows."""
+    el = (
+        _elements(load(spark, sf_dir, "embeddings"))
+        .repartition("vec_id")
+        .persist()
+    )
+    try:
+        el.count()
+        pel = _pq_elements(el)
+        cent = {
+            (int(r.sub), int(r.vec_id), int(r.sord)): float(r.x)
+            for r in pel.filter(F.col("vec_id") < _PQ_K).collect()
+        }
+        for _ in range(_PQ_ROUNDS):
+            upd = _pq_round(spark, pel, cent).collect()
+            cent = {
+                (int(r.sub), int(r.k), int(r.sord)): float(r.c) for r in upd
+            }
+        cent_df = F.broadcast(
+            spark.createDataFrame(
+                [(s, k, o, c) for (s, k, o), c in sorted(cent.items())],
+                "sub long, k long, sord long, c double",
+            )
+        )
+        diff = F.col("x") - F.col("c")
+        codes = (
+            pel.join(cent_df, ["sub", "sord"])
+            .groupBy("vec_id", "sub", "k")
+            .agg(F.sum((diff * diff).cast(DEC)).alias("d2"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d2", "k")).alias("m"))
+            .select("vec_id", "sub", F.col("m.k").alias("k"))
+        )
+        # per-query distance table: d(q_sub, centroid) for all (sub, k)
+        q = pel.filter(F.col("vec_id") == 0).select(
+            "sub", "sord", F.col("x").alias("qx")
+        )
+        qdiff = F.col("qx") - F.col("c")
+        dtable = (
+            cent_df.join(F.broadcast(q), ["sub", "sord"])
+            .groupBy("sub", "k")
+            .agg(F.sum((qdiff * qdiff).cast(DEC)).alias("dt"))
+        )
+        adc = (
+            codes.join(F.broadcast(dtable), ["sub", "k"])
+            .groupBy("vec_id")
+            .agg(F.sum("dt").alias("adc"))
+        )
+        # exact squared distance to the query for the same rows
+        qfull = el.filter(F.col("vec_id") == 0).select(
+            "ord", F.col("x").alias("qx")
+        )
+        ediff = F.col("x") - F.col("qx")
+        exact = (
+            el.join(F.broadcast(qfull), "ord")
+            .groupBy("vec_id")
+            .agg(F.sum((ediff * ediff).cast(DEC)).alias("exact"))
+        )
+        code_cols = codes.groupBy("vec_id").pivot("sub", list(range(_PQ_M))).agg(
+            F.first("k")
+        )
+        top = (
+            adc.filter(F.col("vec_id") != 0)
+            .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+            .limit(_PQ_TOPK)
+        )
+        return (
+            top.join(code_cols, "vec_id")
+            .join(exact, "vec_id")
+            .select(
+                "vec_id",
+                *[
+                    F.col(str(s)).cast("long").alias(f"code{s}")
+                    for s in range(_PQ_M)
+                ],
+                F.round(F.col("adc").cast("double"), 6).alias("adc_d2"),
+                F.round(F.col("exact").cast("double"), 6).alias("exact_d2"),
+            )
+            .orderBy("adc_d2", "vec_id")
+        )
+    finally:
+        el.unpersist()
+
+
+def _pq_sql() -> str:
+    cte = [
+        """el AS MATERIALIZED (
+  SELECT vec_id, CAST(xf AS DOUBLE) AS x, ord
+  FROM (
+    SELECT vec_id, unnest(embedding) AS xf,
+           generate_subscripts(embedding, 1) AS ord
+    FROM embeddings
+  )
+)""",
+        f"""pel AS MATERIALIZED (
+  SELECT vec_id, CAST((ord - 1) // {_PQ_SUBDIM} AS BIGINT) AS sub,
+         (ord - 1) % {_PQ_SUBDIM} + 1 AS sord, x
+  FROM el
+)""",
+        f"c0 AS MATERIALIZED (SELECT sub, vec_id AS k, sord, x AS c "
+        f"FROM pel WHERE vec_id < {_PQ_K})",
+    ]
+    for i in range(1, _PQ_ROUNDS + 1):
+        cte.append(f"""d{i} AS MATERIALIZED (
+  SELECT e.vec_id, e.sub, c.k,
+    SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(28,12))) AS d2
+  FROM pel e JOIN c{i - 1} c ON e.sub = c.sub AND e.sord = c.sord
+  GROUP BY e.vec_id, e.sub, c.k
+)""")
+        cte.append(f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, sub, k FROM (
+    SELECT vec_id, sub, k,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, k) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)""")
+        cte.append(f"""c{i} AS MATERIALIZED (
+  SELECT a.sub, a.k, e.sord,
+    CAST(SUM(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM pel e JOIN a{i} a ON e.vec_id = a.vec_id AND e.sub = a.sub
+  GROUP BY a.sub, a.k, e.sord
+)""")
+    last = _PQ_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f""",
+codes AS MATERIALIZED (
+  SELECT vec_id, sub, k FROM (
+    SELECT e.vec_id, e.sub, c.k,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id, e.sub
+        ORDER BY SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(28,12))), c.k
+      ) AS rn
+    FROM pel e JOIN c{last} c ON e.sub = c.sub AND e.sord = c.sord
+    GROUP BY e.vec_id, e.sub, c.k
+  ) WHERE rn = 1
+),
+q AS MATERIALIZED (
+  SELECT sub, sord, x AS qx FROM pel WHERE vec_id = 0
+),
+dtable AS MATERIALIZED (
+  SELECT c.sub, c.k,
+    SUM(CAST((q.qx - c.c) * (q.qx - c.c) AS DECIMAL(28,12))) AS dt
+  FROM c{last} c JOIN q ON c.sub = q.sub AND c.sord = q.sord
+  GROUP BY c.sub, c.k
+),
+adc AS MATERIALIZED (
+  SELECT codes.vec_id, SUM(dt) AS adc
+  FROM codes JOIN dtable ON codes.sub = dtable.sub AND codes.k = dtable.k
+  GROUP BY codes.vec_id
+),
+qfull AS MATERIALIZED (SELECT ord, x AS qx FROM el WHERE vec_id = 0),
+exact AS MATERIALIZED (
+  SELECT e.vec_id,
+    SUM(CAST((e.x - qfull.qx) * (e.x - qfull.qx) AS DECIMAL(28,12))) AS exact
+  FROM el e JOIN qfull USING (ord) GROUP BY e.vec_id
+),
+top AS MATERIALIZED (
+  SELECT vec_id, adc FROM adc WHERE vec_id <> 0
+  ORDER BY adc ASC, vec_id ASC LIMIT {_PQ_TOPK}
+)
+SELECT t.vec_id,
+  {", ".join(f"CAST(MAX(CASE WHEN c.sub = {s} THEN c.k END) AS BIGINT) AS code{s}" for s in range(_PQ_M))},
+  ROUND(CAST(MIN(t.adc) AS DOUBLE), 6) AS adc_d2,
+  ROUND(CAST(MIN(x.exact) AS DOUBLE), 6) AS exact_d2
+FROM top t JOIN codes c ON c.vec_id = t.vec_id
+           JOIN exact x ON x.vec_id = t.vec_id
+GROUP BY t.vec_id
+ORDER BY adc_d2, t.vec_id
+"""
+    )
+
+
 QUERIES = {
+    "embedding_pq_adc": embedding_pq_adc,
     "embedding_semdedup": embedding_semdedup,
     "ann_cosine_topk": ann_cosine_topk,
     "knn_label_vote": knn_label_vote,
@@ -877,6 +1132,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "embedding_pq_adc": _pq_sql(),
     "embedding_semdedup": _SEMDEDUP_SQL,
     "ann_cosine_topk": _TOPK_SQL,
     "knn_label_vote": _KNN_SQL,
