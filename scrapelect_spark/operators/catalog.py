@@ -52,6 +52,8 @@ _PRIORITY = [
     "crawl_url_canonicalize",
     "embedding_semdedup",
     "embedding_pq_adc",
+    "corpus_dsir_select",
+    "corpus_source_mix",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -1229,7 +1229,235 @@ FROM agg ORDER BY doc_id
 """
 
 
+#: DSIR constants: hashed-feature bucket width (2 md5 hex chars = 256
+#: buckets, string-keyed so both engines bucket identically) and the
+#: deterministic "target domain" sample (every 17th document).
+_DSIR_TARGET_MOD = 17
+
+
+def dsir_select(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_mod: int = _DSIR_TARGET_MOD,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023),
+    integer-exact: featurize every document as hashed unigram buckets
+    (first 2 md5 hex chars → 256 buckets), fit Laplace-smoothed bucket
+    distributions for the TARGET sample (doc_id % ``target_mod`` == 0,
+    the stand-in for a trusted domain corpus) and the RAW rest, and
+    score each raw document by how many of its token occurrences fall
+    in target-leaning buckets.  "Target-leaning" is the exact integer
+    cross-multiplication (ct+1)·(Tr+B) > (cr+1)·(Tt+B) of the two
+    smoothed probabilities — no float log-ratios to drift between
+    engines.  A raw doc is selected when its lean-token share exceeds
+    the raw pool's average share, again by exact cross-multiplication
+    n_lean·ΣN > n_tok·ΣL — a self-calibrating threshold, so selection
+    does not hinge on a tuned constant (the deterministic analogue of
+    DSIR's importance-weighted resample keeping the above-average
+    importance mass).
+
+    100-TB shape: the bucket model is ONE 256-group partial-agg
+    shuffle; scoring is a broadcast join of the 256-row model against
+    the token stream and one per-doc aggregation — the corpus is never
+    shuffled by a high-cardinality key and nothing N-sized reaches the
+    driver."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % target_mod == 0).alias("is_target"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).withColumn("b", F.substring(F.md5("w"), 1, 2))
+    model = toks.groupBy("b").agg(
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
+        F.sum((~F.col("is_target")).cast("long")).alias("cr"),
+    )
+    totals = model.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    ).collect()[0]
+    tt, tr, nb = int(totals.tt), int(totals.tr), 256
+    lean = model.select(
+        "b",
+        (
+            (F.col("ct") + 1) * F.lit(tr + nb)
+            > (F.col("cr") + 1) * F.lit(tt + nb)
+        ).alias("lean"),
+    )
+    per_doc = (
+        toks.filter(~F.col("is_target"))
+        .join(F.broadcast(lean), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum(F.col("lean").cast("long")).cast("long").alias("n_lean"),
+        )
+    )
+    pool = per_doc.agg(
+        F.sum("n_tok").alias("sn"), F.sum("n_lean").alias("sl")
+    ).collect()[0]
+    sn, sl = int(pool.sn), int(pool.sl)
+    return per_doc.withColumn(
+        "keep", (F.col("n_lean") * sn > F.col("n_tok") * sl).cast("long")
+    )
+
+
+_DSIR_PHRASE = "rdomain sdomain tdomain"
+
+
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: DSIR selection over ``documents`` (doc_id < 400; every
+    17th doc is the target-domain sample).  A real distribution shift
+    is planted: target docs carry a domain phrase ×5, and every 3rd
+    raw doc carries it once — those in-domain raw docs must dominate
+    the keep=1 set, with the self-calibrating threshold splitting the
+    rest by their natural rare-bucket share."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % _DSIR_TARGET_MOD == 0,
+                F.concat_ws(" ", "text", F.lit(" ".join([_DSIR_PHRASE] * 5))),
+            )
+            .when(
+                F.col("doc_id") % 3 == 0,
+                F.concat_ws(" ", "text", F.lit(_DSIR_PHRASE)),
+            )
+            .otherwise(F.col("text")),
+        )
+    )
+    return dsir_select(d).orderBy("doc_id")
+
+
+_DSIR_SQL = rf"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % {_DSIR_TARGET_MOD} = 0
+        THEN concat_ws(' ', text, '{" ".join([_DSIR_PHRASE] * 5)}')
+      WHEN doc_id % 3 = 0 THEN concat_ws(' ', text, '{_DSIR_PHRASE}')
+      ELSE text
+    END AS text
+  FROM documents WHERE doc_id < 400
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, doc_id % {_DSIR_TARGET_MOD} = 0 AS is_target,
+         substr(md5(w), 1, 2) AS b
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+    FROM docs
+  )
+),
+model AS MATERIALIZED (
+  SELECT b,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+  FROM toks GROUP BY b
+),
+totals AS MATERIALIZED (
+  SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM model
+),
+lean AS MATERIALIZED (
+  SELECT b, (ct + 1) * (tr + 256) > (cr + 1) * (tt + 256) AS lean
+  FROM model, totals
+),
+per_doc AS MATERIALIZED (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(CASE WHEN lean.lean THEN 1 ELSE 0 END) AS BIGINT) AS n_lean
+  FROM toks t JOIN lean USING (b)
+  WHERE NOT t.is_target
+  GROUP BY t.doc_id
+),
+pool AS MATERIALIZED (
+  SELECT SUM(n_tok) AS sn, SUM(n_lean) AS sl FROM per_doc
+)
+SELECT doc_id, n_tok, n_lean,
+       CAST(n_lean * sn > n_tok * sl AS BIGINT) AS keep
+FROM per_doc, pool
+ORDER BY doc_id
+"""
+
+
+#: Source-mixing constants: α=0.5 temperature (sqrt is correctly
+#: rounded per IEEE 754, so n^α is bit-identical across engines) and
+#: the sampling budget the expected-token column scales to.
+_MIX_BUDGET = 1_000_000
+
+
+def source_mix_weights(
+    docs: DataFrame, budget: int = _MIX_BUDGET
+) -> DataFrame:
+    """Temperature-based source mixing (the multinomial α-sampling of
+    multilingual/multi-source LM training, α=0.5): per-source token
+    counts n_s → sampling weight p_s = sqrt(n_s)/Σ sqrt(n_s) →
+    expected token budget round(budget·p_s).  Upsampled sources
+    (budget share above natural share) get repeat factors > 1.
+
+    Determinism: sqrt of an integer is a correctly-rounded IEEE
+    operation (identical in JVM and C); the normalizer is an exact
+    DECIMAL sum of those doubles; each output is then a single
+    rounded double op — no accumulation-order dependence anywhere.
+
+    100-TB shape: one partial-agg shuffle to the |sources|-row table;
+    everything after runs on that bounded table."""
+    per = docs.select(
+        "source", F.split(F.trim("text"), r"\s+").alias("ws")
+    ).groupBy("source").agg(
+        F.sum(F.size("ws")).cast("long").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum(
+            F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,12)")
+        ).alias("z"),
+        F.sum("n_tokens").alias("n"),
+    ).collect()[0]
+    z = float(tot.z)
+    return per.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) / F.lit(z), 6).alias(
+            "weight"
+        ),
+        F.round(
+            F.lit(float(budget))
+            * (F.sqrt(F.col("n_tokens").cast("double")) / F.lit(z)),
+            3,
+        ).alias("budget_tokens"),
+    ).orderBy("source")
+
+
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: α=0.5 temperature mixing weights over every source in
+    ``documents``."""
+    return source_mix_weights(load(spark, sf_dir, "documents"))
+
+
+_MIX_SQL = rf"""
+WITH per AS MATERIALIZED (
+  SELECT source,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12)))
+              AS DOUBLE) AS z
+  FROM per
+)
+SELECT source, n_tokens,
+       ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS weight,
+       ROUND({float(_MIX_BUDGET)} * (sqrt(CAST(n_tokens AS DOUBLE)) / z), 3)
+         AS budget_tokens
+FROM per, tot
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "corpus_dsir_select": corpus_dsir_select,
+    "corpus_source_mix": corpus_source_mix,
     "corpus_bm25_topk": corpus_bm25_topk,
     "corpus_gopher_rules": corpus_gopher_rules,
     "corpus_line_dedup": corpus_line_dedup,
@@ -1249,6 +1477,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_dsir_select": _DSIR_SQL,
+    "corpus_source_mix": _MIX_SQL,
     "corpus_bm25_topk": _BM25_SQL,
     "corpus_gopher_rules": _GOPHER_SQL,
     "corpus_line_dedup": _LINE_DEDUP_SQL,
