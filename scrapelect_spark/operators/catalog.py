@@ -54,6 +54,7 @@ _PRIORITY = [
     "embedding_pq_adc",
     "corpus_dsir_select",
     "corpus_source_mix",
+    "video_h264_ipcm_roundtrip",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",
