@@ -1015,6 +1015,111 @@ FROM starts ORDER BY doc_id, chunk_id
 """
 
 
+#: Winnowing constants (Schleimer/Wilkerson/Aiken, MOSS): word
+#: k-grams hashed with md5, guarantee window w — any shared run of
+#: w + k - 1 tokens yields at least one shared fingerprint.
+_WIN_K = 3
+_WIN_W = 4
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = _WIN_K,
+    w: int = _WIN_W,
+) -> DataFrame:
+    """MOSS-style winnowing document fingerprints: hash every word
+    k-gram (md5, compared lexicographically — the house no-hex→int
+    rule), slide a w-window over the hash sequence, keep each
+    window's minimum, and emit the doc's distinct fingerprint set
+    (summarized as a sorted-joined md5 plus counts).  The guarantee
+    that makes winnowing the plagiarism/near-copy standard: any match
+    of at least w+k-1 consecutive tokens shares a fingerprint.
+
+    100-TB shape: everything is per-row higher-order expressions
+    (transform/slice/array_min) inside whole-stage codegen — ZERO
+    shuffles, no Python; the output is one bounded row per doc."""
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size("ws")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at("ws", i + j + 1) for j in range(k)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), ws.alias("ws")
+    ).select("doc_id", grams.alias("hs"))
+    nh = F.size("hs")
+    wins = (
+        F.when(nh == 0, F.array().cast("array<string>"))
+        .when(nh < w, F.array(F.array_min("hs")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), nh - w),
+                lambda i: F.array_min(F.slice(F.col("hs"), i + 1, w)),
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        nh.cast("long").alias("n_grams"),
+        F.array_sort(F.array_distinct(wins)).alias("fps"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", "fps")).alias("fp_md5"),
+    )
+
+
+def corpus_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: winnowing fingerprints over ``documents`` (doc_id < 300;
+    the corpus mixes docs shorter than k, shorter than w+k-1, and
+    long docs, so all three window branches execute)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnow_fingerprints(d).orderBy("doc_id")
+
+
+_WINNOW_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE doc_id < 300
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= {_WIN_K} THEN
+      list_transform(range(1, len(ws) - {_WIN_K} + 2),
+        i -> md5(concat_ws(' ',
+               {", ".join(f"ws[i + {j}]" for j in range(_WIN_K))})))
+    ELSE CAST([] AS VARCHAR[]) END AS hs
+  FROM toks
+),
+wnd AS (
+  SELECT doc_id, hs,
+    CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(hs) < {_WIN_W} THEN [list_min(hs)]
+         ELSE list_transform(range(1, len(hs) - {_WIN_W} + 2),
+                i -> list_min(hs[i : i + {_WIN_W} - 1]))
+    END AS wins
+  FROM g
+)
+SELECT doc_id,
+       CAST(len(hs) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(wins)) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(list_sort(list_distinct(wins)), ','))
+         AS fp_md5
+FROM wnd ORDER BY doc_id
+"""
+
+
 #: Okapi BM25 constants (Robertson/Spärck Jones; the Lucene defaults)
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -1456,6 +1561,7 @@ ORDER BY source
 
 
 QUERIES = {
+    "corpus_winnow_fingerprints": corpus_winnow_fingerprints,
     "corpus_dsir_select": corpus_dsir_select,
     "corpus_source_mix": corpus_source_mix,
     "corpus_bm25_topk": corpus_bm25_topk,
@@ -1477,6 +1583,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_winnow_fingerprints": _WINNOW_SQL,
     "corpus_dsir_select": _DSIR_SQL,
     "corpus_source_mix": _MIX_SQL,
     "corpus_bm25_topk": _BM25_SQL,
