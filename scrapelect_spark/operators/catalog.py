@@ -55,6 +55,7 @@ _PRIORITY = [
     "corpus_dsir_select",
     "corpus_source_mix",
     "video_h264_ipcm_roundtrip",
+    "video_mpeg2_intra_sample",
     "corpus_winnow_fingerprints",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",

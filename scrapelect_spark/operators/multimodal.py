@@ -387,6 +387,7 @@ def frame_sample(video: DataFrame, every_n: int = 10) -> DataFrame:
     from ..sources.gif import iter_gif_frames
     from ..sources.h264 import decode_h264, is_annexb
     from ..sources.mpeg1 import decode_m1v_frames, is_m1v
+    from ..sources.mpeg2 import decode_m2v_frames, is_m2v
     from ..sources.mpegps import demux_ps, is_ps
     from ..sources.msvc import decode_avi_msvc_frames
 
@@ -414,6 +415,14 @@ def frame_sample(video: DataFrame, every_n: int = 10) -> DataFrame:
                 if idx >= max_scan:
                     break
                 yield idx, h264_planes_to_rgb(planes)
+        elif is_m2v(raw):
+            # REAL MPEG-2 intra path (sources/mpeg2.py) — must be
+            # sniffed BEFORE MPEG-1: both start 00 00 01 B3, the
+            # sequence_extension is the distinguishing signal
+            for idx, rgb in decode_m2v_frames(raw, every_n=every_n):
+                if idx >= max_scan:
+                    break
+                yield idx, rgb
         elif is_m1v(raw):
             for idx, rgb in decode_m1v_frames(raw, every_n=every_n):
                 if idx >= max_scan:
@@ -2953,6 +2962,109 @@ ORDER BY audio_id
 """
 
 
+def video_mpeg2_intra_sample(spark, sf_dir: str) -> DataFrame:
+    """Gate for the MPEG-2 tier (sources/mpeg2.py — H.262, the
+    DVD/broadcast codec, distinguished from MPEG-1 on the wire by its
+    sequence_extension): per doc, synthesize a 6-frame animation,
+    encode to an intra-only ISO 13818-2 elementary stream (MPEG-2
+    escape levels, §7.4 dequant with LSB mismatch control), run
+    ``frame_sample`` (every_n=2 → pictures 0/2/4; the sniff must pick
+    the MPEG-2 branch over MPEG-1 since both share start code B3),
+    and assert per-frame PSNR ≥ 26 dB.  Docs with doc_id%10==7
+    instead carry streams whose pictures are patched to P-type —
+    MPEG-2 inter coding is the declared stub, so those must surface
+    as per-row ``decode_error`` rows naming the intra-only boundary."""
+    from pyspark.sql import functions as F
+
+    from .tables import load, spread
+    from ..sources.mpeg2 import encode_m2v
+    from ..sources.png import decode_png
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = [_mpeg1_frame(doc_id, f) for f in range(6)]
+                data = bytearray(encode_m2v(frames, fps=25, qscale=2))
+                if doc_id % 10 == 7:
+                    # patch every picture_coding_type I→P (byte 1 after
+                    # the picture start code: tr[1:0] | type(3) | vbv)
+                    i = data.find(b"\x00\x00\x01\x00")
+                    while i != -1:
+                        data[i + 5] = (data[i + 5] & 0b11000111) | (2 << 3)
+                        i = data.find(b"\x00\x00\x01\x00", i + 4)
+                ids.append(str(doc_id))
+                blobs.append(bytes(data))
+            yield pd.DataFrame({"video_id": ids, "bytes": blobs})
+
+    video = d.select("doc_id").mapInPandas(
+        synth, schema="video_id string, bytes binary"
+    )
+    sampled = frame_sample(video, every_n=2)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.empty(n, dtype=object)
+            failed = np.empty(n, dtype=object)
+            fidx = np.empty(n, dtype=object)
+            for i, (vid, idx, raw, err) in enumerate(
+                zip(pdf["video_id"], pdf["frame_idx"], pdf["bytes"],
+                    pdf["decode_error"])
+            ):
+                fidx[i] = -1 if idx is None or pd.isna(idx) else int(idx)
+                if err is not None or raw is None:
+                    ok[i] = (
+                        1
+                        if int(vid) % 10 == 7
+                        and "intra tier only" in str(err)
+                        else 0
+                    )
+                    failed[i] = 1
+                    continue
+                src = _mpeg1_frame(int(vid), int(idx))
+                got = decode_png(bytes(raw))
+                mse = float(
+                    np.mean(
+                        (got.astype(np.float64) - src.astype(np.float64))
+                        ** 2
+                    )
+                )
+                p = 99.0 if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+                ok[i] = 1 if p >= 26.0 else 0
+                failed[i] = 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["video_id"].astype("int64"),
+                    "frame_idx": fidx,
+                    "ok": ok,
+                    "failed": failed,
+                }
+            )
+
+    feats = sampled.mapInPandas(
+        verify,
+        schema="doc_id long, frame_idx long, ok long, failed long",
+    )
+    return feats.orderBy("doc_id", "frame_idx")
+
+
+_MPEG2_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 10 = 7 THEN -1 ELSE f.frame_idx END
+       AS BIGINT) AS frame_idx,
+  CAST(1 AS BIGINT) AS ok,
+  CAST(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS failed
+FROM documents
+CROSS JOIN (SELECT unnest([0, 2, 4]) AS frame_idx) f
+WHERE doc_id < 100 AND (doc_id % 10 <> 7 OR f.frame_idx = 0)
+ORDER BY doc_id, frame_idx
+"""
+
+
 #: H.264 gate dims rotate through an exact-16 grid, a cropped size
 #: (SPS frame_cropping on the wire), and a single-MB frame.
 _H264_DIMS = [(48, 32), (40, 24), (16, 16)]
@@ -3063,6 +3175,7 @@ ORDER BY doc_id, frame_idx
 
 
 QUERIES = {
+    "video_mpeg2_intra_sample": video_mpeg2_intra_sample,
     "video_h264_ipcm_roundtrip": video_h264_ipcm_roundtrip,
     "audio_id3_extract": audio_id3_extract,
     "audio_wav_features": audio_wav_features,
@@ -3094,6 +3207,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "video_mpeg2_intra_sample": _MPEG2_SQL,
     "video_h264_ipcm_roundtrip": _H264_SQL,
     "audio_id3_extract": _ID3_SQL,
     "audio_wav_features": _AUDIO_SQL,
