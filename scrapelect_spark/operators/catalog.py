@@ -52,6 +52,7 @@ _PRIORITY = [
     "crawl_url_canonicalize",
     "embedding_semdedup",
     "embedding_pq_adc",
+    "embedding_hard_negatives",
     "corpus_dsir_select",
     "corpus_source_mix",
     "video_h264_ipcm_roundtrip",

@@ -1118,7 +1118,136 @@ ORDER BY adc_d2, t.vec_id
     )
 
 
+#: hard-negative mining: the anchor set (first N vectors) whose
+#: nearest WRONG-label neighbor becomes the contrastive negative
+_HN_ANCHORS = 16
+
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data (the
+    triplet/InfoNCE curation step): for each anchor (vec_id <
+    ``_HN_ANCHORS``), the corpus vector with the highest cosine among
+    those carrying a DIFFERENT label — the semi-supervised "hardest
+    wrong answer" that makes contrastive batches informative.
+
+    Scale shape: the anchor element table (A·D rows, 1024 here) and
+    anchor labels are the broadcast side; the corpus streams through
+    ONE partial-agg (anchor, vec) dot-product aggregation plus a
+    per-vector norm aggregation — no N×N pairs, no corpus shuffle by
+    a high-cardinality key; the argmax per anchor is an A-row
+    aggregation."""
+    e = load(spark, sf_dir, "embeddings")
+    el = _elements(e)
+    labels = e.select("vec_id", F.col("label").cast("long").alias("label"))
+    qel = (
+        el.filter(F.col("vec_id") < _HN_ANCHORS)
+        .select(F.col("vec_id").alias("q_vec"), "ord", F.col("x").alias("qx"))
+    )
+    dots = (
+        el.join(F.broadcast(qel), "ord")
+        .groupBy("q_vec", "vec_id")
+        .agg(F.sum((F.col("x") * F.col("qx")).cast(DEC)).alias("dot"))
+    )
+    norms = el.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("n2")
+    )
+    qnorms = norms.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("q_vec"), F.col("n2").alias("qn2")
+    )
+    cos = (
+        dots.join(norms, "vec_id")
+        .join(F.broadcast(qnorms), "q_vec")
+        .select(
+            "q_vec",
+            "vec_id",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("n2").cast("double") * F.col("qn2").cast("double")
+                )
+            ).alias("cos"),
+        )
+    )
+    qlab = labels.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("q_vec"), F.col("label").alias("q_label")
+    )
+    cand = (
+        cos.join(labels, "vec_id")
+        .join(F.broadcast(qlab), "q_vec")
+        .filter(
+            (F.col("label") != F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_vec"))
+        )
+    )
+    best = (
+        cand.groupBy("q_vec")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("vec_id")).alias("nv"))).alias("m"))
+        .select(
+            "q_vec",
+            (-F.col("m.nv")).cast("long").alias("neg_vec"),
+            F.round(F.col("m.cos"), 6).alias("neg_cosine"),
+        )
+    )
+    return (
+        best.join(F.broadcast(qlab), "q_vec")
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neg_vec"),
+                F.col("label").alias("neg_label"),
+            ),
+            "neg_vec",
+        )
+        .select("q_vec", "q_label", "neg_vec", "neg_label", "neg_cosine")
+        .orderBy("q_vec")
+    )
+
+
+_HN_SQL = f"""
+WITH el AS MATERIALIZED (
+  SELECT vec_id, CAST(xf AS DOUBLE) AS x, ord
+  FROM (
+    SELECT vec_id, unnest(embedding) AS xf,
+           generate_subscripts(embedding, 1) AS ord
+    FROM embeddings
+  )
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, SUM(CAST(x * x AS DECIMAL(28,12))) AS n2
+  FROM el GROUP BY vec_id
+),
+dots AS MATERIALIZED (
+  SELECT q.vec_id AS q_vec, e.vec_id,
+         SUM(CAST(e.x * q.x AS DECIMAL(28,12))) AS dot
+  FROM el e JOIN el q ON e.ord = q.ord AND q.vec_id < {_HN_ANCHORS}
+  GROUP BY q.vec_id, e.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT d.q_vec, d.vec_id,
+         CAST(d.dot AS DOUBLE)
+           / sqrt(CAST(n.n2 AS DOUBLE) * CAST(qn.n2 AS DOUBLE)) AS cos,
+         CAST(ql.label AS BIGINT) AS q_label,
+         CAST(l.label AS BIGINT) AS label
+  FROM dots d
+  JOIN norms n ON n.vec_id = d.vec_id
+  JOIN norms qn ON qn.vec_id = d.q_vec
+  JOIN embeddings l ON l.vec_id = d.vec_id
+  JOIN embeddings ql ON ql.vec_id = d.q_vec
+  WHERE l.label <> ql.label AND d.vec_id <> d.q_vec
+)
+SELECT q_vec, q_label, vec_id AS neg_vec, label AS neg_label,
+       ROUND(cos, 6) AS neg_cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY q_vec ORDER BY cos DESC, vec_id ASC
+  ) AS rn
+  FROM cand
+) WHERE rn = 1
+ORDER BY q_vec
+"""
+
+
 QUERIES = {
+    "embedding_hard_negatives": embedding_hard_negatives,
     "embedding_pq_adc": embedding_pq_adc,
     "embedding_semdedup": embedding_semdedup,
     "ann_cosine_topk": ann_cosine_topk,
@@ -1132,6 +1261,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "embedding_hard_negatives": _HN_SQL,
     "embedding_pq_adc": _pq_sql(),
     "embedding_semdedup": _SEMDEDUP_SQL,
     "ann_cosine_topk": _TOPK_SQL,
