@@ -1364,9 +1364,9 @@ def dsir_select(
 
     100-TB shape: the bucket model is ONE 256-group partial-agg
     shuffle; scoring is a broadcast join of the 256-row model against
-    the token stream and one per-doc aggregation — the corpus is never
-    shuffled by a high-cardinality key and nothing N-sized reaches the
-    driver."""
+    the token stream and one per-doc aggregation whose map-side
+    combine reduces the token stream to one row per (doc, partition)
+    before its shuffle; only two scalar totals reach the driver."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % target_mod == 0).alias("is_target"),

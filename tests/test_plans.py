@@ -646,3 +646,65 @@ def test_gopher_rules_shuffle_free(spark):
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_pq_round_broadcasts_only_codebook(spark):
+    """PQ Lloyd round plan, auto-broadcast disabled: the only
+    broadcast is the m·K·SUBDIM codebook; the N·m-row assignment joins
+    pel co-partitioned; no exchange keys on vec_id."""
+    from scrapelect_spark.operators.simsearch import (
+        _elements,
+        _pq_elements,
+        _pq_round,
+        _PQ_K,
+    )
+    from scrapelect_spark.operators.tables import load
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        el = (
+            _elements(load(spark, SF, "embeddings"))
+            .repartition("vec_id")
+            .persist()
+        )
+        try:
+            el.count()
+            pel = _pq_elements(el)
+            cent = {
+                (int(r.sub), int(r.vec_id), int(r.sord)): float(r.x)
+                for r in pel.filter(f"vec_id < {_PQ_K}").collect()
+            }
+            plan = plan_of(_pq_round(spark, pel, cent))
+        finally:
+            el.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastExchange") == 1, plan
+    bcast_joins = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert len(bcast_joins) == 1 and "sord" in bcast_joins[0], plan
+    assert "vec_id" not in bcast_joins[0], plan
+
+
+def test_semdedup_pairs_are_cluster_local(spark):
+    """SemDeDup plan: the pairwise join keys on (cluster, ord) — never
+    a bare cross/theta join over all vectors — so candidate pairs stay
+    |c|² per cluster at scale."""
+    from scrapelect_spark.operators.simsearch import (
+        _elements,
+        semdedup_flags,
+    )
+    from scrapelect_spark.operators.tables import load
+
+    el = _elements(load(spark, SF, "embeddings").filter("vec_id < 64"))
+    plan = plan_of(semdedup_flags(el))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = [
+        l
+        for l in plan.splitlines()
+        if "SortMergeJoin" in l or "ShuffledHashJoin" in l
+        or "BroadcastHashJoin" in l
+    ]
+    # the pair join (k AND ord in its keys) must exist
+    assert any(("k#" in l and "ord" in l) for l in joins), plan
