@@ -58,6 +58,7 @@ _PRIORITY = [
     "video_h264_ipcm_roundtrip",
     "video_mpeg2_intra_sample",
     "corpus_winnow_fingerprints",
+    "crawl_table_extract",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -1235,7 +1235,191 @@ FROM r ORDER BY image_id
 """
 
 
+def extract_tables(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page url, html) → one row per TABLE CELL with true grid
+    coordinates: tables in document order (nested tables are their own
+    ``table_seq`` — a ``<tr>`` belongs to its NEAREST enclosing
+    table), rows in document order, and ``col_idx`` computed through
+    the HTML table model's colspan/rowspan occupancy grid (a
+    rowspan-ed cell occupies its columns in later rows, shifting
+    their cells right).  ``is_header`` is the th/td distinction;
+    cell text is whitespace-flattened ``all_text`` (a nested table's
+    text also appears in its containing cell, like the rendered page).
+    The web-table mining front-end (relational data locked in HTML is
+    a classic training-corpus source).  Shuffle-free scan → flat-map."""
+    from ..functions.dom import parse_html
+
+    schema = (
+        "page_url string, table_seq int, row_idx int, col_idx int, "
+        "is_header int, cell_text string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "page_url", "table_seq", "row_idx", "col_idx",
+                "is_header", "cell_text",
+            )}
+
+            def tables_of(el):
+                for c in el.child_elements():
+                    if c.tag == "table":
+                        yield c
+                    yield from tables_of(c)
+
+            def own_rows(table):
+                # tr descendants whose nearest table ancestor is `table`
+                stack = list(reversed(list(table.child_elements())))
+                while stack:
+                    el = stack.pop()
+                    if el.tag == "table":
+                        continue
+                    if el.tag == "tr":
+                        yield el
+                    stack.extend(reversed(list(el.child_elements())))
+
+            def span_of(cell, attr):
+                try:
+                    v = int(str(cell.attrs.get(attr, "1")).strip() or 1)
+                except ValueError:
+                    v = 1
+                return max(1, v)
+
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                root = parse_html(html)
+                for tseq, table in enumerate(tables_of(root)):
+                    pending: dict[int, int] = {}  # col -> rows remaining
+                    for ridx, tr in enumerate(own_rows(table)):
+                        col = 0
+                        for cell in tr.child_elements():
+                            if cell.tag not in ("td", "th"):
+                                continue
+                            while pending.get(col, 0) > 0:
+                                col += 1
+                            cspan = span_of(cell, "colspan")
+                            rspan = span_of(cell, "rowspan")
+                            out["page_url"].append(url)
+                            out["table_seq"].append(tseq)
+                            out["row_idx"].append(ridx)
+                            out["col_idx"].append(col)
+                            out["is_header"].append(
+                                1 if cell.tag == "th" else 0
+                            )
+                            out["cell_text"].append(
+                                " ".join(cell.all_text().split())
+                            )
+                            if rspan > 1:
+                                for c in range(col, col + cspan):
+                                    pending[c] = max(
+                                        pending.get(c, 0), rspan
+                                    )
+                            col += cspan
+                        for c in list(pending):
+                            pending[c] -= 1
+                            if pending[c] <= 0:
+                                del pending[c]
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(run, schema=schema)
+
+
+def crawl_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for web-table extraction: docs ≡0 (mod 5) have no table;
+    others carry a 2-column table (th header row + 2 body rows);
+    docs ≡1 (mod 4) append a colspan=2 footer cell; docs ≡2 (mod 7)
+    give body row 1's first cell rowspan=2 (row 2's cells must shift
+    right through the occupancy grid); docs ≡3 (mod 6) nest a 1-cell
+    table inside a body cell (own table_seq, and its text also
+    flattens into the outer cell)."""
+    from .tables import load, spread
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                body = ""
+                if doc_id % 5 != 0:
+                    rs = ' rowspan="2"' if doc_id % 7 == 2 else ""
+                    nested = (
+                        f' <table><tr><td>n{doc_id % 9}</td></tr></table>'
+                        if doc_id % 6 == 3
+                        else ""
+                    )
+                    rows = (
+                        "<tr><th>Name</th><th>Value</th></tr>"
+                        f"<tr><td{rs}>a{doc_id} 1</td>"
+                        f"<td>b{(doc_id * 1) % 100}{nested}</td></tr>"
+                        f"<tr><td>a{doc_id} 2</td>"
+                        f"<td>b{(doc_id * 2) % 100}</td></tr>"
+                    )
+                    if doc_id % 4 == 1:
+                        rows += (
+                            f'<tr><td colspan="2">sum {doc_id % 97}'
+                            "</td></tr>"
+                        )
+                    body = f"<table>{rows}</table>"
+                urls.append(f"http://tb{doc_id % 8}.test/t/{doc_id}.html")
+                htmls.append(f"<html><body>{body}</body></html>")
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.select("doc_id").mapInPandas(
+        synth, schema="url string, html string"
+    )
+    return extract_tables(pages).orderBy(
+        "page_url", "table_seq", "row_idx", "col_idx"
+    )
+
+
+_TABLES_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'http://tb' || (doc_id % 8) || '.test/t/' || doc_id || '.html'
+           AS page_url,
+         doc_id % 7 = 2 AS rs,
+         doc_id % 6 = 3 AS nested,
+         doc_id % 4 = 1 AS foot
+  FROM documents WHERE doc_id < 300 AND doc_id % 5 <> 0
+),
+cells AS (
+  SELECT page_url, 0 AS table_seq, 0 AS row_idx, 0 AS col_idx,
+         1 AS is_header, 'Name' AS cell_text FROM p
+  UNION ALL
+  SELECT page_url, 0, 0, 1, 1, 'Value' FROM p
+  UNION ALL
+  SELECT page_url, 0, 1, 0, 0, 'a' || doc_id || ' 1' FROM p
+  UNION ALL
+  SELECT page_url, 0, 1, 1, 0,
+         'b' || (doc_id % 100)
+           || CASE WHEN nested THEN ' n' || (doc_id % 9) ELSE '' END
+  FROM p
+  UNION ALL
+  SELECT page_url, 0, 2, CASE WHEN rs THEN 1 ELSE 0 END, 0,
+         'a' || doc_id || ' 2' FROM p
+  UNION ALL
+  SELECT page_url, 0, 2, CASE WHEN rs THEN 2 ELSE 1 END, 0,
+         'b' || ((doc_id * 2) % 100) FROM p
+  UNION ALL
+  SELECT page_url, 0, 3, 0, 0, 'sum ' || (doc_id % 97) FROM p WHERE foot
+  UNION ALL
+  SELECT page_url, 1, 0, 0, 0, 'n' || (doc_id % 9) FROM p WHERE nested
+)
+SELECT page_url, CAST(table_seq AS INTEGER) AS table_seq,
+       CAST(row_idx AS INTEGER) AS row_idx,
+       CAST(col_idx AS INTEGER) AS col_idx,
+       CAST(is_header AS INTEGER) AS is_header, cell_text
+FROM cells ORDER BY page_url, table_seq, row_idx, col_idx
+"""
+
+
 QUERIES = {
+    "crawl_table_extract": crawl_table_extract,
     "curate_aspect_batches": curate_aspect_batches,
     "curate_pairs_pipeline": curate_pairs_pipeline,
     "crawl_image_refs": crawl_image_refs,
@@ -1246,6 +1430,7 @@ QUERIES = {
     "crawl_link_rels": crawl_link_rels,
 }
 ORACLE_SQL = {
+    "crawl_table_extract": _TABLES_SQL,
     "curate_aspect_batches": _ASPECT_BATCHES_SQL,
     "curate_pairs_pipeline": _CURATE_SQL,
     "crawl_image_refs": _IMAGE_REFS_SQL,
