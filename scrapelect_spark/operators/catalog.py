@@ -59,6 +59,7 @@ _PRIORITY = [
     "video_mpeg2_intra_sample",
     "corpus_winnow_fingerprints",
     "crawl_table_extract",
+    "corpus_html_sections",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -1418,7 +1418,172 @@ FROM cells ORDER BY page_url, table_seq, row_idx, col_idx
 """
 
 
+def extract_sections(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page url, html) → one row per HEADING-DELIMITED SECTION, the
+    structure-aware chunking RAG pipelines prefer over blind token
+    windows: h1-h6 open sections; ``title_path`` is the ``' > '``
+    joined chain of open headings (a deeper heading nests, an equal or
+    shallower one pops the stack); ``text`` is the flattened content
+    between this heading and the next one (any level); content before
+    the first heading becomes a level-0 preamble row when non-empty.
+    Heading text is the section's title, not part of its body.
+    Shuffle-free scan → flat-map."""
+    from ..functions.dom import TextNode, parse_html
+
+    schema = (
+        "page_url string, section_seq int, level int, "
+        "title_path string, text string, n_tokens long"
+    )
+    headings = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "page_url", "section_seq", "level", "title_path",
+                "text", "n_tokens",
+            )}
+
+            def flat(s: str) -> str:
+                return " ".join(s.split())
+
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                root = parse_html(html)
+                stack_nodes = list(reversed(root.children))
+                title_stack: list[tuple[int, str]] = []
+                parts: list[str] = []
+                seq = 0
+                started = False  # a heading has opened a section
+
+                def flush(is_preamble_ok: bool):
+                    nonlocal seq
+                    text = flat(" ".join(parts))
+                    if not started and not text:
+                        return  # empty preamble: no row
+                    out["page_url"].append(url)
+                    out["section_seq"].append(seq)
+                    out["level"].append(
+                        title_stack[-1][0] if title_stack else 0
+                    )
+                    out["title_path"].append(
+                        " > ".join(t for _, t in title_stack)
+                    )
+                    out["text"].append(text)
+                    out["n_tokens"].append(
+                        len(text.split()) if text else 0
+                    )
+                    seq += 1
+
+                while stack_nodes:
+                    node = stack_nodes.pop()
+                    if isinstance(node, TextNode):
+                        parts.append(node.text)
+                        continue
+                    if node.tag in headings:
+                        flush(True)
+                        level = int(node.tag[1])
+                        while title_stack and title_stack[-1][0] >= level:
+                            title_stack.pop()
+                        title_stack.append((level, flat(node.all_text())))
+                        parts = []
+                        started = True
+                        continue
+                    stack_nodes.extend(reversed(node.children))
+                flush(True)
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(run, schema=schema)
+
+
+def corpus_html_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for heading-based sectioning: docs ≡0 (mod 3) carry a
+    preamble paragraph (level-0 row); every doc has an h1 with a body
+    paragraph; docs ≡1 (mod 2) add two h2 subsections (the second's
+    title must nest under the SAME h1 after the first h2 pops);
+    docs ≡2 (mod 5) add a second h1 that must RESET the title path;
+    docs ≡3 (mod 11) make the first h2 body empty (an empty-text
+    section row, kept because the heading exists)."""
+    from .tables import load, spread
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                b = []
+                if doc_id % 3 == 0:
+                    b.append(f"<p>pre {doc_id % 13}</p>")
+                b.append(f"<h1>T{doc_id % 50}</h1><p>body {doc_id % 17}</p>")
+                if doc_id % 2 == 1:
+                    first = (
+                        "" if doc_id % 11 == 3
+                        else f"<p>s1 {doc_id % 19}</p>"
+                    )
+                    b.append(f"<h2>S1</h2>{first}")
+                    b.append(f"<h2>S2 {doc_id % 7}</h2><p>s2 body</p>")
+                if doc_id % 5 == 2:
+                    b.append(f"<h1>U{doc_id % 23}</h1><p>u body</p>")
+                urls.append(f"http://sec{doc_id % 8}.test/d/{doc_id}.html")
+                htmls.append(
+                    "<html><body>" + "".join(b) + "</body></html>"
+                )
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.select("doc_id").mapInPandas(
+        synth, schema="url string, html string"
+    )
+    return extract_sections(pages).orderBy("page_url", "section_seq")
+
+
+_SECTIONS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'http://sec' || (doc_id % 8) || '.test/d/' || doc_id || '.html'
+           AS page_url,
+         doc_id % 3 = 0 AS pre,
+         doc_id % 2 = 1 AS subs,
+         doc_id % 5 = 2 AS second_h1,
+         doc_id % 11 = 3 AS empty_s1
+  FROM documents WHERE doc_id < 300
+),
+rows_ AS (
+  SELECT page_url, 0 AS ord, 0 AS level, '' AS title_path,
+         'pre ' || (doc_id % 13) AS text
+  FROM p WHERE pre
+  UNION ALL
+  SELECT page_url, 1, 1, 'T' || (doc_id % 50),
+         'body ' || (doc_id % 17) FROM p
+  UNION ALL
+  SELECT page_url, 2, 2, 'T' || (doc_id % 50) || ' > S1',
+         CASE WHEN empty_s1 THEN '' ELSE 's1 ' || (doc_id % 19) END
+  FROM p WHERE subs
+  UNION ALL
+  SELECT page_url, 3, 2,
+         'T' || (doc_id % 50) || ' > S2 ' || (doc_id % 7),
+         's2 body' FROM p WHERE subs
+  UNION ALL
+  SELECT page_url, 4, 1, 'U' || (doc_id % 23), 'u body'
+  FROM p WHERE second_h1
+)
+SELECT page_url,
+       CAST(ROW_NUMBER() OVER (PARTITION BY page_url ORDER BY ord) - 1
+            AS INTEGER) AS section_seq,
+       CAST(level AS INTEGER) AS level, title_path, text,
+       CAST(CASE WHEN text = '' THEN 0
+                 ELSE len(regexp_split_to_array(text, ' ')) END
+            AS BIGINT) AS n_tokens
+FROM rows_
+ORDER BY page_url, section_seq
+"""
+
+
 QUERIES = {
+    "corpus_html_sections": corpus_html_sections,
     "crawl_table_extract": crawl_table_extract,
     "curate_aspect_batches": curate_aspect_batches,
     "curate_pairs_pipeline": curate_pairs_pipeline,
@@ -1430,6 +1595,7 @@ QUERIES = {
     "crawl_link_rels": crawl_link_rels,
 }
 ORACLE_SQL = {
+    "corpus_html_sections": _SECTIONS_SQL,
     "crawl_table_extract": _TABLES_SQL,
     "curate_aspect_batches": _ASPECT_BATCHES_SQL,
     "curate_pairs_pipeline": _CURATE_SQL,
