@@ -944,9 +944,15 @@ def embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations; the broadcast side is always the m·K·SUBDIM codebook
     (1024 rows), never the N·m code table.  The ADC scan is a
     broadcast-join of the 64-row distance table against codes — at
-    10^9 vectors that is the only full pass, over 16-bit rows."""
+    10^9 vectors that is the only full pass, over 16-bit rows.
+
+    The gate bounds its corpus (vec_id < 1000) so the fixture cost is
+    sf-independent, like the MinHash gate; the at-scale plan shape is
+    pinned by ``test_plans.py::test_pq_round_broadcasts_only_codebook``."""
     el = (
-        _elements(load(spark, sf_dir, "embeddings"))
+        _elements(
+            load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+        )
         .repartition("vec_id")
         .persist()
     )
@@ -992,23 +998,44 @@ def embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id")
             .agg(F.sum("dt").alias("adc"))
         )
-        # exact squared distance to the query for the same rows
+        # the ADC scan is the ONE corpus-wide pass; its bounded top-k
+        # result (k rows) then drives everything else, so the exact
+        # distances and the code columns are computed only for the
+        # winners — never a second full-corpus aggregation
+        top_rows = (
+            adc.filter(F.col("vec_id") != 0)
+            .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+            .limit(_PQ_TOPK)
+            .collect()
+        )
+        ids = [int(r.vec_id) for r in top_rows]
+        top = spark.createDataFrame(
+            [(int(r.vec_id), float(r.adc)) for r in top_rows],
+            "vec_id long, adc double",
+        )
+        pruned_el = el.filter(F.col("vec_id").isin(ids))
+        pruned_pel = _pq_elements(pruned_el)
+        diff2 = F.col("x") - F.col("c")
+        code_cols = (
+            pruned_pel.join(cent_df, ["sub", "sord"])
+            .groupBy("vec_id", "sub", "k")
+            .agg(F.sum((diff2 * diff2).cast(DEC)).alias("d2"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d2", "k")).alias("m"))
+            .select("vec_id", "sub", F.col("m.k").alias("k"))
+            .groupBy("vec_id")
+            .pivot("sub", list(range(_PQ_M)))
+            .agg(F.first("k"))
+        )
+        # exact squared distance to the query for the winner rows only
         qfull = el.filter(F.col("vec_id") == 0).select(
             "ord", F.col("x").alias("qx")
         )
         ediff = F.col("x") - F.col("qx")
         exact = (
-            el.join(F.broadcast(qfull), "ord")
+            pruned_el.join(F.broadcast(qfull), "ord")
             .groupBy("vec_id")
             .agg(F.sum((ediff * ediff).cast(DEC)).alias("exact"))
-        )
-        code_cols = codes.groupBy("vec_id").pivot("sub", list(range(_PQ_M))).agg(
-            F.first("k")
-        )
-        top = (
-            adc.filter(F.col("vec_id") != 0)
-            .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
-            .limit(_PQ_TOPK)
         )
         return (
             top.join(code_cols, "vec_id")
@@ -1019,7 +1046,7 @@ def embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col(str(s)).cast("long").alias(f"code{s}")
                     for s in range(_PQ_M)
                 ],
-                F.round(F.col("adc").cast("double"), 6).alias("adc_d2"),
+                F.round(F.col("adc"), 6).alias("adc_d2"),
                 F.round(F.col("exact").cast("double"), 6).alias("exact_d2"),
             )
             .orderBy("adc_d2", "vec_id")
@@ -1035,7 +1062,7 @@ def _pq_sql() -> str:
   FROM (
     SELECT vec_id, unnest(embedding) AS xf,
            generate_subscripts(embedding, 1) AS ord
-    FROM embeddings
+    FROM embeddings WHERE vec_id < 1000
   )
 )""",
         f"""pel AS MATERIALIZED (
