@@ -60,6 +60,7 @@ _PRIORITY = [
     "corpus_winnow_fingerprints",
     "crawl_table_extract",
     "corpus_html_sections",
+    "corpus_sequence_pack",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

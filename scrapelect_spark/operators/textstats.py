@@ -1015,6 +1015,134 @@ FROM starts ORDER BY doc_id, chunk_id
 """
 
 
+#: Sequence packing: tokens per packed training sequence (a sandbox
+#: stand-in for 2048/4096/8192-token context windows).
+_PACK_LEN = 256
+
+
+def sequence_pack(
+    docs: DataFrame,
+    seq_len: int = _PACK_LEN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing — concatenate the corpus in a
+    deterministic pseudo-random order (md5 priority) and cut every
+    ``seq_len`` tokens: each output row is one (bin, doc) SEGMENT with
+    the segment's offset inside the bin, its offset inside the doc,
+    and its length.  Documents spanning a cut appear in both bins —
+    exactly the "concat and chunk" layout LLM training data is packed
+    into.
+
+    100-TB shape (the quota sampler's skew-proof decomposition,
+    without its per-source key): the md5 order splits into 16
+    contiguous ranges by first hex digit, per-bucket token totals are
+    one 16-group partial-agg, the ≤16-row prefix runs on the DRIVER,
+    and the running sum windows over (bucket) — the largest window
+    task is 1/16th of the corpus (1/256th with a 2-char prefix) and
+    no window ever runs unpartitioned.  Segment explosion is a
+    higher-order ``transform``/``explode`` in codegen."""
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("pri"),
+    ).withColumn("bucket", F.substring("pri", 1, 1))
+    totals = (
+        sized.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .collect()
+    )
+    acc = 0
+    offs = []
+    for r in sorted(totals, key=lambda r: r.bucket):
+        offs.append((r.bucket, acc))
+        acc += int(r.bucket_tokens)
+    offsets = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            offs, "bucket string, offset_tokens long"
+        )
+    )
+    from pyspark.sql import Window
+
+    w_run = (
+        Window.partitionBy("bucket")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        sized.join(offsets, "bucket")
+        .withColumn(
+            "end", F.sum("n_tokens").over(w_run) + F.col("offset_tokens")
+        )
+        .withColumn("start", F.col("end") - F.col("n_tokens"))
+    )
+    first_bin = (F.col("start") / seq_len).cast("long")
+    last_bin = ((F.col("end") - 1) / seq_len).cast("long")
+    seg = F.explode(F.sequence(first_bin, last_bin)).alias("bin_id")
+    gs = F.greatest(F.col("start"), F.col("bin_id") * seq_len)
+    ge = F.least(F.col("end"), (F.col("bin_id") + 1) * seq_len)
+    return (
+        spans.select("doc_id", "start", "end", seg)
+        .select(
+            F.col("bin_id").cast("long").alias("bin_id"),
+            "doc_id",
+            (gs - F.col("bin_id") * seq_len).cast("long").alias("seg_off"),
+            (gs - F.col("start")).cast("long").alias("doc_off"),
+            (ge - gs).cast("long").alias("seg_len"),
+        )
+    )
+
+
+def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: pack ``documents`` (doc_id < 400) into 256-token
+    sequences; the synthetic doc lengths straddle the bin size, so
+    single-bin, bin-spanning, and exactly-at-cut segments all occur."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return sequence_pack(d).orderBy("bin_id", "seg_off", "doc_id")
+
+
+_PACK_SQL = rf"""
+WITH sized AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS pri
+  FROM documents WHERE doc_id < 400
+),
+spans AS MATERIALIZED (
+  SELECT doc_id,
+         SUM(n_tokens) OVER (
+           ORDER BY pri, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS "end",
+         SUM(n_tokens) OVER (
+           ORDER BY pri, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS start
+  FROM sized
+),
+seg AS MATERIALIZED (
+  SELECT doc_id, CAST(start AS BIGINT) AS start,
+         CAST("end" AS BIGINT) AS "end",
+         unnest(range(CAST(start // {_PACK_LEN} AS BIGINT),
+                      CAST(("end" - 1) // {_PACK_LEN} + 1 AS BIGINT)))
+           AS bin_id
+  FROM spans
+)
+SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+       CAST(GREATEST(start, bin_id * {_PACK_LEN})
+            - bin_id * {_PACK_LEN} AS BIGINT) AS seg_off,
+       CAST(GREATEST(start, bin_id * {_PACK_LEN}) - start AS BIGINT)
+         AS doc_off,
+       CAST(LEAST("end", (bin_id + 1) * {_PACK_LEN})
+            - GREATEST(start, bin_id * {_PACK_LEN}) AS BIGINT) AS seg_len
+FROM seg
+ORDER BY bin_id, seg_off, doc_id
+"""
+
+
 #: Winnowing constants (Schleimer/Wilkerson/Aiken, MOSS): word
 #: k-grams hashed with md5, guarantee window w — any shared run of
 #: w + k - 1 tokens yields at least one shared fingerprint.
@@ -1561,6 +1689,7 @@ ORDER BY source
 
 
 QUERIES = {
+    "corpus_sequence_pack": corpus_sequence_pack,
     "corpus_winnow_fingerprints": corpus_winnow_fingerprints,
     "corpus_dsir_select": corpus_dsir_select,
     "corpus_source_mix": corpus_source_mix,
@@ -1583,6 +1712,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_sequence_pack": _PACK_SQL,
     "corpus_winnow_fingerprints": _WINNOW_SQL,
     "corpus_dsir_select": _DSIR_SQL,
     "corpus_source_mix": _MIX_SQL,
