@@ -61,6 +61,7 @@ _PRIORITY = [
     "crawl_table_extract",
     "corpus_html_sections",
     "corpus_sequence_pack",
+    "corpus_html_markdown",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -1582,7 +1582,196 @@ ORDER BY page_url, section_seq
 """
 
 
+def html_to_markdown(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page url, html) → GitHub-flavored Markdown, the de-facto text
+    format of LLM pretraining corpora: h1-h6 → ``#`` headings, p →
+    paragraphs, ul/ol → ``-`` / ``1.`` items (ordered lists numbered
+    by position), blockquote → ``>``, pre/code → fenced or inline
+    code, a → ``[text](href)``, img → ``![alt](src)``, strong/b →
+    ``**..**``, em/i → ``*..*``; blocks join with blank lines;
+    script/style subtrees are dropped.  Returns (page_url, markdown,
+    n_blocks, n_links).  Shuffle-free scan → flat-map."""
+    from ..functions.dom import TextNode, parse_html
+
+    schema = "page_url string, markdown string, n_blocks long, n_links long"
+    _BLOCKS = {"p", "div", "section", "article", "blockquote", "pre",
+               "ul", "ol", "table", "h1", "h2", "h3", "h4", "h5", "h6"}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "page_url", "markdown", "n_blocks", "n_links")}
+
+            def flat(s):
+                return " ".join(s.split())
+
+            def inline(el, stats) -> str:
+                parts = []
+                for c in el.children:
+                    if isinstance(c, TextNode):
+                        parts.append(c.text)
+                        continue
+                    if c.tag in ("script", "style"):
+                        continue
+                    body = inline(c, stats)
+                    if c.tag == "a" and "href" in c.attrs:
+                        stats["links"] += 1
+                        parts.append(f"[{flat(body)}]({c.attrs['href']})")
+                    elif c.tag in ("strong", "b"):
+                        parts.append(f"**{flat(body)}**")
+                    elif c.tag in ("em", "i"):
+                        parts.append(f"*{flat(body)}*")
+                    elif c.tag == "code":
+                        parts.append(f"`{flat(body)}`")
+                    elif c.tag == "img":
+                        alt = flat(c.attrs.get("alt", ""))
+                        src = c.attrs.get("src", "")
+                        parts.append(f"![{alt}]({src})")
+                    elif c.tag == "br":
+                        parts.append(" ")
+                    else:
+                        parts.append(body)
+                return " ".join(p for p in (x.strip() for x in parts) if p)
+
+            def blocks(el, stats):
+                for c in el.child_elements():
+                    t = c.tag
+                    if t in ("script", "style"):
+                        continue
+                    if t in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                        yield "#" * int(t[1]) + " " + flat(inline(c, stats))
+                    elif t == "p":
+                        text = flat(inline(c, stats))
+                        if text:
+                            yield text
+                    elif t == "blockquote":
+                        text = flat(inline(c, stats))
+                        if text:
+                            yield "> " + text
+                    elif t == "pre":
+                        yield "```\n" + c.all_text().strip("\n") + "\n```"
+                    elif t in ("ul", "ol"):
+                        items = []
+                        n = 0
+                        for li in c.child_elements():
+                            if li.tag != "li":
+                                continue
+                            n += 1
+                            mark = f"{n}." if t == "ol" else "-"
+                            items.append(
+                                f"{mark} " + flat(inline(li, stats))
+                            )
+                        if items:
+                            yield "\n".join(items)
+                    else:
+                        yield from blocks(c, stats)
+
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                root = parse_html(html)
+                stats = {"links": 0}
+                bl = list(blocks(root, stats))
+                out["page_url"].append(url)
+                out["markdown"].append("\n\n".join(bl))
+                out["n_blocks"].append(len(bl))
+                out["n_links"].append(stats["links"])
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(run, schema=schema)
+
+
+def corpus_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for HTML→Markdown: every doc gets a heading + a paragraph
+    with inline bold/link; docs ≡1 (mod 2) add an unordered list,
+    ≡2 (mod 3) an ordered list (numbering check), ≡3 (mod 5) a
+    blockquote + inline code, ≡4 (mod 7) an image and a pre block
+    (fence check); a script tag is always planted and must vanish."""
+    from .tables import load, spread
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                b = [
+                    f"<h2>Title {doc_id % 40}</h2>",
+                    f"<p>Intro <b>bold{doc_id % 9}</b> and "
+                    f'<a href="/l/{doc_id % 11}">link text</a>.</p>',
+                    "<script>var x = 1;</script>",
+                ]
+                if doc_id % 2 == 1:
+                    b.append(
+                        f"<ul><li>alpha {doc_id % 5}</li>"
+                        "<li>beta</li></ul>"
+                    )
+                if doc_id % 3 == 2:
+                    b.append(
+                        "<ol><li>first</li><li>second "
+                        f"{doc_id % 13}</li></ol>"
+                    )
+                if doc_id % 5 == 3:
+                    b.append(
+                        f"<blockquote>quoted {doc_id % 17}</blockquote>"
+                        "<p>Use <code>run()</code> here.</p>"
+                    )
+                if doc_id % 7 == 4:
+                    b.append(
+                        f'<p><img src="i/{doc_id}.png" alt="pic '
+                        f'{doc_id % 3}"></p>'
+                        f"<pre>line {doc_id % 19}</pre>"
+                    )
+                urls.append(f"http://md{doc_id % 8}.test/m/{doc_id}.html")
+                htmls.append(
+                    "<html><body>" + "".join(b) + "</body></html>"
+                )
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.select("doc_id").mapInPandas(
+        synth, schema="url string, html string"
+    )
+    return html_to_markdown(pages).orderBy("page_url")
+
+
+_MARKDOWN_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'http://md' || (doc_id % 8) || '.test/m/' || doc_id || '.html'
+           AS page_url,
+         doc_id % 2 = 1 AS ul, doc_id % 3 = 2 AS ol,
+         doc_id % 5 = 3 AS bq, doc_id % 7 = 4 AS im
+  FROM documents WHERE doc_id < 300
+)
+SELECT page_url,
+  '## Title ' || (doc_id % 40) || chr(10) || chr(10)
+  || 'Intro **bold' || (doc_id % 9) || '** and [link text](/l/'
+  || (doc_id % 11) || ') .'
+  || CASE WHEN ul THEN chr(10) || chr(10) || '- alpha ' || (doc_id % 5)
+            || chr(10) || '- beta' ELSE '' END
+  || CASE WHEN ol THEN chr(10) || chr(10) || '1. first' || chr(10)
+            || '2. second ' || (doc_id % 13) ELSE '' END
+  || CASE WHEN bq THEN chr(10) || chr(10) || '> quoted ' || (doc_id % 17)
+            || chr(10) || chr(10) || 'Use `run()` here.' ELSE '' END
+  || CASE WHEN im THEN chr(10) || chr(10) || '![pic ' || (doc_id % 3)
+            || '](i/' || doc_id || '.png)' || chr(10) || chr(10)
+            || '```' || chr(10) || 'line ' || (doc_id % 19) || chr(10)
+            || '```' ELSE '' END
+  AS markdown,
+  CAST(2 + CASE WHEN ul THEN 1 ELSE 0 END
+         + CASE WHEN ol THEN 1 ELSE 0 END
+         + CASE WHEN bq THEN 2 ELSE 0 END
+         + CASE WHEN im THEN 2 ELSE 0 END AS BIGINT) AS n_blocks,
+  CAST(1 AS BIGINT) AS n_links
+FROM p ORDER BY page_url
+"""
+
+
 QUERIES = {
+    "corpus_html_markdown": corpus_html_markdown,
     "corpus_html_sections": corpus_html_sections,
     "crawl_table_extract": crawl_table_extract,
     "curate_aspect_batches": curate_aspect_batches,
@@ -1595,6 +1784,7 @@ QUERIES = {
     "crawl_link_rels": crawl_link_rels,
 }
 ORACLE_SQL = {
+    "corpus_html_markdown": _MARKDOWN_SQL,
     "corpus_html_sections": _SECTIONS_SQL,
     "crawl_table_extract": _TABLES_SQL,
     "curate_aspect_batches": _ASPECT_BATCHES_SQL,
