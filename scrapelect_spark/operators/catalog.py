@@ -62,6 +62,7 @@ _PRIORITY = [
     "corpus_html_sections",
     "corpus_sequence_pack",
     "corpus_html_markdown",
+    "corpus_fix_mojibake",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -1015,6 +1015,95 @@ FROM starts ORDER BY doc_id, chunk_id
 """
 
 
+#: The clean phrase the mojibake gate plants (non-ASCII on purpose:
+#: two-byte UTF-8 letters, an em-dash and curly quotes exercise the
+#: cp1252 round-trip) and its double-encoded form.
+_MOJI_CLEAN = "café naïve — ‘smart’ quotes"
+_MOJI_BROKEN = _MOJI_CLEAN.encode("utf-8").decode("cp1252")
+
+
+def repair_mojibake(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ftfy-style mojibake repair: text that was UTF-8 encoded but
+    decoded as cp1252 (the classic "cafÃ©" / "â€™" corruption) is
+    restored by re-encoding cp1252 → decoding UTF-8.  Conservative:
+    repair is attempted only when a mojibake marker (Ã/Â/â€) is
+    present AND the full round-trip succeeds — clean text (including
+    clean non-ASCII) passes through byte-identical.  Returns
+    (doc_id, changed, text_md5).
+
+    100-TB shape: a pure map (Arrow-batched mapInPandas, no shuffle);
+    the md5 summary keeps gate rows bounded."""
+    import pandas as pd_
+
+    schema = "doc_id long, changed long, text_md5 string"
+    markers = ("Ã", "Â", "â€")
+
+    def run(batches):
+        for pdf in batches:
+            ids, changed, md5s = [], [], []
+            import hashlib
+
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                t = text or ""
+                fixed = t
+                if any(m in t for m in markers):
+                    try:
+                        fixed = t.encode("cp1252").decode("utf-8")
+                    except (UnicodeEncodeError, UnicodeDecodeError):
+                        fixed = t
+                ids.append(int(doc_id))
+                changed.append(1 if fixed != t else 0)
+                md5s.append(hashlib.md5(fixed.encode("utf-8")).hexdigest())
+            yield pd_.DataFrame(
+                {"doc_id": ids, "changed": changed, "text_md5": md5s}
+            )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col)
+    ).mapInPandas(run, schema=schema)
+
+
+def corpus_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: docs ≡1 (mod 4) get the planted DOUBLE-ENCODED phrase
+    appended (repair must restore the clean phrase exactly — md5
+    compared against the closed-form oracle); docs ≡2 (mod 9) get the
+    CLEAN phrase appended (already-correct non-ASCII must pass
+    through unchanged, the false-positive guard); the rest are
+    untouched ASCII."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.col("text"), F.lit(" " + _MOJI_BROKEN)),
+            )
+            .when(
+                F.col("doc_id") % 9 == 2,
+                F.concat(F.col("text"), F.lit(" " + _MOJI_CLEAN)),
+            )
+            .otherwise(F.col("text")),
+        )
+    )
+    return repair_mojibake(d).orderBy("doc_id")
+
+
+_MOJI_SQL = f"""
+SELECT doc_id,
+       CAST(doc_id % 4 = 1 AS BIGINT) AS changed,
+       md5(CASE
+             WHEN doc_id % 4 = 1 THEN text || ' {_MOJI_CLEAN}'
+             WHEN doc_id % 9 = 2 THEN text || ' {_MOJI_CLEAN}'
+             ELSE text
+           END) AS text_md5
+FROM documents WHERE doc_id < 400
+ORDER BY doc_id
+"""
+
+
 #: Sequence packing: tokens per packed training sequence (a sandbox
 #: stand-in for 2048/4096/8192-token context windows).
 _PACK_LEN = 256
@@ -1689,6 +1778,7 @@ ORDER BY source
 
 
 QUERIES = {
+    "corpus_fix_mojibake": corpus_fix_mojibake,
     "corpus_sequence_pack": corpus_sequence_pack,
     "corpus_winnow_fingerprints": corpus_winnow_fingerprints,
     "corpus_dsir_select": corpus_dsir_select,
@@ -1712,6 +1802,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_fix_mojibake": _MOJI_SQL,
     "corpus_sequence_pack": _PACK_SQL,
     "corpus_winnow_fingerprints": _WINNOW_SQL,
     "corpus_dsir_select": _DSIR_SQL,
