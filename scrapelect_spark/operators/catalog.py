@@ -63,6 +63,7 @@ _PRIORITY = [
     "corpus_sequence_pack",
     "corpus_html_markdown",
     "corpus_fix_mojibake",
+    "crawl_change_rate",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

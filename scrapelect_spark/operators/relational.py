@@ -912,7 +912,85 @@ FROM events ORDER BY event_id LIMIT 2000
 """
 
 
+#: change-rate estimator constants: revalidation cadence bounds and
+#: the freshness target (fetch when P(changed) ≈ 0.5 → Δ = ln2/λ).
+_CR_MIN_S = 3600
+_CR_MAX_S = 30 * 86400
+
+
+def crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina Poisson change-rate estimation — the
+    statistics behind adaptive recrawl scheduling (the recrawl pass's
+    staleness priority consumes exactly this): from each URL's
+    revalidation history (n checks at interval I, x of them 304/
+    unchanged), the bias-corrected estimator
+
+        λ̂ = -ln((x + 0.5) / (n + 0.5)) / I
+
+    and the next-fetch interval ln 2 / λ̂ (fetch when the change
+    probability reaches one half), clamped to [1 h, 30 d].  The
+    history is synthesized deterministically per doc (n = 4 + id%13
+    checks, x = id%(n+1) unchanged, I = (1 + id%5) hours), covering
+    always-changed (x=0 → the clamp floor) through never-changed
+    (x=n → the ceiling).  Everything is JVM-side expressions — ln is
+    engine-identical at ROUND(…, 6) (the BM25 precedent).
+
+    100-TB shape: one row per URL in, one out — a pure projection."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    n = 4 + F.col("doc_id") % 13
+    x = F.col("doc_id") % (n + 1)
+    interval_s = (1 + F.col("doc_id") % 5) * 3600
+    lam = -F.log(
+        (x.cast("double") + 0.5) / (n.cast("double") + 0.5)
+    ) / interval_s.cast("double")
+    # x = n → λ̂ = 0 (no observed change): pin to the cadence ceiling
+    # instead of dividing by zero (ANSI mode throws on double /0)
+    next_s = F.when(
+        lam > 0,
+        F.least(
+            F.lit(float(_CR_MAX_S)),
+            F.greatest(
+                F.lit(float(_CR_MIN_S)), F.log(F.lit(2.0)) / lam
+            ),
+        ),
+    ).otherwise(F.lit(float(_CR_MAX_S)))
+    return d.select(
+        F.col("doc_id").alias("url_id"),
+        n.cast("long").alias("n_checks"),
+        x.cast("long").alias("n_unchanged"),
+        F.round(lam * 86400.0, 6).alias("lambda_per_day"),
+        F.round(next_s, 3).alias("next_fetch_s"),
+    ).orderBy("url_id")
+
+
+_CHANGE_RATE_SQL = f"""
+WITH h AS (
+  SELECT doc_id AS url_id,
+         4 + doc_id % 13 AS n,
+         doc_id % (4 + doc_id % 13 + 1) AS x,
+         (1 + doc_id % 5) * 3600 AS i
+  FROM documents WHERE doc_id < 400
+),
+est AS (
+  SELECT url_id, n, x,
+         -ln((x + 0.5) / (n + 0.5)) / i AS lam
+  FROM h
+)
+SELECT url_id,
+       CAST(n AS BIGINT) AS n_checks,
+       CAST(x AS BIGINT) AS n_unchanged,
+       ROUND(lam * 86400.0, 6) AS lambda_per_day,
+       ROUND(CASE WHEN lam > 0
+                  THEN LEAST({float(_CR_MAX_S)},
+                             GREATEST({float(_CR_MIN_S)}, ln(2.0) / lam))
+                  ELSE {float(_CR_MAX_S)} END, 3)
+         AS next_fetch_s
+FROM est ORDER BY url_id
+"""
+
+
 QUERIES = {
+    "crawl_change_rate": crawl_change_rate,
     "crawl_url_canonicalize": crawl_url_canonicalize,
     "crawl_trap_hosts": crawl_trap_hosts,
     "q1_pricing_summary": q1_pricing_summary,
@@ -935,6 +1013,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "crawl_change_rate": _CHANGE_RATE_SQL,
     "crawl_url_canonicalize": _CANON_SQL,
     "crawl_trap_hosts": _TRAP_SQL,
     "q1_pricing_summary": _Q1_SQL,
