@@ -64,6 +64,7 @@ _PRIORITY = [
     "corpus_html_markdown",
     "corpus_fix_mojibake",
     "crawl_change_rate",
+    "audio_mel_bands",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -2962,6 +2962,124 @@ ORDER BY audio_id
 """
 
 
+#: Mel filterbank constants: 16 triangular filters over 0..sr/2 on
+#: the HTK mel scale (2595·log10(1+f/700)) — the front half of MFCC.
+_MEL_SR = 8000
+_MEL_N = 1024
+_MEL_BANDS = 16
+
+
+def mel_energies(samples: np.ndarray, sr: int, n_bands: int = _MEL_BANDS):
+    """Hann-windowed power spectrum → triangular mel filterbank
+    energies (one frame).  The speech/audio feature front-end (MFCC
+    minus the DCT); numpy-vectorized, runs per row inside
+    mapInPandas."""
+    n = len(samples)
+    mel_max = 2595.0 * np.log10(1.0 + (sr / 2) / 700.0)
+    mel_pts = np.linspace(0.0, mel_max, n_bands + 2)
+    hz_pts = 700.0 * (10 ** (mel_pts / 2595.0) - 1.0)
+    freqs = np.fft.rfftfreq(n, 1.0 / sr)
+    x = samples.astype(np.float64) * np.hanning(n)
+    mag = np.abs(np.fft.rfft(x)) ** 2
+    out = np.empty(n_bands)
+    for k in range(n_bands):
+        l, c, r = hz_pts[k], hz_pts[k + 1], hz_pts[k + 2]
+        w = np.clip(
+            np.minimum((freqs - l) / (c - l), (r - freqs) / (r - c)), 0, None
+        )
+        out[k] = float(w @ mag)
+    return out
+
+
+def audio_mel_bands(spark, sf_dir: str) -> DataFrame:
+    """Gate for the mel-filterbank audio feature front-end: per doc,
+    synthesize a pure tone at 200 + (doc_id%20)·150 Hz, round-trip it
+    through the REAL WAV codec (sources/wav.py), compute one frame of
+    triangular mel energies, and report the dominant band.  The
+    oracle predicts the dominant band in CLOSED FORM from the mel
+    triangle weights at the tone frequency — verified to agree with
+    the FFT result for every gate frequency (spectral leakage under
+    the Hann window never flips the argmax at these tones)."""
+    from pyspark.sql import functions as F
+
+    from .tables import load, spread
+    from ..sources.wav import decode_wav, encode_wav
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 240))
+
+    def synth_and_feature(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fhz, band, nb = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                f = 200 + (doc_id % 20) * 150
+                t = np.arange(_MEL_N) / _MEL_SR
+                x = np.round(
+                    np.sin(2 * np.pi * f * t) * 0.8 * 32767
+                ).astype(np.int16)
+                blob = encode_wav(x, sample_rate=_MEL_SR)
+                got, sr = decode_wav(blob)
+                mono = np.asarray(got).reshape(len(x), -1)[:, 0]
+                e = mel_energies(mono.astype(np.float64) / 32768.0, sr)
+                ids.append(doc_id)
+                fhz.append(f)
+                band.append(int(np.argmax(e)))
+                nb.append(_MEL_BANDS)
+            yield pd.DataFrame(
+                {
+                    "audio_id": ids,
+                    "f_hz": fhz,
+                    "dominant_band": band,
+                    "n_bands": nb,
+                }
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_and_feature,
+            schema="audio_id long, f_hz long, dominant_band long, "
+            "n_bands long",
+        )
+        .orderBy("audio_id")
+    )
+
+
+_MEL_SQL = f"""
+WITH tones AS (
+  SELECT doc_id AS audio_id,
+         CAST(200 + (doc_id % 20) * 150 AS BIGINT) AS f_hz
+  FROM documents WHERE doc_id < 240
+),
+pts AS (
+  SELECT k,
+    700.0 * (POW(10.0, ((k * (2595.0 * log10(1.0 + {_MEL_SR / 2:.1f} / 700.0))
+                         / {_MEL_BANDS + 1})) / 2595.0) - 1.0) AS hz
+  FROM (SELECT unnest(range(0, {_MEL_BANDS + 2})) AS k)
+),
+w AS (
+  SELECT t.audio_id, t.f_hz, l.k AS band,
+    GREATEST(0.0, LEAST((t.f_hz - l.hz) / (c.hz - l.hz),
+                        (r.hz - t.f_hz) / (r.hz - c.hz))) AS wt
+  FROM tones t
+  JOIN pts l ON l.k < {_MEL_BANDS}
+  JOIN pts c ON c.k = l.k + 1
+  JOIN pts r ON r.k = l.k + 2
+)
+SELECT audio_id, f_hz,
+       CAST(band AS BIGINT) AS dominant_band,
+       CAST({_MEL_BANDS} AS BIGINT) AS n_bands
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY audio_id ORDER BY wt DESC, band
+  ) AS rn FROM w
+) WHERE rn = 1
+ORDER BY audio_id
+"""
+
+
 def video_mpeg2_intra_sample(spark, sf_dir: str) -> DataFrame:
     """Gate for the MPEG-2 tier (sources/mpeg2.py — H.262, the
     DVD/broadcast codec, distinguished from MPEG-1 on the wire by its
@@ -3175,6 +3293,7 @@ ORDER BY doc_id, frame_idx
 
 
 QUERIES = {
+    "audio_mel_bands": audio_mel_bands,
     "video_mpeg2_intra_sample": video_mpeg2_intra_sample,
     "video_h264_ipcm_roundtrip": video_h264_ipcm_roundtrip,
     "audio_id3_extract": audio_id3_extract,
@@ -3207,6 +3326,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "audio_mel_bands": _MEL_SQL,
     "video_mpeg2_intra_sample": _MPEG2_SQL,
     "video_h264_ipcm_roundtrip": _H264_SQL,
     "audio_id3_extract": _ID3_SQL,
