@@ -65,6 +65,7 @@ _PRIORITY = [
     "corpus_fix_mojibake",
     "crawl_change_rate",
     "audio_mel_bands",
+    "text_pii_luhn",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

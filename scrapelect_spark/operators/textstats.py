@@ -1015,6 +1015,82 @@ FROM starts ORDER BY doc_id, chunk_id
 """
 
 
+def luhn_valid_col(cand) -> "F.Column":
+    """Luhn checksum over a 16-digit string column — pure higher-order
+    JVM expressions (transform + aggregate), no Python: position i
+    from the right contributes the digit if i is odd, else the
+    digit-summed double (2v−9 when 2v>9)."""
+    def term(i):
+        v = F.ascii(F.substring(cand, i, 1)) - 48
+        pos_from_right = 17 - i
+        dbl = 2 * v
+        return F.when(
+            pos_from_right % 2 == 1, v
+        ).otherwise(F.when(dbl > 9, dbl - 9).otherwise(dbl))
+
+    total = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)), lambda i: term(i)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (total % 10 == 0).cast("long")
+
+
+def text_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: Luhn-validated credit-card detection — the validator that
+    separates real PAN leaks from random 16-digit noise (a plain
+    \\d{{16}} regex false-positives on order ids and timestamps).  A
+    deterministic 16-digit candidate starting with 4 is planted per
+    doc; Spark's higher-order-expression Luhn and the oracle's
+    DuckDB-list Luhn are INDEPENDENT implementations that must agree
+    on every candidate (~10% of which are valid by construction).
+    Pure JVM expressions, zero shuffles, one row per doc."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" pay 4"),
+            F.lpad(
+                ((F.col("doc_id") * 7919) % 1000000000000000).cast("string"),
+                15,
+                "0",
+            ),
+            F.lit(" now"),
+        ),
+    )
+    cand = F.regexp_extract(F.col("text"), r"(?<!\d)(\d{16})(?!\d)", 1)
+    return (
+        planted.select(
+            "doc_id",
+            cand.alias("card_digits"),
+        )
+        .withColumn("luhn_valid", luhn_valid_col(F.col("card_digits")))
+        .orderBy("doc_id")
+    )
+
+
+_LUHN_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         '4' || lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR),
+                     15, '0') AS card_digits
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id, card_digits,
+  CAST(list_sum(list_transform(range(1, 17), i ->
+    CASE WHEN (17 - i) % 2 = 1
+         THEN CAST(card_digits[i] AS INTEGER)
+         ELSE CASE WHEN 2 * CAST(card_digits[i] AS INTEGER) > 9
+                   THEN 2 * CAST(card_digits[i] AS INTEGER) - 9
+                   ELSE 2 * CAST(card_digits[i] AS INTEGER) END
+    END)) % 10 = 0 AS BIGINT) AS luhn_valid
+FROM planted ORDER BY doc_id
+"""
+
+
 #: The clean phrase the mojibake gate plants (non-ASCII on purpose:
 #: two-byte UTF-8 letters, an em-dash and curly quotes exercise the
 #: cp1252 round-trip) and its double-encoded form.
@@ -1778,6 +1854,7 @@ ORDER BY source
 
 
 QUERIES = {
+    "text_pii_luhn": text_pii_luhn,
     "corpus_fix_mojibake": corpus_fix_mojibake,
     "corpus_sequence_pack": corpus_sequence_pack,
     "corpus_winnow_fingerprints": corpus_winnow_fingerprints,
@@ -1802,6 +1879,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "text_pii_luhn": _LUHN_SQL,
     "corpus_fix_mojibake": _MOJI_SQL,
     "corpus_sequence_pack": _PACK_SQL,
     "corpus_winnow_fingerprints": _WINNOW_SQL,
