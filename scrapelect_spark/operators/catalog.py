@@ -66,6 +66,7 @@ _PRIORITY = [
     "crawl_change_rate",
     "audio_mel_bands",
     "text_pii_luhn",
+    "dedup_containment",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

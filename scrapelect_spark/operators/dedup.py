@@ -291,6 +291,108 @@ def dedup_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder's measure):
+    |S(a) ∩ S(b)| / |S(a)| over 3-gram shingles — the quote/subsumption
+    detector symmetric Jaccard misses (a short doc wholly quoted
+    inside a long one has low Jaccard but containment 1.0).  Docs ≡0
+    (mod 6) are planted as fully contained in their successor (the
+    successor's text gets the doc appended), and must score exactly
+    1.0 while their Jaccard stays well below the dedup threshold.
+    All higher-order array expressions — no shuffle beyond the
+    adjacent-pair join."""
+    base = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    prev = base.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("prev_text"),
+    )
+    planted = (
+        base.join(prev, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 6 == 1) & F.col("prev_text").isNotNull(),
+                F.concat_ws(" ", "text", "prev_text"),
+            ).otherwise(F.col("text")),
+        )
+        .drop("prev_text")
+    )
+
+    def shingles(col):
+        ws = F.split(F.trim(col), r"\s+")
+        return F.when(
+            F.size(ws) >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(ws, i + 1),
+                        F.element_at(ws, i + 2),
+                        F.element_at(ws, i + 3),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    sh = planted.select("doc_id", shingles(F.col("text")).alias("sh"))
+    a = sh.alias("a")
+    b = sh.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh", "sh_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter((F.size("sh") > 0) & (F.size("sh_b") > 0))
+        .select(
+            "doc_id",
+            F.round(inter / F.size("sh"), 6).alias("containment"),
+            F.round(
+                inter / F.size(F.array_union("sh", "sh_b")), 6
+            ).alias("jaccard"),
+        )
+        .withColumn(
+            "contained", (F.col("containment") >= 0.9).cast("long")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CONTAINMENT_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 400
+),
+planted AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 6 = 1 AND p.text IS NOT NULL
+              THEN b.text || ' ' || p.text
+              ELSE b.text END AS text
+  FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 3 THEN
+      list_distinct(list_transform(
+        range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+        i -> regexp_split_to_array(trim(text), '\s+')[i] || ' '
+          || regexp_split_to_array(trim(text), '\s+')[i + 1] || ' '
+          || regexp_split_to_array(trim(text), '\s+')[i + 2]))
+    ELSE CAST([] AS VARCHAR[]) END AS sh
+  FROM planted
+)
+SELECT a.doc_id,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(a.sh), 6) AS containment,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard,
+       CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(a.sh) >= 0.9 AS BIGINT) AS contained
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+ORDER BY a.doc_id
+"""
+
+
 _JACCARD_SQL = r"""
 WITH toks AS (
   SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
@@ -885,6 +987,7 @@ ORDER BY doc_id
 
 
 QUERIES = {
+    "dedup_containment": dedup_containment,
     "dedup_exact": dedup_exact,
     "dedup_apply": dedup_apply,
     "dedup_near_yield": dedup_near_yield,
@@ -899,6 +1002,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dedup_containment": _CONTAINMENT_SQL,
     "dedup_exact": _EXACT_SQL,
     "dedup_apply": _DEDUP_APPLY_SQL,
     "dedup_near_yield": _NEAR_YIELD_SQL,
