@@ -67,6 +67,7 @@ _PRIORITY = [
     "audio_mel_bands",
     "text_pii_luhn",
     "dedup_containment",
+    "image_exif_gps_scrub",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -1255,7 +1255,111 @@ ORDER BY image_id
 """
 
 
+def image_exif_gps_scrub(spark, sf_dir: str) -> DataFrame:
+    """Gate for GPS-location privacy scrubbing (the EXIF redaction
+    every public-corpus pipeline runs before release): per doc, build
+    a real JPEG whose EXIF carries Make/Model/orientation and — for
+    docs ≢0 (mod 3) — a full GPS IFD (lat/lon rational triplets +
+    N/S/E/W refs, byte order alternating II/MM); docs ≡0 (mod 10)
+    carry no EXIF at all.  Scrub distributed, then verify: GPS gone,
+    the OTHER tags preserved, and the compressed pixels byte-identical
+    (the scrub must rewrite only the APP1 segment)."""
+    from .tables import load, spread
+    from ..sources import exif as E
+    from ..sources.jpeg import encode_jpeg
+
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+
+    base_jpeg = encode_jpeg(np.full((16, 16, 3), 135, np.uint8))
+
+    def synth_scrub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "had_gps", "gps_after", "tags_kept", "pixels_same",
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bo = "II" if doc_id % 2 == 0 else "MM"
+                if doc_id % 10 == 0:
+                    blob = base_jpeg
+                    expect_make = None
+                else:
+                    fields = {
+                        E.TAG_MAKE: f"CamCo {doc_id % 5}",
+                        E.TAG_MODEL: f"M-{doc_id % 13}",
+                        E.TAG_ORIENTATION: 1 + doc_id % 8,
+                        E.TAG_ISO: 100 * (1 + doc_id % 32),
+                    }
+                    if doc_id % 3 != 0:
+                        fields.update({
+                            E.GPS_KEY_BASE | E.TAG_GPS_LAT_REF:
+                                "N" if doc_id % 2 == 0 else "S",
+                            E.GPS_KEY_BASE | E.TAG_GPS_LAT: (
+                                (doc_id % 90, 1), (doc_id % 60, 1),
+                                (100 * (doc_id % 6000), 100),
+                            ),
+                            E.GPS_KEY_BASE | E.TAG_GPS_LON_REF:
+                                "E" if doc_id % 4 < 2 else "W",
+                            E.GPS_KEY_BASE | E.TAG_GPS_LON: (
+                                (doc_id % 180, 1), ((doc_id * 7) % 60, 1),
+                                (100 * ((doc_id * 11) % 6000), 100),
+                            ),
+                        })
+                    blob = E.insert_exif_jpeg(
+                        base_jpeg, E.build_tiff(fields, bo)
+                    )
+                    expect_make = fields[E.TAG_MAKE]
+                scrubbed, had = E.scrub_gps_jpeg(blob, bo)
+                try:
+                    back = E.parse_exif_jpeg(scrubbed)
+                except ValueError:
+                    back = {}
+                gps_after = any(t >= E.GPS_KEY_BASE for t in back)
+                kept = (
+                    1
+                    if expect_make is None
+                    or (
+                        back.get(E.TAG_MAKE) == expect_make
+                        and back.get(E.TAG_ORIENTATION) == 1 + doc_id % 8
+                        and back.get(E.TAG_ISO) == 100 * (1 + doc_id % 32)
+                    )
+                    else 0
+                )
+                # image data must be untouched: compare from SOS on
+                sos = blob.find(b"\xff\xda")
+                sos2 = scrubbed.find(b"\xff\xda")
+                same = 1 if blob[sos:] == scrubbed[sos2:] else 0
+                out["doc_id"].append(doc_id)
+                out["had_gps"].append(1 if had else 0)
+                out["gps_after"].append(1 if gps_after else 0)
+                out["tags_kept"].append(kept)
+                out["pixels_same"].append(same)
+            yield pd.DataFrame(out)
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            synth_scrub,
+            schema="doc_id long, had_gps long, gps_after long, "
+            "tags_kept long, pixels_same long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GPS_SCRUB_SQL = """
+SELECT doc_id,
+  CAST(doc_id % 10 <> 0 AND doc_id % 3 <> 0 AS BIGINT) AS had_gps,
+  CAST(0 AS BIGINT) AS gps_after,
+  CAST(1 AS BIGINT) AS tags_kept,
+  CAST(1 AS BIGINT) AS pixels_same
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "image_exif_gps_scrub": image_exif_gps_scrub,
     "image_exif_extract": image_exif_extract,
     "image_phash_neardup": image_phash_neardup,
     "image_dctphash_neardup": image_dctphash_neardup,
@@ -1269,6 +1373,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "image_exif_gps_scrub": _GPS_SCRUB_SQL,
     "image_exif_extract": _EXIF_SQL,
     "image_phash_neardup": _PHASH_NEARDUP_SQL,
     "image_dctphash_neardup": _DCTPHASH_NEARDUP_SQL,

@@ -34,6 +34,14 @@ TAG_MODEL = 0x0110
 TAG_ORIENTATION = 0x0112
 TAG_DATETIME = 0x0132
 TAG_EXIF_IFD = 0x8769
+TAG_GPS_IFD = 0x8825
+#: GPS IFD tags (EXIF 2.3 §4.6.6), stored in the parsed dict under
+#: ``GPS_KEY_BASE | tag`` so they never collide with IFD0/EXIF tags
+GPS_KEY_BASE = 0x10000
+TAG_GPS_LAT_REF = 0x0001
+TAG_GPS_LAT = 0x0002
+TAG_GPS_LON_REF = 0x0003
+TAG_GPS_LON = 0x0004
 #: EXIF sub-IFD tags
 TAG_EXPOSURE_TIME = 0x829A
 TAG_ISO = 0x8827
@@ -47,7 +55,8 @@ _MAX_ENTRIES = 256
 EXIF_HEADER = b"Exif\x00\x00"
 
 
-def _read_ifd(data: bytes, off: int, bo: str, out: dict, depth: int) -> int:
+def _read_ifd(data: bytes, off: int, bo: str, out: dict, depth: int,
+              gps: bool = False) -> int:
     """Parse one IFD at ``off``; returns the next-IFD offset."""
     if depth > 2:
         raise ValueError("exif: IFD nesting too deep")
@@ -72,19 +81,31 @@ def _read_ifd(data: bytes, off: int, bo: str, out: dict, depth: int) -> int:
         else:
             vpos = voff
         raw = data[vpos:vpos + total]
-        if tag == TAG_EXIF_IFD and typ == 4:
+        if tag == TAG_EXIF_IFD and typ == 4 and not gps:
             (sub,) = struct.unpack_from(bo + "I", raw, 0)
             _read_ifd(data, sub, bo, out, depth + 1)
             continue
+        if tag == TAG_GPS_IFD and typ == 4 and not gps:
+            (sub,) = struct.unpack_from(bo + "I", raw, 0)
+            _read_ifd(data, sub, bo, out, depth + 1, gps=True)
+            continue
+        key = (GPS_KEY_BASE | tag) if gps else tag
         if typ == 2:  # ASCII, NUL-terminated
-            out[tag] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+            out[key] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
         elif typ == 3:
-            out[tag] = struct.unpack_from(bo + "H", raw, 0)[0]
+            out[key] = struct.unpack_from(bo + "H", raw, 0)[0]
         elif typ == 4:
-            out[tag] = struct.unpack_from(bo + "I", raw, 0)[0]
+            out[key] = struct.unpack_from(bo + "I", raw, 0)[0]
         elif typ == 5:
-            num, den = struct.unpack_from(bo + "II", raw, 0)
-            out[tag] = (num, den)
+            if cnt >= 2:
+                # multi-RATIONAL (GPS lat/lon triplets): tuple of pairs
+                out[key] = tuple(
+                    struct.unpack_from(bo + "II", raw, 8 * j)
+                    for j in range(cnt)
+                )
+            else:
+                num, den = struct.unpack_from(bo + "II", raw, 0)
+                out[key] = (num, den)
     (nxt,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * n)
     return nxt
 
@@ -163,6 +184,9 @@ def build_tiff(fields: dict[int, object], byte_order: str = "II") -> bytes:
         if t in (TAG_EXPOSURE_TIME, TAG_ISO, TAG_DATETIME_ORIGINAL,
                  TAG_PIXEL_X, TAG_PIXEL_Y)
     }
+    gps_tags = {
+        t & 0xFFFF: v for t, v in fields.items() if t >= GPS_KEY_BASE
+    }
 
     def encode(tags: dict, base: int, extra_entries: int):
         """→ (entry blob list, overflow data, total size) with value
@@ -182,6 +206,14 @@ def build_tiff(fields: dict[int, object], byte_order: str = "II") -> bytes:
                     overflow += raw
                 else:
                     entries.append(_entry(bo, tag, 2, len(raw), raw))
+            elif isinstance(v, tuple) and v and isinstance(v[0], tuple):
+                # multi-RATIONAL (GPS lat/lon deg-min-sec triplets)
+                raw = b"".join(struct.pack(bo + "II", *p) for p in v)
+                entries.append(
+                    _entry(bo, tag, 5, len(v),
+                           struct.pack(bo + "I", data_off + len(overflow)))
+                )
+                overflow += raw
             elif isinstance(v, tuple):  # RATIONAL
                 raw = struct.pack(bo + "II", *v)
                 entries.append(
@@ -195,15 +227,40 @@ def build_tiff(fields: dict[int, object], byte_order: str = "II") -> bytes:
                 entries.append(_entry(bo, tag, 4, 1, struct.pack(bo + "I", v)))
         return entries, overflow
 
-    # IFD0 sits at offset 8; compute its size to place the sub-IFD
+    # IFD0 sits at offset 8; compute its size to place the sub-IFDs
     has_sub = 1 if sub_tags else 0
-    ifd0_entries, ifd0_overflow = encode(ifd0_tags, 8, has_sub)
-    ifd0_size = 2 + 12 * (len(ifd0_tags) + has_sub) + 4 + len(ifd0_overflow)
+    has_gps = 1 if gps_tags else 0
+    ifd0_entries, ifd0_overflow = encode(ifd0_tags, 8, has_sub + has_gps)
+    ifd0_size = (
+        2 + 12 * (len(ifd0_tags) + has_sub + has_gps) + 4 + len(ifd0_overflow)
+    )
     sub_off = 8 + ifd0_size
+    sub_blob = b""
     if has_sub:
+        sub_entries, sub_overflow = encode(sub_tags, sub_off, 0)
+        sub_blob = (
+            struct.pack(bo + "H", len(sub_entries))
+            + b"".join(sub_entries)
+            + struct.pack(bo + "I", 0)
+            + sub_overflow
+        )
         ifd0_entries.append(
             _entry(bo, TAG_EXIF_IFD, 4, 1, struct.pack(bo + "I", sub_off))
         )
+    gps_off = sub_off + len(sub_blob)
+    gps_blob = b""
+    if has_gps:
+        gps_entries, gps_overflow = encode(gps_tags, gps_off, 0)
+        gps_blob = (
+            struct.pack(bo + "H", len(gps_entries))
+            + b"".join(gps_entries)
+            + struct.pack(bo + "I", 0)
+            + gps_overflow
+        )
+        ifd0_entries.append(
+            _entry(bo, TAG_GPS_IFD, 4, 1, struct.pack(bo + "I", gps_off))
+        )
+    if has_sub or has_gps:
         ifd0_entries.sort(key=lambda e: struct.unpack_from(bo + "H", e, 0)[0])
     out = bytearray()
     out += byte_order.encode("ascii")
@@ -212,12 +269,8 @@ def build_tiff(fields: dict[int, object], byte_order: str = "II") -> bytes:
     out += b"".join(ifd0_entries)
     out += struct.pack(bo + "I", 0)  # no IFD1
     out += ifd0_overflow
-    if has_sub:
-        sub_entries, sub_overflow = encode(sub_tags, sub_off, 0)
-        out += struct.pack(bo + "H", len(sub_entries))
-        out += b"".join(sub_entries)
-        out += struct.pack(bo + "I", 0)
-        out += sub_overflow
+    out += sub_blob
+    out += gps_blob
     return bytes(out)
 
 
@@ -230,6 +283,48 @@ def insert_exif_jpeg(jpeg: bytes, tiff: bytes) -> bytes:
         raise ValueError("exif: APP1 payload too large")
     seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
     return jpeg[:2] + seg + jpeg[2:]
+
+
+def strip_exif_jpeg(jpeg: bytes) -> bytes:
+    """Remove the APP1 Exif segment (if any) from a JPEG."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("exif: not a JPEG")
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            raise ValueError("exif: bad marker stream")
+        marker = jpeg[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:
+            break
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > len(jpeg):
+            raise ValueError("exif: segment overruns file")
+        if marker == 0xE1 and jpeg[pos + 4:pos + 10] == EXIF_HEADER:
+            return jpeg[:pos] + jpeg[pos + 2 + seglen:]
+        pos += 2 + seglen
+    return jpeg
+
+
+def scrub_gps_jpeg(jpeg: bytes, byte_order: str = "II") -> tuple[bytes, bool]:
+    """GPS-location privacy scrub: drop the GPS IFD from the EXIF
+    payload, keep every other tag, leave the compressed image data
+    untouched.  Returns ``(scrubbed_jpeg, had_gps)``; a JPEG without
+    EXIF passes through unchanged."""
+    try:
+        fields = parse_exif_jpeg(jpeg)
+    except ValueError:
+        return jpeg, False
+    had_gps = any(t >= GPS_KEY_BASE for t in fields)
+    if not had_gps:
+        return jpeg, False
+    kept = {t: v for t, v in fields.items() if t < GPS_KEY_BASE}
+    return (
+        insert_exif_jpeg(strip_exif_jpeg(jpeg), build_tiff(kept, byte_order)),
+        True,
+    )
 
 
 def apply_orientation(arr, orientation: int):

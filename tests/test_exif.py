@@ -225,3 +225,59 @@ def test_apply_orientation_mappings():
     for bad in (0, 9, -1):
         with _pytest.raises(ValueError):
             apply_orientation(a, bad)
+
+
+def test_gps_ifd_roundtrip_both_byte_orders():
+    from scrapelect_spark.sources import exif as E
+
+    fields = {
+        E.TAG_MAKE: "CamCo",
+        E.GPS_KEY_BASE | E.TAG_GPS_LAT_REF: "N",
+        E.GPS_KEY_BASE | E.TAG_GPS_LAT: ((40, 1), (26, 1), (4612, 100)),
+        E.GPS_KEY_BASE | E.TAG_GPS_LON_REF: "W",
+        E.GPS_KEY_BASE | E.TAG_GPS_LON: ((79, 1), (58, 1), (5600, 100)),
+    }
+    for bo in ("II", "MM"):
+        back = E.parse_tiff(E.build_tiff(fields, bo))
+        assert back[E.GPS_KEY_BASE | E.TAG_GPS_LAT] == (
+            (40, 1), (26, 1), (4612, 100)
+        )
+        assert back[E.GPS_KEY_BASE | E.TAG_GPS_LON_REF] == "W"
+        assert back[E.TAG_MAKE] == "CamCo"
+
+
+def test_scrub_gps_preserves_tags_and_pixels():
+    import numpy as np
+
+    from scrapelect_spark.sources import exif as E
+    from scrapelect_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = np.full((16, 16, 3), 99, np.uint8)
+    j = E.insert_exif_jpeg(
+        encode_jpeg(rgb),
+        E.build_tiff({
+            E.TAG_MAKE: "X",
+            E.TAG_ISO: 400,
+            E.GPS_KEY_BASE | E.TAG_GPS_LAT_REF: "S",
+            E.GPS_KEY_BASE | E.TAG_GPS_LAT: ((1, 1), (2, 1), (3, 1)),
+        }),
+    )
+    scrubbed, had = E.scrub_gps_jpeg(j)
+    assert had
+    back = E.parse_exif_jpeg(scrubbed)
+    assert not any(t >= E.GPS_KEY_BASE for t in back)
+    assert back[E.TAG_MAKE] == "X" and back[E.TAG_ISO] == 400
+    assert (decode_jpeg(scrubbed) == decode_jpeg(j)).all()
+    again, had2 = E.scrub_gps_jpeg(scrubbed)
+    assert not had2 and again == scrubbed
+
+
+def test_scrub_gps_passthrough_without_exif():
+    import numpy as np
+
+    from scrapelect_spark.sources import exif as E
+    from scrapelect_spark.sources.jpeg import encode_jpeg
+
+    j = encode_jpeg(np.full((8, 8, 3), 10, np.uint8))
+    out, had = E.scrub_gps_jpeg(j)
+    assert not had and out == j
