@@ -68,6 +68,7 @@ _PRIORITY = [
     "text_pii_luhn",
     "dedup_containment",
     "image_exif_gps_scrub",
+    "events_late_drop_stream",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -380,11 +380,129 @@ ORDER BY user_id, session_start
 """
 
 
+def events_late_drop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WATERMARK CONTRACT as a correctness gate: an append-mode
+    tumbling-hour aggregation (1 h watermark) over three ordered file
+    triggers —
+
+    1. the base corpus (watermark still unset → everything admitted);
+    2. one advancer row 3 h past the corpus max (the batch-0 watermark
+       activates HERE — Spark's watermark takes effect one batch after
+       the data that set it — emitting and evicting every base
+       window);
+    3. planted LATE clones of the earliest events — their windows'
+       state is gone and their event times sit far below the active
+       watermark, so Spark must DROP them;
+    4. a flush sentinel 10 h past max, so append mode finalizes the
+       advancer's window too.
+
+    The oracle aggregates base + advancer + sentinel and NOT the
+    planted clones — the result hashes equal only if late-data
+    eviction actually dropped them (and only them)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    u_cut = 120
+    base = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") < u_cut)
+        .select(
+            "event_id", "user_id",
+            F.col("ts").cast("timestamp").alias("ts"), "value",
+        )
+    )
+    lo, hi = base.agg(F.min("ts"), F.max("ts")).first()
+    late = (
+        base.orderBy("ts", "event_id")
+        .limit(20)
+        .select(
+            (F.col("event_id") + 10**9).alias("event_id"),
+            "user_id",
+            "ts",
+            "value",
+        )
+    )
+    advancer = spark.createDataFrame(
+        [(2 * 10**9, 0, hi + pd.Timedelta(hours=3), 1.5)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    sentinel = spark.createDataFrame(
+        [(3 * 10**9, 0, hi + pd.Timedelta(hours=10), 2.5)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    d = tempfile.mkdtemp(prefix="events-late-gate-")
+    name = f"late_drop_gate_{next(_GATE_SEQ)}"
+    try:
+        parts = [base, advancer, late, sentinel]
+        now = time.time()
+        for k, p in enumerate(parts):
+            sub = os.path.join(d, f"_stage{k}")
+            p.coalesce(1).write.mode("overwrite").parquet(sub)
+            src = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"{k:03d}.parquet")
+            shutil.move(os.path.join(sub, src), dst)
+            shutil.rmtree(sub, ignore_errors=True)
+            os.utime(dst, (now + k, now + k))
+        agg = (
+            events_stream(spark, d)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias(
+                    "total_value"
+                ),
+            )
+            .select(F.col("win.start").alias("hour"), "n", "total_value")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).orderBy("hour").localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+#: the oracle rebuilds base + advancer (NOT the late clones, and NOT
+#: the sentinel — its own window's end stays above the final
+#: watermark, so append mode never emits it) and aggregates in batch:
+#: the hash matches only if late-data eviction dropped exactly the
+#: clones and the sentinel flushed every real window
+_LATE_DROP_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE user_id < 120
+),
+mx AS (SELECT MAX(ts) AS hi FROM base),
+un AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT 2000000000, 0, hi + INTERVAL 3 HOUR, 1.5 FROM mx
+)
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+FROM un
+GROUP BY 1 ORDER BY hour
+"""
+
+
 QUERIES = {
     "events_hourly_stream": events_hourly_stream,
     "events_sessionized_stream": events_sessionized_stream,
+    "events_late_drop_stream": events_late_drop_stream,
 }
 ORACLE_SQL = {
     "events_hourly_stream": _hourly_stream_sql(),
     "events_sessionized_stream": _SESSION_STREAM_SQL,
+    "events_late_drop_stream": _LATE_DROP_SQL,
 }
