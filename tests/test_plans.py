@@ -708,3 +708,35 @@ def test_semdedup_pairs_are_cluster_local(spark):
     ]
     # the pair join (k AND ord in its keys) must exist
     assert any(("k#" in l and "ord" in l) for l in joins), plan
+
+
+def test_sequence_pack_windows_are_bucket_partitioned(spark):
+    """sequence_pack's running sum must window over (bucket), never
+    unpartitioned — the skew-proof decomposition is the operator's
+    whole scale story."""
+    from scrapelect_spark.operators.tables import load
+    from scrapelect_spark.operators.textstats import sequence_pack
+
+    plan = plan_of(
+        sequence_pack(load(spark, SF, "documents").filter("doc_id < 200"))
+    )
+    windows = [l for l in plan.splitlines() if "Window" in l]
+    assert windows, plan
+    for l in windows:
+        assert "bucket" in l, plan
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    """DSIR scoring joins the 256-row bucket model back by BROADCAST —
+    the token stream must not shuffle on the bucket key."""
+    from scrapelect_spark.operators.textstats import corpus_dsir_select
+
+    plan = plan_of(corpus_dsir_select(spark, SF))
+    bcast_joins = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert any("b#" in l for l in bcast_joins), plan
+    smj_on_b = [
+        l
+        for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l) and "b#" in l
+    ]
+    assert not smj_on_b, plan
