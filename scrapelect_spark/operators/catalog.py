@@ -69,6 +69,7 @@ _PRIORITY = [
     "dedup_containment",
     "image_exif_gps_scrub",
     "events_late_drop_stream",
+    "graph_hits",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",
