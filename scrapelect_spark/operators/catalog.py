@@ -70,6 +70,7 @@ _PRIORITY = [
     "image_exif_gps_scrub",
     "events_late_drop_stream",
     "graph_hits",
+    "crawl_dust_rules",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -989,7 +989,136 @@ FROM est ORDER BY url_id
 """
 
 
+def dust_param_rules(pages: DataFrame) -> DataFrame:
+    """DUST-rule mining (Bar-Yossef et al., "Do Not Crawl in the
+    DUST"): find query parameters whose REMOVAL provably does not
+    change page content — the rules a frontier canonicalizer learns
+    from its own crawl instead of a hand list.  For every (url,
+    content_md5) row and every parameter it carries, rebuild the URL
+    with that parameter removed; when the stripped URL was itself
+    crawled, the pair votes on the parameter: same content hash =
+    removable.  A parameter is a DUST rule when every observed pair
+    agrees (and at least 2 pairs vote).
+
+    100-TB shape: the explode is one row per (url, param); the
+    self-join keys on the full stripped URL string (hash-partitioned,
+    no skew beyond shared pages); the verdict is a |params|-row
+    aggregation.  All higher-order expressions — no Python."""
+    base = F.substring_index(F.col("url"), "?", 1)
+    qstr = F.when(
+        F.col("url").contains("?"),
+        F.substring_index(F.col("url"), "?", -1),
+    ).otherwise(F.lit(""))
+    withq = pages.select(
+        "url", "content_md5", base.alias("base"),
+        F.split(qstr, "&").alias("params"),
+    ).filter(F.col("url").contains("?"))
+    exploded = withq.select(
+        "url", "content_md5", "base", "params",
+        F.explode("params").alias("p"),
+    ).select(
+        "url",
+        "content_md5",
+        F.substring_index(F.col("p"), "=", 1).alias("param"),
+        F.concat(
+            F.col("base"),
+            F.when(
+                F.size(F.filter("params", lambda x: x != F.col("p"))) > 0,
+                F.concat(
+                    F.lit("?"),
+                    F.array_join(
+                        F.filter("params", lambda x: x != F.col("p")), "&"
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("stripped"),
+    )
+    plain = pages.select(
+        F.col("url").alias("stripped"),
+        F.col("content_md5").alias("md5_stripped"),
+    )
+    votes = exploded.join(plain, "stripped").select(
+        "param",
+        (F.col("content_md5") == F.col("md5_stripped"))
+        .cast("long")
+        .alias("same"),
+    )
+    return (
+        votes.groupBy("param")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("same").cast("long").alias("n_same"),
+        )
+        .withColumn(
+            "is_dust",
+            (
+                (F.col("n_same") == F.col("n_pairs"))
+                & (F.col("n_pairs") >= 2)
+            ).cast("long"),
+        )
+        .orderBy("param")
+    )
+
+
+def crawl_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: DUST mining over a synthesized crawl — every doc has a
+    bare URL; docs ≡0 (mod 2) add a ``sid`` session variant with the
+    SAME content, docs ≡0 (mod 5) a ``ref`` tracking variant with the
+    same content, and docs ≡0 (mod 3) a ``page=2`` variant with
+    DIFFERENT content.  ``sid``/``ref`` must come out as DUST rules,
+    ``page`` must not."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    base_url = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".test/p/"), F.col("doc_id").cast("string"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    rows = d.select(base_url.alias("url"), h.alias("content_md5"))
+    sid = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(
+            base_url, F.lit("?sid="), F.substring(h, 1, 6)
+        ).alias("url"),
+        h.alias("content_md5"),
+    )
+    ref = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(base_url, F.lit("?ref=home")).alias("url"),
+        h.alias("content_md5"),
+    )
+    page = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(base_url, F.lit("?page=2")).alias("url"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("p2"))).alias(
+            "content_md5"
+        ),
+    )
+    pages = rows.unionByName(sid).unionByName(ref).unionByName(page)
+    return dust_param_rules(pages)
+
+
+_DUST_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+counts AS (
+  SELECT 'page' AS param,
+         (SELECT COUNT(*) FROM d WHERE doc_id % 3 = 0) AS n_pairs,
+         0 AS n_same
+  UNION ALL
+  SELECT 'ref',
+         (SELECT COUNT(*) FROM d WHERE doc_id % 5 = 0),
+         (SELECT COUNT(*) FROM d WHERE doc_id % 5 = 0)
+  UNION ALL
+  SELECT 'sid',
+         (SELECT COUNT(*) FROM d WHERE doc_id % 2 = 0),
+         (SELECT COUNT(*) FROM d WHERE doc_id % 2 = 0)
+)
+SELECT param,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_same AS BIGINT) AS n_same,
+       CAST(n_same = n_pairs AND n_pairs >= 2 AS BIGINT) AS is_dust
+FROM counts ORDER BY param
+"""
+
+
 QUERIES = {
+    "crawl_dust_rules": crawl_dust_rules,
     "crawl_change_rate": crawl_change_rate,
     "crawl_url_canonicalize": crawl_url_canonicalize,
     "crawl_trap_hosts": crawl_trap_hosts,
@@ -1013,6 +1142,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "crawl_dust_rules": _DUST_SQL,
     "crawl_change_rate": _CHANGE_RATE_SQL,
     "crawl_url_canonicalize": _CANON_SQL,
     "crawl_trap_hosts": _TRAP_SQL,
