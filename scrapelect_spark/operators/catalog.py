@@ -71,6 +71,8 @@ _PRIORITY = [
     "events_late_drop_stream",
     "graph_hits",
     "crawl_dust_rules",
+    "corpus_length_moments",
+    "corpus_vocab_stats",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -1015,6 +1015,120 @@ FROM starts ORDER BY doc_id, chunk_id
 """
 
 
+def corpus_length_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length moments — the first report any
+    corpus card carries (mean/std flag truncation and boilerplate
+    regimes before any model sees the data).  Variance comes from
+    exact DECIMAL power sums (n, Σx, Σx²) so the reduction is
+    order-independent and hash-identical cross-engine; the final
+    mean/std are single double expressions over those three exact
+    scalars.  One partial-agg shuffle to a |sources|-row table."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    agg = (
+        d.select("source", n_tok.alias("x"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("x").cast("decimal(28,6)")).alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)")).alias(
+                "s2"
+            ),
+            F.min("x").cast("long").alias("min_tokens"),
+            F.max("x").cast("long").alias("max_tokens"),
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n_docs")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double")
+        * F.col("s1").cast("double")
+        / F.col("n_docs")
+    ) / (F.col("n_docs") - 1)
+    return agg.select(
+        "source",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        F.round(mean, 6).alias("mean_tokens"),
+        F.round(F.sqrt(var), 6).alias("std_tokens"),
+    ).orderBy("source")
+
+
+_MOMENTS_SQL = r"""
+WITH agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                  AS DECIMAL(28,6))) AS s1,
+         SUM(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                  * len(regexp_split_to_array(trim(text), '\s+'))
+                  AS DECIMAL(28,6))) AS s2,
+         CAST(MIN(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS min_tokens,
+         CAST(MAX(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS max_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, min_tokens, max_tokens,
+  ROUND(CAST(s1 AS DOUBLE) / n_docs, 6) AS mean_tokens,
+  ROUND(sqrt((CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_docs)
+             / (n_docs - 1)), 6) AS std_tokens
+FROM agg ORDER BY source
+"""
+
+
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics — the Heaps/Zipf health check:
+    token count, type count (distinct words), hapax count (words seen
+    once: collapsed boilerplate shows up as a hapax crater), and the
+    type-token ratio.  Two keyed aggregations ((source, word) then
+    source), all integers until the final ratio."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    )
+    per_word = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias(
+                "n_hapax"
+            ),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens"), 6
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_VOCAB_SQL = r"""
+WITH words AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+per_word AS (
+  SELECT source, w, COUNT(*) AS c FROM words GROUP BY source, w
+)
+SELECT source,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio
+FROM per_word GROUP BY source ORDER BY source
+"""
+
+
 def luhn_valid_col(cand) -> "F.Column":
     """Luhn checksum over a 16-digit string column — pure higher-order
     JVM expressions (transform + aggregate), no Python: position i
@@ -1854,6 +1968,8 @@ ORDER BY source
 
 
 QUERIES = {
+    "corpus_length_moments": corpus_length_moments,
+    "corpus_vocab_stats": corpus_vocab_stats,
     "text_pii_luhn": text_pii_luhn,
     "corpus_fix_mojibake": corpus_fix_mojibake,
     "corpus_sequence_pack": corpus_sequence_pack,
@@ -1879,6 +1995,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_length_moments": _MOMENTS_SQL,
+    "corpus_vocab_stats": _VOCAB_SQL,
     "text_pii_luhn": _LUHN_SQL,
     "corpus_fix_mojibake": _MOJI_SQL,
     "corpus_sequence_pack": _PACK_SQL,
