@@ -125,7 +125,12 @@ crawler = Crawler(spark, tempfile.mkdtemp(), corpus, [], program=PROGRAM, config
 from scrapelect_spark.streaming.politeness import repartition_for_fetch
 def crawl_stage():
     fetched = claimed.join(F.broadcast(corpus), on="url", how="left")
-    proc = fetched.select("url", "html", "page_seq_assigned", "depth").mapInPandas(
+    proc = fetched.select(
+        "url", "html", "page_seq_assigned", "depth",
+        # corpus replay has no redirects; the process UDF reads the
+        # column unconditionally (crawl.py guards the same way)
+        F.lit(None).cast("string").alias("final_url"),
+    ).mapInPandas(
         crawler._process_batch_udf(), schema=PROCESS_SCHEMA)
     proc.write.format("noop").mode("overwrite").save()
 crawl_stage()  # warm (full pass: all partitions, all workers)
