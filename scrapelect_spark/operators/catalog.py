@@ -73,6 +73,7 @@ _PRIORITY = [
     "crawl_dust_rules",
     "corpus_length_moments",
     "corpus_vocab_stats",
+    "curate_funnel_report",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

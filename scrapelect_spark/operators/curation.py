@@ -55,20 +55,48 @@ def curate_image_caption_pairs(
     The aspect bound is integer-exact (``max_side * 100 <=
     max_aspect_x100 * min_side``) so Spark and any SQL oracle agree
     bit-for-bit — no float ratios."""
+    stages = _curate_stages(
+        featured,
+        min_side=min_side,
+        max_aspect_x100=max_aspect_x100,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        phash_hamming=phash_hamming,
+        n_bands=n_bands,
+    )
+    return stages[-1][1].select("image_id", "w", "h", "n_tokens")
+
+
+def _curate_stages(
+    featured: DataFrame,
+    *,
+    min_side: int,
+    max_aspect_x100: int,
+    min_tokens: int,
+    max_tokens: int,
+    phash_hamming: int,
+    n_bands: int,
+) -> list[tuple[str, DataFrame]]:
+    """The cascade as an ordered (stage name, survivors) list — the
+    single source both the curation operator and the funnel report
+    run, so the counts a pipeline card publishes are counts of the
+    EXACT DataFrames that produced the training set."""
     from .imagemeta import phash_neardup
 
     norm = F.lower(F.trim(F.regexp_replace(F.col("caption"), r"\s+", " ")))
+    decodable = featured.filter(F.col("decode_error").isNull()).filter(
+        F.col("w").isNotNull() & F.col("h").isNotNull()
+    )
+    # min-side as two scalar comparisons (≡ least(w,h) >= min_side)
+    # so Catalyst pushes both into the parquet scan — at corpus
+    # scale the tiny-thumbnail majority dies in the reader
+    geometry = decodable.filter(
+        (F.col("w") >= min_side) & (F.col("h") >= min_side)
+    ).filter(
+        F.greatest("w", "h") * 100 <= max_aspect_x100 * F.least("w", "h")
+    )
     viable = (
-        featured.filter(F.col("decode_error").isNull())
-        .filter(F.col("w").isNotNull() & F.col("h").isNotNull())
-        # min-side as two scalar comparisons (≡ least(w,h) >= min_side)
-        # so Catalyst pushes both into the parquet scan — at corpus
-        # scale the tiny-thumbnail majority dies in the reader
-        .filter((F.col("w") >= min_side) & (F.col("h") >= min_side))
-        .filter(
-            F.greatest("w", "h") * 100 <= max_aspect_x100 * F.least("w", "h")
-        )
-        .withColumn("norm_caption", norm)
+        geometry.withColumn("norm_caption", norm)
         .withColumn(
             "n_tokens", F.size(F.split(F.col("norm_caption"), " ")).cast("long")
         )
@@ -93,10 +121,31 @@ def curate_image_caption_pairs(
         .select(F.col("doc_b").alias("image_id"))
         .distinct()
     )
-    return (
-        deduped.join(drops, on="image_id", how="left_anti")
-        .select("image_id", "w", "h", "n_tokens")
-    )
+    final = deduped.join(drops, on="image_id", how="left_anti")
+    return [
+        ("input", featured),
+        ("decodable", decodable),
+        ("geometry", geometry),
+        ("caption", viable),
+        ("caption_dedup", deduped),
+        ("phash_dedup", final),
+    ]
+
+
+def curate_funnel(featured: DataFrame, **params) -> DataFrame:
+    """Per-stage survivor counts of the REAL curation cascade — the
+    funnel row every pipeline/dataset card publishes (and the first
+    thing an operator checks when a filter silently eats the corpus).
+    One bounded row per stage, counted from the exact DataFrames the
+    cascade executes."""
+    stages = _curate_stages(featured, **params)
+    spark = featured.sparkSession
+    rows = [
+        (i, name, int(df.count())) for i, (name, df) in enumerate(stages)
+    ]
+    return spark.createDataFrame(
+        rows, "stage_idx long, stage string, n_rows long"
+    ).orderBy("stage_idx")
 
 
 # --- gate ---------------------------------------------------------------
@@ -127,6 +176,16 @@ def curate_pairs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run the REAL cascade, and check against an oracle that derives
     each stage's survivor set analytically."""
+    return curate_image_caption_pairs(
+        _curate_synth_corpus(spark, sf_dir), min_side=64,
+        max_aspect_x100=300, min_tokens=4, max_tokens=128,
+        phash_hamming=7, n_bands=8,
+    ).orderBy("image_id")
+
+
+def _curate_synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic input_hint-shaped gate corpus shared by the
+    curation-cascade gate and the funnel report."""
     from .tables import load, spread
 
     d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
@@ -161,15 +220,24 @@ def curate_pairs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             yield pd.DataFrame(rows)
 
-    featured = d.select("doc_id").mapInPandas(
+    return d.select("doc_id").mapInPandas(
         synth,
         schema="image_id long, bytes binary, w int, h int, fmt string, "
         "caption string, phash long, decode_error string",
     )
-    return curate_image_caption_pairs(
-        featured, min_side=64, max_aspect_x100=300, min_tokens=4,
-        max_tokens=128, phash_hamming=7, n_bands=8,
-    ).orderBy("image_id")
+
+
+def curate_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per-stage survivor counts of the curation cascade over
+    the same synthetic corpus as ``curate_pairs_pipeline`` — the
+    oracle derives every stage's count analytically, so a filter
+    quietly eating (or passing) the wrong rows shifts a funnel count
+    even when the final survivor hash happens to collide."""
+    return curate_funnel(
+        _curate_synth_corpus(spark, sf_dir), min_side=64,
+        max_aspect_x100=300, min_tokens=4, max_tokens=128,
+        phash_hamming=7, n_bands=8,
+    )
 
 
 # The oracle rebuilds the cascade stage-by-stage in SQL over the same
@@ -1770,7 +1838,54 @@ FROM p ORDER BY page_url
 """
 
 
+_FUNNEL_SQL = """
+WITH synth AS (
+  SELECT doc_id AS image_id,
+         CAST(32 + (doc_id % 20) * 16 AS INTEGER) AS w,
+         CAST(64 + (doc_id % 15) * 32 AS INTEGER) AS h,
+         CAST(3 + (doc_id % 12) AS BIGINT) AS n_tokens,
+         doc_id % 120 AS caption_grp,
+         (doc_id % 17 = 0) AS dead
+  FROM documents WHERE doc_id < 300
+),
+decodable AS (SELECT * FROM synth WHERE NOT dead),
+geometry AS (
+  SELECT * FROM decodable
+  WHERE LEAST(w, h) >= 64 AND GREATEST(w, h) * 100 <= 300 * LEAST(w, h)
+),
+caption AS (
+  SELECT * FROM geometry WHERE n_tokens BETWEEN 4 AND 128
+),
+capdedup AS (
+  SELECT * FROM (
+    SELECT *, MIN(image_id) OVER (PARTITION BY caption_grp) AS keeper
+    FROM caption
+  ) WHERE image_id = keeper
+),
+final AS (
+  SELECT * FROM capdedup a
+  WHERE NOT (a.image_id % 10 = 6 AND EXISTS (
+        SELECT 1 FROM capdedup p WHERE p.image_id = a.image_id - 1))
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_rows FROM synth
+  UNION ALL
+  SELECT 1, 'decodable', COUNT(*) FROM decodable
+  UNION ALL
+  SELECT 2, 'geometry', COUNT(*) FROM geometry
+  UNION ALL
+  SELECT 3, 'caption', COUNT(*) FROM caption
+  UNION ALL
+  SELECT 4, 'caption_dedup', COUNT(*) FROM capdedup
+  UNION ALL
+  SELECT 5, 'phash_dedup', COUNT(*) FROM final
+) ORDER BY stage_idx
+"""
+
+
 QUERIES = {
+    "curate_funnel_report": curate_funnel_report,
     "corpus_html_markdown": corpus_html_markdown,
     "corpus_html_sections": corpus_html_sections,
     "crawl_table_extract": crawl_table_extract,
@@ -1784,6 +1899,7 @@ QUERIES = {
     "crawl_link_rels": crawl_link_rels,
 }
 ORACLE_SQL = {
+    "curate_funnel_report": _FUNNEL_SQL,
     "corpus_html_markdown": _MARKDOWN_SQL,
     "corpus_html_sections": _SECTIONS_SQL,
     "crawl_table_extract": _TABLES_SQL,
