@@ -74,6 +74,7 @@ _PRIORITY = [
     "corpus_length_moments",
     "corpus_vocab_stats",
     "curate_funnel_report",
+    "corpus_kmv_distinct",
     "corpus_bpe_tokenize",
     "corpus_passage_chunks",
     "curate_aspect_batches",

@@ -1129,6 +1129,105 @@ FROM per_word GROUP BY source ORDER BY source
 """
 
 
+#: KMV sketch size (bottom-k minimum hash values); estimator
+#: D̂ = (k−1)/h_k with h_k the kth-smallest hash mapped to (0,1).
+#: k=16 because the synthetic per-source vocabulary is ~30 types —
+#: k must be well under the true cardinality for the estimator to
+#: estimate anything (production k is 256-4096).
+_KMV_K = 16
+
+
+def corpus_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct-count sketch per source — the
+    mergeable cardinality estimator family HLL belongs to, built here
+    from the house md5 hash so BOTH engines compute the identical
+    sketch (Spark's HLL++ and DuckDB's HLL are different
+    implementations and can never hash-match; KMV with a shared hash
+    is deterministic).  The estimate D̂ = (k−1)/h_k uses the
+    kth-smallest of md5(word) mapped into (0,1) via its first 12 hex
+    digits; exact type counts ride along so the gate also pins the
+    estimator's observed relative error.
+
+    Scale note: the gate's kth-smallest uses a per-source window over
+    the DISTINCT (source, word) set (vocabulary-sized, not
+    corpus-sized); a production sketch keeps the k-row bottom-k
+    monoid per partition and merges — same estimator, same answer."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    words = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+        )
+        .distinct()
+        .withColumn(
+            "hv",
+            F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("double")
+            / float(16**12),
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy("hv", "w")
+    kth = (
+        words.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == _KMV_K)
+        .select("source", F.col("hv").alias("hk"))
+    )
+    exact = words.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    est = (F.lit(float(_KMV_K - 1)) / F.col("hk")).alias("est")
+    return (
+        exact.join(kth, "source")
+        .select(
+            "source",
+            "n_types",
+            F.round(F.lit(float(_KMV_K - 1)) / F.col("hk"), 3).alias(
+                "kmv_estimate"
+            ),
+            F.round(
+                (F.lit(float(_KMV_K - 1)) / F.col("hk"))
+                / F.col("n_types"),
+                4,
+            ).alias("est_over_exact"),
+        )
+        .orderBy("source")
+    )
+
+
+_KMV_SQL = rf"""
+WITH words AS (
+  SELECT DISTINCT source, w FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+    FROM documents
+  )
+),
+hashed AS (
+  SELECT source, w,
+         CAST('0x' || substr(md5(w), 1, 12) AS UBIGINT)
+           / CAST({16**12} AS DOUBLE) AS hv
+  FROM words
+),
+kth AS (
+  SELECT source, hv AS hk FROM (
+    SELECT source, hv,
+      ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, w) AS rn
+    FROM hashed
+  ) WHERE rn = {_KMV_K}
+),
+exact AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM words GROUP BY source
+)
+SELECT e.source, e.n_types,
+       ROUND({float(_KMV_K - 1)} / k.hk, 3) AS kmv_estimate,
+       ROUND(({float(_KMV_K - 1)} / k.hk) / e.n_types, 4) AS est_over_exact
+FROM exact e JOIN kth k USING (source)
+ORDER BY e.source
+"""
+
+
 def luhn_valid_col(cand) -> "F.Column":
     """Luhn checksum over a 16-digit string column — pure higher-order
     JVM expressions (transform + aggregate), no Python: position i
@@ -1968,6 +2067,7 @@ ORDER BY source
 
 
 QUERIES = {
+    "corpus_kmv_distinct": corpus_kmv_distinct,
     "corpus_length_moments": corpus_length_moments,
     "corpus_vocab_stats": corpus_vocab_stats,
     "text_pii_luhn": text_pii_luhn,
@@ -1995,6 +2095,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_kmv_distinct": _KMV_SQL,
     "corpus_length_moments": _MOMENTS_SQL,
     "corpus_vocab_stats": _VOCAB_SQL,
     "text_pii_luhn": _LUHN_SQL,
