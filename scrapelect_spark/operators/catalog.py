@@ -27,102 +27,69 @@ for mod in (relational, dedup, simsearch, textstats, scrp_queries, multimodal,
     _ALL_ORACLE.update(mod.ORACLE_SQL)
 
 # The driver's correctness gate records a bounded number of rows (exactly
-# 50 in round 4) in queries() iteration order, so 9 of 59 gates had no
-# driver row (VERDICT r4 "what's wrong" #2). Order the dict so gates the
-# driver has never verified come FIRST: new/rotating gates up front, then
-# the 9 that missed round 4, then everything with a green driver row in
-# CORRECTNESS_r03/r04 (those are the safest to fall off the end).
+# 50 per round) in queries() iteration order. Round-6 rotation (VERDICT r5
+# item #2): the round's one FIXED gate first (crawl_change_rate — the r5
+# red row, sign-of-zero repair in relational.py), then the 36 gates that
+# have never had a driver row in ANY of r1-r5 (judge-verified at sf0.01 in
+# the r5 session but never driver-recorded), then the gates whose
+# internals this optimization round touches (a fresh green row proves the
+# rewrite is value-identical). Everything else already holds a green row
+# in some CORRECTNESS_r*.json and safely falls past the 50-row window.
 _PRIORITY = [
-    # VERDICT r4 item #2 names these four as the round-5 "done"
-    # criterion (never had a driver row in ANY round) — they go first
-    "crawl_sitemap_ingest",
-    "crawl_warc_roundtrip",
-    "events_sessionized_stream",
-    "image_gif_roundtrip",
-    # green in r3 but dropped out of r4's 50-row window
-    "events_hourly_stream",
-    "image_decode_errors",
-    "image_jpeg_roundtrip",
-    "image_resize_nn",
-    "video_frame_sample",
-    # new in round 5 (no driver row can exist yet)
-    "corpus_bm25_topk",
-    "corpus_gopher_rules",
-    "crawl_trap_hosts",
-    "crawl_url_canonicalize",
-    "embedding_semdedup",
-    "embedding_pq_adc",
-    "embedding_hard_negatives",
-    "corpus_dsir_select",
-    "corpus_source_mix",
-    "video_h264_ipcm_roundtrip",
-    "video_mpeg2_intra_sample",
-    "corpus_winnow_fingerprints",
-    "crawl_table_extract",
-    "corpus_html_sections",
-    "corpus_sequence_pack",
-    "corpus_html_markdown",
-    "corpus_fix_mojibake",
+    # r5's only red driver row — re-verify the fix first
     "crawl_change_rate",
-    "audio_mel_bands",
-    "text_pii_luhn",
-    "dedup_containment",
-    "image_exif_gps_scrub",
-    "events_late_drop_stream",
-    "graph_hits",
-    "crawl_dust_rules",
-    "corpus_length_moments",
-    "corpus_vocab_stats",
-    "curate_funnel_report",
-    "corpus_kmv_distinct",
-    "corpus_bpe_tokenize",
-    "corpus_passage_chunks",
-    "curate_aspect_batches",
-    "corpus_lm_novelty",
-    "corpus_inverted_index",
-    "corpus_line_dedup",
-    "crawl_link_rels",
-    "crawl_microdata",
-    "crawl_jsonld_pairs",
-    "crawl_og_pairs",
-    "crawl_feed_ingest",
-    "crawl_anchor_texts",
+    # never driver-verified in r1-r5 (cumulative-coverage closure)
+    "audio_adpcm_stereo",
+    "audio_g711_roundtrip",
+    "audio_id3_extract",
+    "audio_mp1_roundtrip",
+    "audio_mp2_roundtrip",
     "audio_mp3_metadata",
     "audio_ogg_flac_roundtrip",
     "corpus_main_text",
-    "crawl_image_refs",
-    "image_autorotate",
-    "audio_id3_extract",
-    "image_border_stats",
-    "image_color_stats",
-    "image_sharpness_stats",
-    "image_phash_clusters",
-    "image_pixel_stats",
-    "curate_pairs_pipeline",
-    "crawl_revalidate_classify",
-    "crawl_recrawl_priority",
-    "image_dctphash_neardup",
-    "image_jpeg_quality",
-    "audio_mp1_roundtrip",
-    "video_mpeg_ps_roundtrip",
+    "corpus_quota_sample_bucketed",
     "corpus_repeated_ngram_dedup",
     "crawl_archive_ingest",
-    "video_mpeg1_b_sample",
-    "image_webp_roundtrip",
+    "crawl_image_refs",
+    "crawl_recrawl_priority",
+    "crawl_revalidate_classify",
+    "curate_pairs_pipeline",
     "graph_pagerank",
-    "image_resize_filters",
-    "image_patch_grid",
-    "image_foreign_formats",
-    "image_tiff_roundtrip",
-    "audio_mp2_roundtrip",
-    "video_mpeg1_p_sample",
+    "image_autorotate",
+    "image_border_stats",
+    "image_color_stats",
+    "image_dctphash_neardup",
     "image_exif_extract",
+    "image_foreign_formats",
+    "image_jpeg_quality",
+    "image_patch_grid",
+    "image_phash_clusters",
     "image_phash_neardup",
+    "image_pixel_stats",
+    "image_resize_filters",
+    "image_sharpness_stats",
+    "image_tiff_roundtrip",
+    "image_webp_roundtrip",
+    "video_mpeg1_b_sample",
     "video_mpeg1_iframe_sample",
+    "video_mpeg1_p_sample",
+    "video_mpeg_ps_roundtrip",
     "video_msvc_roundtrip",
-    "audio_adpcm_stereo",
-    "corpus_quota_sample_bucketed",
-    "audio_g711_roundtrip",
+    # gates whose internals round 6 optimizes — fresh rows prove the
+    # rewrites value-identical
+    "curate_funnel_report",
+    "graph_hits",
+    "embedding_power_iteration",
+    "embedding_kmeans",
+    "embedding_pq_adc",
+    "embedding_hard_negatives",
+    "embedding_semdedup",
+    "events_late_drop_stream",
+    "events_hourly_stream",
+    "events_sessionized_stream",
+    "dedup_clusters_dist",
+    "dedup_containment",
+    "q1_pricing_summary",
 ]
 
 QUERIES = {}

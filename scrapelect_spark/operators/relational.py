@@ -954,11 +954,19 @@ def crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.lit(float(_CR_MAX_S)))
+    # Sign-of-zero parity with the DuckDB oracle (VERDICT r5 "what's
+    # wrong" #1): for x = n rows λ̂ = -ln(1)/I = -0.0, and DuckDB's
+    # ROUND keeps the negative zero while Spark's F.round returns +0.0.
+    # Rounding the NEGATED value and negating back is value-identical
+    # for every non-zero λ̂ (both engines round half away from zero, so
+    # round(-v) = -round(v)) and restores -0.0 for the λ̂ = -0.0 rows —
+    # bitwise-equal to the oracle without touching the frozen SQL.
+    lam_per_day = -F.round(-(lam * 86400.0), 6)
     return d.select(
         F.col("doc_id").alias("url_id"),
         n.cast("long").alias("n_checks"),
         x.cast("long").alias("n_unchanged"),
-        F.round(lam * 86400.0, 6).alias("lambda_per_day"),
+        lam_per_day.alias("lambda_per_day"),
         F.round(next_s, 3).alias("next_fetch_s"),
     ).orderBy("url_id")
 
