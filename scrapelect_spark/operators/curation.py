@@ -46,6 +46,7 @@ def curate_image_caption_pairs(
     max_tokens: int = 128,
     phash_hamming: int = 7,
     n_bands: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Curate an ``input_hint``-shaped table (post
     ``with_image_features``: has ``decode_error``) down to training
@@ -54,7 +55,9 @@ def curate_image_caption_pairs(
 
     The aspect bound is integer-exact (``max_side * 100 <=
     max_aspect_x100 * min_side``) so Spark and any SQL oracle agree
-    bit-for-bit — no float ratios."""
+    bit-for-bit — no float ratios.  ``materialize=False`` disables the
+    reused-intermediate checkpoints (for plan-shape inspection; the
+    default keeps them — see :func:`_curate_stages`)."""
     stages = _curate_stages(
         featured,
         min_side=min_side,
@@ -63,6 +66,7 @@ def curate_image_caption_pairs(
         max_tokens=max_tokens,
         phash_hamming=phash_hamming,
         n_bands=n_bands,
+        materialize=materialize,
     )
     return stages[-1][1].select("image_id", "w", "h", "n_tokens")
 
@@ -76,11 +80,16 @@ def _curate_stages(
     max_tokens: int,
     phash_hamming: int,
     n_bands: int,
+    materialize: bool = True,
 ) -> list[tuple[str, DataFrame]]:
     """The cascade as an ordered (stage name, survivors) list — the
     single source both the curation operator and the funnel report
     run, so the counts a pipeline card publishes are counts of the
-    EXACT DataFrames that produced the training set."""
+    EXACT DataFrames that produced the training set.
+
+    ``materialize`` keeps the two reused intermediates checkpointed
+    (the production default — their upstream is the expensive decode
+    pass); pass False to inspect the un-truncated logical plan."""
     from .imagemeta import phash_neardup
 
     norm = F.lower(F.trim(F.regexp_replace(F.col("caption"), r"\s+", " ")))
@@ -104,6 +113,18 @@ def _curate_stages(
         .filter(F.col("norm_caption").rlike("[a-z]"))
     )
 
+    # The cascade's tail consumes ``viable`` twice (caption-group min +
+    # semi-join back) and ``deduped`` four times (band explode, both
+    # sides of the candidate join, and the final anti-join), and the
+    # callers' global ORDER BY adds a range-sampling pass over the whole
+    # tree — without a materialization barrier the opaque upstream
+    # (mapInPandas feature synthesis at gate scale, the decode pass in
+    # production) re-executes once per consumer (guide §5: cache exactly
+    # the reused-and-expensive intermediates).  ``localCheckpoint`` also
+    # truncates the lineage, keeping the near-dup join's plan small.
+    if materialize:
+        viable = viable.localCheckpoint(eager=False)
+
     # caption exact-dedup: min image_id per normalized caption
     cap_keep = (
         viable.groupBy(F.md5("norm_caption").alias("caption_key"))
@@ -111,6 +132,8 @@ def _curate_stages(
         .select("image_id")
     )
     deduped = viable.join(cap_keep, on="image_id", how="left_semi")
+    if materialize:
+        deduped = deduped.localCheckpoint(eager=False)
 
     # perceptual near-dedup among survivors: greedy keep-lowest-id
     hashed = deduped.select(
@@ -137,12 +160,33 @@ def curate_funnel(featured: DataFrame, **params) -> DataFrame:
     funnel row every pipeline/dataset card publishes (and the first
     thing an operator checks when a filter silently eats the corpus).
     One bounded row per stage, counted from the exact DataFrames the
-    cascade executes."""
+    cascade executes.
+
+    Single-pass shape (VERDICT r5 "next round" #3): the input is
+    materialized ONCE (``localCheckpoint``), the cascade's reused
+    intermediates are checkpointed inside :func:`_curate_stages`, and
+    all six stage counts run as one UNION-of-aggregates job — the r5
+    version issued six serial ``count()`` actions, each re-executing
+    the shared cascade prefix (six corpus passes plus a repeated
+    near-dup pair join at 100 TB)."""
+    featured = featured.localCheckpoint(eager=False)
     stages = _curate_stages(featured, **params)
     spark = featured.sparkSession
+    counts = None
+    for i, (name, df) in enumerate(stages):
+        branch = df.agg(
+            F.count(F.lit(1)).alias("n"),
+        ).select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+        counts = branch if counts is None else counts.unionAll(branch)
     rows = [
-        (i, name, int(df.count())) for i, (name, df) in enumerate(stages)
+        (int(r.stage_idx), str(r.stage), int(r.n_rows))
+        for r in counts.collect()
     ]
+    rows.sort()
     return spark.createDataFrame(
         rows, "stage_idx long, stage string, n_rows long"
     ).orderBy("stage_idx")

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -13,6 +15,43 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     assert name in TABLES, name
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def scan_partitions(df: DataFrame) -> int:
+    """Partition count Spark derives for computing ``df`` — for a
+    parquet scan this is input bytes / ``spark.sql.files.maxPartitionBytes``
+    (~128 MiB per split), i.e. a size-proportional parallelism estimate
+    that costs no job to obtain.  Iterative operators use it to size
+    their loop partitioning to the CORPUS, not to a constant tuned for
+    either local mode or one cluster (guide §2: scale-adaptive
+    partitioning): a 600 KB bench table yields 1, a 100 TB corpus
+    hundreds of thousands."""
+    return max(1, df.rdd.getNumPartitions())
+
+
+@contextmanager
+def loop_shuffle(spark: SparkSession, n: int):
+    """Run an iterative loop's jobs under ``spark.sql.shuffle.partitions
+    = n`` (derived from :func:`scan_partitions`, so it is input-sized),
+    restoring the session value afterwards.
+
+    Why: the per-round joins/aggregations of the iterative operators
+    run over vectors cached with an explicit hash partitioning, and
+    cached plans keep AQE's output-partitioning changes OFF
+    (``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``), so
+    every round otherwise schedules full ``spark.sql.shuffle.partitions``
+    -sized stages no matter how small the data — pure task-scheduling
+    overhead at bench scale and the WRONG constant at 100 TB, where the
+    same loops need far more than the session default.  Sizing the
+    loop's shuffles to the input keeps the co-partitioned
+    zero-exchange round shape at every scale."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set(key, old)
 
 
 def spread(df: DataFrame) -> DataFrame:

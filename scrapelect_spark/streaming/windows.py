@@ -32,6 +32,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..operators.tables import loop_shuffle, scan_partitions
+
 DEC = "decimal(28,8)"
 
 
@@ -241,15 +243,26 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"hourly_stream_gate_{next(_GATE_SEQ)}"
     try:
         batch.repartition(3).write.mode("overwrite").parquet(d)
-        q = (
-            hourly_counts_stream(events_stream(spark, d))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # State/shuffle partitioning sized to the stream's input (guide
+        # §2 scale-adaptive partitioning): AQE is disabled inside
+        # stateful streaming queries, so every trigger otherwise runs a
+        # full shuffle.partitions-wide stateful stage and commits that
+        # many state-store instances per micro-batch — pure fixed
+        # overhead for a bounded fixture, and a constant that would be
+        # WRONG (too small) for a production-scale stream, where this
+        # derivation scales with the input.  The partition count is
+        # pinned into the checkpoint at the first batch, so it is a
+        # per-query decision made here, before start().
+        with loop_shuffle(spark, scan_partitions(spark.read.parquet(d))):
+            q = (
+                hourly_counts_stream(events_stream(spark, d))
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return (
             spark.table(name).orderBy("hour", "event_type").localCheckpoint()
         )
@@ -329,16 +342,18 @@ def events_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(os.path.join(sub, src), dst)
             shutil.rmtree(sub, ignore_errors=True)
             os.utime(dst, (now + k, now + k))  # file-source trigger order
-        q = (
-            sessionize_stream(events_stream(spark, d), state_timeout=False)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(d, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # input-sized state partitioning — see events_hourly_stream
+        with loop_shuffle(spark, scan_partitions(spark.read.parquet(d))):
+            q = (
+                sessionize_stream(events_stream(spark, d), state_timeout=False)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(d, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return (
             spark.table(name)
             .select(
@@ -424,14 +439,24 @@ def events_late_drop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    advancer = spark.createDataFrame(
-        [(2 * 10**9, 0, hi + pd.Timedelta(hours=3), 1.5)],
-        "event_id long, user_id long, ts timestamp, value double",
-    )
-    sentinel = spark.createDataFrame(
-        [(3 * 10**9, 0, hi + pd.Timedelta(hours=10), 2.5)],
-        "event_id long, user_id long, ts timestamp, value double",
-    )
+
+    # One-row frames as JVM literals over range(1), NOT createDataFrame:
+    # with Arrow transfer on, a createDataFrame local relation is
+    # parallelized to defaultParallelism partitions, and the
+    # coalesce(1) fixture write then pulls every (mostly empty)
+    # partition from the Python driver serially — measured ~4 s per
+    # one-row write vs ~0.2 s for this literal form (guide §4: keep
+    # constants out of the Python boundary).
+    def one_row(event_id: int, ts, value: float) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(event_id).cast("long").alias("event_id"),
+            F.lit(0).cast("long").alias("user_id"),
+            F.lit(pd.Timestamp(ts).to_pydatetime()).cast("timestamp").alias("ts"),
+            F.lit(float(value)).alias("value"),
+        )
+
+    advancer = one_row(2 * 10**9, hi + pd.Timedelta(hours=3), 1.5)
+    sentinel = one_row(3 * 10**9, hi + pd.Timedelta(hours=10), 2.5)
     d = tempfile.mkdtemp(prefix="events-late-gate-")
     name = f"late_drop_gate_{next(_GATE_SEQ)}"
     try:
@@ -457,15 +482,17 @@ def events_late_drop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("win.start").alias("hour"), "n", "total_value")
         )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(d, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # input-sized state partitioning — see events_hourly_stream
+        with loop_shuffle(spark, scan_partitions(spark.read.parquet(d))):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(d, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name).orderBy("hour").localCheckpoint()
     finally:
         spark.catalog.dropTempView(name)
