@@ -189,7 +189,7 @@ def curate_funnel(featured: DataFrame, **params) -> DataFrame:
     rows.sort()
     return spark.createDataFrame(
         rows, "stage_idx long, stage string, n_rows long"
-    ).orderBy("stage_idx")
+    ).localCheckpoint(eager=False).orderBy("stage_idx")
 
 
 # --- gate ---------------------------------------------------------------
@@ -224,7 +224,7 @@ def curate_pairs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _curate_synth_corpus(spark, sf_dir), min_side=64,
         max_aspect_x100=300, min_tokens=4, max_tokens=128,
         phash_hamming=7, n_bands=8,
-    ).orderBy("image_id")
+    ).localCheckpoint(eager=False).orderBy("image_id")
 
 
 def _curate_synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,7 +501,7 @@ def crawl_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_anchors(pages).orderBy("page_url", "seq")
+    return extract_anchors(pages).localCheckpoint(eager=False).orderBy("page_url", "seq")
 
 
 _ANCHORS_SQL = """
@@ -630,7 +630,7 @@ def crawl_og_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_og_meta(pages).orderBy("page_url")
+    return extract_og_meta(pages).localCheckpoint(eager=False).orderBy("page_url")
 
 
 _OG_SQL = """
@@ -827,7 +827,7 @@ def crawl_jsonld_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "failed",
         F.when(F.col("parse_error").isNotNull(), 1).otherwise(0)
         .cast("long"),
-    ).drop("parse_error").orderBy("page_url", "seq")
+    ).drop("parse_error").localCheckpoint(eager=False).orderBy("page_url", "seq")
 
 
 _JSONLD_SQL = """
@@ -975,7 +975,7 @@ def crawl_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_microdata(pages).orderBy("page_url", "item_seq", "prop")
+    return extract_microdata(pages).localCheckpoint(eager=False).orderBy("page_url", "item_seq", "prop")
 
 
 _MICRODATA_SQL = """
@@ -1119,7 +1119,7 @@ def crawl_link_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_link_rels(pages).orderBy(
+    return extract_link_rels(pages).localCheckpoint(eager=False).orderBy(
         "page_url", "rel", "hreflang"
     )
 
@@ -1194,7 +1194,7 @@ def crawl_image_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_image_refs(pages).orderBy("page_url", "seq")
+    return extract_image_refs(pages).localCheckpoint(eager=False).orderBy("page_url", "seq")
 
 
 _IMAGE_REFS_SQL = """
@@ -1317,7 +1317,7 @@ def curate_aspect_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(32) + (F.col("doc_id") % 20) * 16).cast("int").alias("w"),
         (F.lit(64) + (F.col("doc_id") % 15) * 32).cast("int").alias("h"),
     )
-    return aspect_bucket_batches(pairs).orderBy("image_id")
+    return aspect_bucket_batches(pairs).localCheckpoint(eager=False).orderBy("image_id")
 
 
 _ASPECT_BATCHES_SQL = f"""
@@ -1484,7 +1484,7 @@ def crawl_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_tables(pages).orderBy(
+    return extract_tables(pages).localCheckpoint(eager=False).orderBy(
         "page_url", "table_seq", "row_idx", "col_idx"
     )
 
@@ -1649,7 +1649,7 @@ def corpus_html_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_sections(pages).orderBy("page_url", "section_seq")
+    return extract_sections(pages).localCheckpoint(eager=False).orderBy("page_url", "section_seq")
 
 
 _SECTIONS_SQL = """
@@ -1846,7 +1846,7 @@ def corpus_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return html_to_markdown(pages).orderBy("page_url")
+    return html_to_markdown(pages).localCheckpoint(eager=False).orderBy("page_url")
 
 
 _MARKDOWN_SQL = """

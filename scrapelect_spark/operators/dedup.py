@@ -40,7 +40,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("fingerprint", F.md5(F.col("text")))
         .withColumn("dup_rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "fingerprint", "dup_rank")
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -130,7 +130,14 @@ def band_pairs(
     placement changes (`tests/test_dedup_cc.py::test_band_pairs_*`).
     """
     sizes = bands.groupBy("band", "band_val").agg(F.count("*").alias("bsz"))
-    tagged = bands.join(sizes, ["band", "band_val"])
+    # the size-tagged band table feeds FOUR consumers (both sides of the
+    # cold self-join, both sides of the salted hot join) — materialize it
+    # once so the upstream band derivation (and whatever produced the
+    # hashes) does not re-execute per consumer; (doc_id, band, band_val,
+    # bsz) is a lightweight proxy row (guide §8), cheap to hold
+    tagged = bands.join(sizes, ["band", "band_val"]).localCheckpoint(
+        eager=False
+    )
     cold = tagged.filter(F.col("bsz") <= hot_threshold)
     hot = tagged.filter(F.col("bsz") > hot_threshold)
 
@@ -183,7 +190,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_val)"),
     ).select("doc_id", F.col("band").cast("int").alias("band"), "band_val")
-    return band_pairs(bands).orderBy("doc_a", "doc_b")
+    return band_pairs(bands).localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
 
 
 _MINHASH_SQL = (
@@ -239,7 +246,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         combine = term if combine is None else combine + term
     return (
         per.select("doc_id", combine.cast("long").alias("simhash"))
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -287,7 +294,7 @@ def dedup_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -335,7 +342,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    sh = planted.select("doc_id", shingles(F.col("text")).alias("sh"))
+    # the shingle table is consumed by both sides of the adjacent-pair
+    # self-join (and the final total sort samples the tree a second
+    # time): materialize once — the shingle transform over planted text
+    # is the expensive part of this plan
+    sh = planted.select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    ).localCheckpoint(eager=False)
     a = sh.alias("a")
     b = sh.select(
         (F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")
@@ -354,7 +367,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "contained", (F.col("containment") >= 0.9).cast("long")
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -453,7 +466,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
             F.when(F.col("cosine") > 0.95, 1).otherwise(0).cast("int").alias("is_near_dup"),
         )
-        .orderBy("vec_id")
+        .localCheckpoint(eager=False).orderBy("vec_id")
     )
 
 
@@ -573,13 +586,17 @@ def connected_components(
     """
     # materialize the edge list once — nodes and the canonical set both
     # derive from it, and the input plan may be an expensive pipeline
-    # (the MinHash candidate generator) that must not run twice
-    edges = edges.select("src", "dst").localCheckpoint()
+    # (the MinHash candidate generator) that must not run twice.  All
+    # three checkpoints are LAZY: the cur.count() below materializes
+    # cur AND edges in one job instead of three eager materialization
+    # jobs (r5 paid a scheduler round-trip per checkpoint); nodes
+    # materializes inside whichever job first consumes it.
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("doc_id"))
         .unionByName(edges.select(F.col("dst").alias("doc_id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cur = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -587,7 +604,7 @@ def connected_components(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cur_cnt = cur.count()
     if cur_cnt <= local_threshold:
@@ -606,10 +623,11 @@ def connected_components(
             "doc_id", F.coalesce(F.col("root"), F.col("doc_id")).alias("cluster")
         )
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         # fixpoint test on the canonical (distinct, src<dst) edge sets;
         # cheap count comparison first — the exceptAll job only runs on
         # the (rare) rounds where the cardinality already matches
+        # (the count also materializes the lazy checkpoint, one job)
         nxt_cnt = nxt.count()
         same = (
             nxt_cnt == cur_cnt
@@ -642,7 +660,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round bound)."""
     pairs = _minhash_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    return connected_components(edges).orderBy("doc_id")
+    return connected_components(edges).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _DECON_N = 4  # n-gram width; real pipelines use 8-13 — the synthetic
@@ -704,7 +722,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 50 == 7)
     corpus = d.filter(F.col("doc_id") % 50 != 7)
-    return decontaminate(corpus, bench).orderBy("doc_id")
+    return decontaminate(corpus, bench).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _DECONTAMINATE_SQL = rf"""
@@ -739,7 +757,7 @@ def dedup_clusters_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachability oracle."""
     pairs = _minhash_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    return connected_components(edges, local_threshold=0).orderBy("doc_id")
+    return connected_components(edges, local_threshold=0).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _CLUSTERS_SQL = (
@@ -803,7 +821,7 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("dropped"),
         )
-        .orderBy("source")
+        .localCheckpoint(eager=False).orderBy("source")
     )
 
 
@@ -969,7 +987,7 @@ def corpus_repeated_ngram_dedup(
     synth = d.select(
         "doc_id", F.concat_ws(" ", toks).alias("text")
     )
-    return repeated_ngram_spans(synth, n=8, min_count=2).orderBy("doc_id")
+    return repeated_ngram_spans(synth, n=8, min_count=2).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _REPEATED_NGRAM_SQL = """

@@ -81,9 +81,18 @@ def phash_neardup(
     band), so the band join loses nothing — it only prunes.  Exact
     Hamming verification runs on candidates only, via JVM-side
     ``bit_count(xor)``.  Hot band buckets (near-black thumbnails,
-    test cards) go through ``band_pairs``'s salted self-join."""
+    test cards) go through ``band_pairs``'s salted self-join.
+
+    ``hashed`` is consumed THREE times (band explode + both sides of
+    the candidate join): materialize it once so an expensive upstream
+    (the pHash decode pass at corpus scale, Python synthesis in the
+    gates) does not re-execute per consumer — guide §5: cache exactly
+    the reused-and-expensive intermediates.  The (doc_id, phash) table
+    is 16 bytes/row — the lightweight proxy of guide §8, cheap to hold
+    even at 10^9 images."""
     from .dedup import band_pairs
 
+    hashed = hashed.localCheckpoint(eager=False)
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole exactness needs max_hamming < n_bands")
     if 64 % n_bands:
@@ -166,7 +175,7 @@ def image_phash_neardup(spark, sf_dir: str) -> DataFrame:
     hashed = d.select("doc_id").mapInPandas(
         synth_hash, schema="doc_id long, phash long"
     )
-    return phash_neardup(hashed, max_hamming=7).orderBy("doc_a", "doc_b")
+    return phash_neardup(hashed, max_hamming=7).localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
 
 
 _PHASH_NEARDUP_SQL = """
@@ -239,7 +248,7 @@ def image_exif_extract(spark, sf_dir: str) -> DataFrame:
             F.when(F.col("exif_error").isNull(), F.lit(0))
             .otherwise(F.lit(1)).cast("long").alias("failed"),
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -303,7 +312,7 @@ def image_dctphash_neardup(spark, sf_dir: str) -> DataFrame:
     hashed = d.select("doc_id").mapInPandas(
         synth_hash, schema="doc_id long, phash long"
     )
-    return phash_neardup(hashed, max_hamming=7).orderBy("doc_a", "doc_b")
+    return phash_neardup(hashed, max_hamming=7).localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
 
 
 _DCTPHASH_NEARDUP_SQL = """
@@ -396,7 +405,7 @@ def image_jpeg_quality(spark, sf_dir: str) -> DataFrame:
             synth_estimate,
             schema="doc_id long, quality long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -519,7 +528,7 @@ def image_pixel_stats(spark, sf_dir: str) -> DataFrame:
     images = d.select("doc_id").mapInPandas(
         synth, schema="image_id long, bytes binary, fmt string"
     )
-    return pixel_stats(images).orderBy("image_id")
+    return pixel_stats(images).localCheckpoint(eager=False).orderBy("image_id")
 
 
 _PIXEL_STATS_SQL = """
@@ -677,7 +686,7 @@ def image_sharpness_stats(spark, sf_dir: str) -> DataFrame:
     images = d.select("doc_id").mapInPandas(
         synth, schema="image_id long, bytes binary, fmt string"
     )
-    return laplacian_stats(images).orderBy("image_id")
+    return laplacian_stats(images).localCheckpoint(eager=False).orderBy("image_id")
 
 
 _SHARPNESS_SQL = """
@@ -751,7 +760,7 @@ def image_phash_clusters(spark, sf_dir: str) -> DataFrame:
             "is_canonical",
             (F.col("doc_id") == F.col("cluster")).cast("long"),
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -892,7 +901,7 @@ def image_color_stats(spark, sf_dir: str) -> DataFrame:
     images = d.select("doc_id").mapInPandas(
         synth, schema="image_id long, bytes binary, fmt string"
     )
-    return color_stats(images).orderBy("image_id")
+    return color_stats(images).localCheckpoint(eager=False).orderBy("image_id")
 
 
 _COLOR_STATS_SQL = """
@@ -1065,7 +1074,7 @@ def image_border_stats(spark, sf_dir: str) -> DataFrame:
     images = d.select("doc_id").mapInPandas(
         synth, schema="image_id long, bytes binary, fmt string"
     )
-    return border_stats(images).orderBy("image_id")
+    return border_stats(images).localCheckpoint(eager=False).orderBy("image_id")
 
 
 _BORDER_STATS_SQL = """
@@ -1228,7 +1237,7 @@ def image_autorotate(spark, sf_dir: str) -> DataFrame:
     images = d.select("doc_id").mapInPandas(
         synth, schema="image_id long, bytes binary"
     )
-    return autorotate_stats(images).orderBy("image_id")
+    return autorotate_stats(images).localCheckpoint(eager=False).orderBy("image_id")
 
 
 _AUTOROTATE_SQL = """
@@ -1343,7 +1352,7 @@ def image_exif_gps_scrub(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, had_gps long, gps_after long, "
             "tags_kept long, pixels_same long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 

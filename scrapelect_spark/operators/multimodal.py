@@ -639,7 +639,7 @@ def audio_wav_features(spark, sf_dir: str) -> DataFrame:
         F.col("audio_id").cast("long").alias("doc_id"),
         "duration_s",
         F.round("rms", 6).alias("rms"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _AUDIO_SQL = """
@@ -693,7 +693,7 @@ def image_png_roundtrip(spark, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1))
         .cast("long")
         .alias("failed"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _IMAGE_SQL = """
@@ -773,7 +773,7 @@ def image_jpeg_roundtrip(spark, sf_dir: str) -> DataFrame:
         synth_and_verify,
         schema="doc_id long, w long, h long, caption string, psnr_ok long, failed long",
     )
-    return feats.orderBy("doc_id")
+    return feats.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _JPEG_SQL = """
@@ -839,7 +839,7 @@ def image_resize_nn(spark, sf_dir: str) -> DataFrame:
         resized.mapInPandas(
             verify, schema="doc_id long, w long, h long, pixel long"
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -889,9 +889,11 @@ def image_resize_filters(spark, sf_dir: str) -> DataFrame:
                 fmts.append("png")
             yield pd.DataFrame({"image_id": ids, "bytes": blobs, "fmt": fmts})
 
+    # three resize branches consume the synthesized corpus — checkpoint
+    # once so the Python synthesis pass runs once, not per method
     images = d.select("doc_id").mapInPandas(
         synth, schema="image_id string, bytes binary, fmt string"
-    )
+    ).localCheckpoint(eager=False)
 
     def one(method: str, tag: str) -> DataFrame:
         return resize_images(
@@ -938,7 +940,7 @@ def image_resize_filters(spark, sf_dir: str) -> DataFrame:
         verify,
         schema="doc_id long, w long, h long, bilinear_ok long, "
         "area_ok long, nn_differs long",
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _RESIZE_FILTERS_SQL = """
@@ -1059,7 +1061,7 @@ def image_patch_grid(spark, sf_dir: str) -> DataFrame:
             verify,
             schema="doc_id long, py long, px long, patch_sum long, blob_sum long",
         )
-        .orderBy("doc_id", "py", "px")
+        .localCheckpoint(eager=False).orderBy("doc_id", "py", "px")
     )
 
 
@@ -1146,7 +1148,7 @@ def image_foreign_formats(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, fmt string, w long, h long, "
             "exact long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -1206,7 +1208,7 @@ def image_decode_errors(spark, sf_dir: str) -> DataFrame:
         F.when(F.col("phash").isNull(), 0).otherwise(1)
         .cast("long")
         .alias("has_phash"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _DECODE_ERRORS_SQL = """
@@ -1291,7 +1293,7 @@ def video_frame_sample(spark, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_idx long, w long, h long, "
         "psnr_ok long, failed long",
     )
-    return feats.orderBy("doc_id", "frame_idx")
+    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
 
 
 _VIDEO_SQL = """
@@ -1360,7 +1362,7 @@ def audio_adpcm_roundtrip(spark, sf_dir: str) -> DataFrame:
             synth_and_verify,
             schema="doc_id long, duration_s double, snr_ok long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -1462,7 +1464,7 @@ def video_msvc_roundtrip(spark, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_idx long, w long, h long, "
         "exact long, failed long",
     )
-    return feats.orderBy("doc_id", "frame_idx")
+    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
 
 
 _MSVC_SQL = """
@@ -1541,7 +1543,7 @@ def audio_adpcm_stereo(spark, sf_dir: str) -> DataFrame:
             synth_and_verify,
             schema="doc_id long, duration_s double, snr_ok long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -1605,7 +1607,7 @@ def audio_g711_roundtrip(spark, sf_dir: str) -> DataFrame:
             synth_and_verify,
             schema="doc_id long, duration_s double, snr_ok long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -1677,7 +1679,7 @@ def audio_flac_roundtrip(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, duration_s double, exact long, "
             "compressed long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -1765,7 +1767,7 @@ def audio_ogg_flac_roundtrip(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, duration_s double, exact long, "
             "granule_ok long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -1882,7 +1884,7 @@ def audio_mp3_metadata(spark, sf_dir: str) -> DataFrame:
             "bitrate_max_kbps long, is_cbr long, has_id3 long, "
             "failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -1988,7 +1990,7 @@ def audio_mp2_roundtrip(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, duration_s double, good long, "
             "compressed long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -2084,7 +2086,7 @@ def image_gif_roundtrip(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, w long, h long, n_frames long, "
             "exact long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -2154,7 +2156,7 @@ def image_bmp_roundtrip(spark, sf_dir: str) -> DataFrame:
             synth_and_verify,
             schema="doc_id long, w long, h long, exact long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -2236,7 +2238,7 @@ def image_tiff_roundtrip(spark, sf_dir: str) -> DataFrame:
             synth_and_verify,
             schema="doc_id long, w long, h long, exact long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -2354,7 +2356,7 @@ def video_mpeg1_iframe_sample(spark, sf_dir: str) -> DataFrame:
     feats = sampled.mapInPandas(
         verify, schema="doc_id long, frame_idx long, ok long, failed long"
     )
-    return feats.orderBy("doc_id", "frame_idx")
+    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
 
 
 _MPEG1_SQL = """
@@ -2457,7 +2459,7 @@ def video_mpeg1_p_sample(spark, sf_dir: str) -> DataFrame:
     feats = sampled.mapInPandas(
         verify, schema="doc_id long, frame_idx long, ok long, failed long"
     )
-    return feats.orderBy("doc_id", "frame_idx")
+    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
 
 
 _MPEG1_P_SQL = """
@@ -2558,7 +2560,7 @@ def video_mpeg1_b_sample(spark, sf_dir: str) -> DataFrame:
     feats = sampled.mapInPandas(
         verify, schema="doc_id long, frame_idx long, ok long, failed long"
     )
-    return feats.orderBy("doc_id", "frame_idx")
+    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
 
 
 _MPEG1_B_SQL = """
@@ -2650,7 +2652,7 @@ def image_webp_roundtrip(spark, sf_dir: str) -> DataFrame:
             synth_and_verify,
             schema="doc_id long, w long, h long, exact long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -2729,7 +2731,7 @@ def audio_mp1_roundtrip(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, duration_s double, good long, "
             "compressed long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -2829,7 +2831,7 @@ def video_mpeg_ps_roundtrip(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, n_frames long, es_exact long, "
             "audio_ok long, failed long",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -2936,7 +2938,7 @@ def audio_id3_extract(spark, sf_dir: str) -> DataFrame:
     audio = d.select("doc_id").mapInPandas(
         synth, schema="audio_id long, bytes binary"
     )
-    return extract_audio_tags(audio).orderBy("audio_id")
+    return extract_audio_tags(audio).localCheckpoint(eager=False).orderBy("audio_id")
 
 
 _ID3_SQL = """
@@ -3043,7 +3045,7 @@ def audio_mel_bands(spark, sf_dir: str) -> DataFrame:
             schema="audio_id long, f_hz long, dominant_band long, "
             "n_bands long",
         )
-        .orderBy("audio_id")
+        .localCheckpoint(eager=False).orderBy("audio_id")
     )
 
 
@@ -3167,7 +3169,7 @@ def video_mpeg2_intra_sample(spark, sf_dir: str) -> DataFrame:
         verify,
         schema="doc_id long, frame_idx long, ok long, failed long",
     )
-    return feats.orderBy("doc_id", "frame_idx")
+    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
 
 
 _MPEG2_SQL = """
@@ -3273,7 +3275,7 @@ def video_h264_ipcm_roundtrip(spark, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_idx long, w long, h long, "
         "exact long, failed long",
     )
-    return feats.orderBy("doc_id", "frame_idx")
+    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
 
 
 _H264_SQL = """

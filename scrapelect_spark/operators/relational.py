@@ -46,7 +46,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(charge).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .localCheckpoint(eager=False).orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -115,7 +115,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(sup, l.l_suppkey == F.col("s_suppkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        .localCheckpoint(eager=False).orderBy(F.desc("revenue"), "n_name")
     )
 
 
@@ -179,7 +179,7 @@ def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value"), 6).alias("value"),
             F.col("rk").cast("int").alias("rk"),
         )
-        .orderBy("user_id", "rk")
+        .localCheckpoint(eager=False).orderBy("user_id", "rk")
     )
 
 
@@ -208,7 +208,7 @@ def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("running").cast("double").alias("running_value"),
         )
-        .orderBy("event_id")
+        .localCheckpoint(eager=False).orderBy("event_id")
     )
 
 
@@ -236,7 +236,7 @@ def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         )
-        .orderBy("hour", "event_type")
+        .localCheckpoint(eager=False).orderBy("hour", "event_type")
     )
 
 
@@ -356,7 +356,7 @@ def q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
-        .orderBy("o_orderpriority")
+        .localCheckpoint(eager=False).orderBy("o_orderpriority")
     )
 
 
@@ -429,7 +429,7 @@ def frontier_new_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.join(seen, p.p_partkey == F.col("l_partkey"), "left_anti")
         .select("p_partkey", "p_name")
-        .orderBy("p_partkey")
+        .localCheckpoint(eager=False).orderBy("p_partkey")
     )
 
 
@@ -454,7 +454,7 @@ def perhost_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("source", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
-        .orderBy("source", "rk")
+        .localCheckpoint(eager=False).orderBy("source", "rk")
     )
 
 
@@ -493,7 +493,7 @@ def priority_claim_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-    ).orderBy("fetch_order")
+    ).localCheckpoint(eager=False).orderBy("fetch_order")
 
 
 _PRIORITY_SQL = """
@@ -607,7 +607,7 @@ def crawl_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return recrawl_priority(hist, 100).select(
         "doc_id", "age_s", "change_count", "crawl_count", "score"
-    ).orderBy(F.desc("score"), "doc_id")
+    ).localCheckpoint(eager=False).orderBy(F.desc("score"), "doc_id")
 
 
 def crawl_revalidate_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,7 +657,7 @@ def crawl_revalidate_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("outcome") == "changed", F.col("fetched_hash"))
         .otherwise(F.col("stored_hash"))
         .alias("new_hash"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _REVALIDATE_SQL = """
@@ -741,7 +741,7 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("last_event"),
             (F.max("us") - F.min("us")).alias("duration_us"),
         )
-        .orderBy("user_id", "session_idx")
+        .localCheckpoint(eager=False).orderBy("user_id", "session_idx")
     )
 
 
@@ -821,7 +821,7 @@ def crawl_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("url")
     )
-    return url_space_stats(urls).orderBy("host")
+    return url_space_stats(urls).localCheckpoint(eager=False).orderBy("host")
 
 
 _TRAP_SQL = r"""
@@ -968,7 +968,7 @@ def crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.cast("long").alias("n_unchanged"),
         lam_per_day.alias("lambda_per_day"),
         F.round(next_s, 3).alias("next_fetch_s"),
-    ).orderBy("url_id")
+    ).localCheckpoint(eager=False).orderBy("url_id")
 
 
 _CHANGE_RATE_SQL = f"""
@@ -1064,7 +1064,7 @@ def dust_param_rules(pages: DataFrame) -> DataFrame:
                 & (F.col("n_pairs") >= 2)
             ).cast("long"),
         )
-        .orderBy("param")
+        .localCheckpoint(eager=False).orderBy("param")
     )
 
 

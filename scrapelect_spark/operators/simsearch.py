@@ -315,7 +315,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(q).alias("q_min"),
         F.array_max(q).alias("q_max"),
     )
-    return d.orderBy("vec_id")
+    return d.localCheckpoint(eager=False).orderBy("vec_id")
 
 
 _QUANT_SQL = """
@@ -524,7 +524,7 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.createDataFrame(out, "ord long, component double")
         .select("ord", F.round("component", 6).alias("component"))
-        .orderBy("ord")
+        .localCheckpoint(eager=False).orderBy("ord")
     )
 
 
@@ -620,7 +620,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, "k long, n_members long, ord long, component double"
             )
             .select("k", "n_members", "ord", F.round("component", 6).alias("component"))
-            .orderBy("k", "ord")
+            .localCheckpoint(eager=False).orderBy("k", "ord")
         )
     finally:
         el.unpersist()
@@ -814,7 +814,7 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ord") == 1, F.col("x") + 0.05).otherwise(F.col("x")).alias("x"),
         )
     )
-    return semdedup_flags(el.unionByName(dup_el)).orderBy("vec_id")
+    return semdedup_flags(el.unionByName(dup_el)).localCheckpoint(eager=False).orderBy("vec_id")
 
 
 _SEMDEDUP_SQL = f"""
@@ -1056,7 +1056,7 @@ def embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("adc"), 6).alias("adc_d2"),
                 F.round(F.col("exact").cast("double"), 6).alias("exact_d2"),
             )
-            .orderBy("adc_d2", "vec_id")
+            .localCheckpoint(eager=False).orderBy("adc_d2", "vec_id")
         )
     finally:
         el.unpersist()
@@ -1232,7 +1232,7 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_vec",
         )
         .select("q_vec", "q_label", "neg_vec", "neg_label", "neg_cosine")
-        .orderBy("q_vec")
+        .localCheckpoint(eager=False).orderBy("q_vec")
     )
 
 

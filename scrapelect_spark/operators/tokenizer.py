@@ -188,7 +188,7 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_words", "n_bpe_tokens", "oov_words",
             "token_stream",
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 

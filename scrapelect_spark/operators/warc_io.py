@@ -102,7 +102,7 @@ def crawl_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         "status",
         F.md5(F.col("html")).alias("body_md5"),
-    ).orderBy("url")
+    ).localCheckpoint(eager=False).orderBy("url")
 
 
 _WARC_SQL = """
@@ -206,7 +206,7 @@ def crawl_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "url",
             "priority",
         )
-        .orderBy("doc_id", "url")
+        .localCheckpoint(eager=False).orderBy("doc_id", "url")
     )
 
 
@@ -324,7 +324,7 @@ def crawl_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("parse_error").isNotNull(), 1)
             .otherwise(0).cast("long").alias("failed"),
         )
-        .orderBy("doc_id", "url")
+        .localCheckpoint(eager=False).orderBy("doc_id", "url")
     )
 
 
@@ -459,7 +459,7 @@ def crawl_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long")
         .alias("failed"),
-    ).orderBy("doc_id", "member_name")
+    ).localCheckpoint(eager=False).orderBy("doc_id", "member_name")
 
 
 _ARCHIVE_SQL = """
