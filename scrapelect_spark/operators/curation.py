@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .tables import barrier
+
 
 def curate_image_caption_pairs(
     featured: DataFrame,
@@ -123,7 +125,7 @@ def _curate_stages(
     # the reused-and-expensive intermediates).  ``localCheckpoint`` also
     # truncates the lineage, keeping the near-dup join's plan small.
     if materialize:
-        viable = viable.localCheckpoint(eager=False)
+        viable = viable.transform(barrier)
 
     # caption exact-dedup: min image_id per normalized caption
     cap_keep = (
@@ -133,7 +135,7 @@ def _curate_stages(
     )
     deduped = viable.join(cap_keep, on="image_id", how="left_semi")
     if materialize:
-        deduped = deduped.localCheckpoint(eager=False)
+        deduped = deduped.transform(barrier)
 
     # perceptual near-dedup among survivors: greedy keep-lowest-id
     hashed = deduped.select(
@@ -169,7 +171,7 @@ def curate_funnel(featured: DataFrame, **params) -> DataFrame:
     version issued six serial ``count()`` actions, each re-executing
     the shared cascade prefix (six corpus passes plus a repeated
     near-dup pair join at 100 TB)."""
-    featured = featured.localCheckpoint(eager=False)
+    featured = featured.transform(barrier)
     stages = _curate_stages(featured, **params)
     spark = featured.sparkSession
     counts = None
@@ -189,7 +191,7 @@ def curate_funnel(featured: DataFrame, **params) -> DataFrame:
     rows.sort()
     return spark.createDataFrame(
         rows, "stage_idx long, stage string, n_rows long"
-    ).localCheckpoint(eager=False).orderBy("stage_idx")
+    ).transform(barrier).orderBy("stage_idx")
 
 
 # --- gate ---------------------------------------------------------------
@@ -224,7 +226,7 @@ def curate_pairs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _curate_synth_corpus(spark, sf_dir), min_side=64,
         max_aspect_x100=300, min_tokens=4, max_tokens=128,
         phash_hamming=7, n_bands=8,
-    ).localCheckpoint(eager=False).orderBy("image_id")
+    ).transform(barrier).orderBy("image_id")
 
 
 def _curate_synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,7 +503,7 @@ def crawl_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_anchors(pages).localCheckpoint(eager=False).orderBy("page_url", "seq")
+    return extract_anchors(pages).transform(barrier).orderBy("page_url", "seq")
 
 
 _ANCHORS_SQL = """
@@ -630,7 +632,7 @@ def crawl_og_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_og_meta(pages).localCheckpoint(eager=False).orderBy("page_url")
+    return extract_og_meta(pages).transform(barrier).orderBy("page_url")
 
 
 _OG_SQL = """
@@ -827,7 +829,7 @@ def crawl_jsonld_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "failed",
         F.when(F.col("parse_error").isNotNull(), 1).otherwise(0)
         .cast("long"),
-    ).drop("parse_error").localCheckpoint(eager=False).orderBy("page_url", "seq")
+    ).drop("parse_error").transform(barrier).orderBy("page_url", "seq")
 
 
 _JSONLD_SQL = """
@@ -975,7 +977,7 @@ def crawl_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_microdata(pages).localCheckpoint(eager=False).orderBy("page_url", "item_seq", "prop")
+    return extract_microdata(pages).transform(barrier).orderBy("page_url", "item_seq", "prop")
 
 
 _MICRODATA_SQL = """
@@ -1119,7 +1121,7 @@ def crawl_link_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_link_rels(pages).localCheckpoint(eager=False).orderBy(
+    return extract_link_rels(pages).transform(barrier).orderBy(
         "page_url", "rel", "hreflang"
     )
 
@@ -1194,7 +1196,7 @@ def crawl_image_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_image_refs(pages).localCheckpoint(eager=False).orderBy("page_url", "seq")
+    return extract_image_refs(pages).transform(barrier).orderBy("page_url", "seq")
 
 
 _IMAGE_REFS_SQL = """
@@ -1317,7 +1319,7 @@ def curate_aspect_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(32) + (F.col("doc_id") % 20) * 16).cast("int").alias("w"),
         (F.lit(64) + (F.col("doc_id") % 15) * 32).cast("int").alias("h"),
     )
-    return aspect_bucket_batches(pairs).localCheckpoint(eager=False).orderBy("image_id")
+    return aspect_bucket_batches(pairs).transform(barrier).orderBy("image_id")
 
 
 _ASPECT_BATCHES_SQL = f"""
@@ -1484,7 +1486,7 @@ def crawl_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_tables(pages).localCheckpoint(eager=False).orderBy(
+    return extract_tables(pages).transform(barrier).orderBy(
         "page_url", "table_seq", "row_idx", "col_idx"
     )
 
@@ -1649,7 +1651,7 @@ def corpus_html_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return extract_sections(pages).localCheckpoint(eager=False).orderBy("page_url", "section_seq")
+    return extract_sections(pages).transform(barrier).orderBy("page_url", "section_seq")
 
 
 _SECTIONS_SQL = """
@@ -1846,7 +1848,7 @@ def corpus_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id").mapInPandas(
         synth, schema="url string, html string"
     )
-    return html_to_markdown(pages).localCheckpoint(eager=False).orderBy("page_url")
+    return html_to_markdown(pages).transform(barrier).orderBy("page_url")
 
 
 _MARKDOWN_SQL = """

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import load
+from .tables import barrier, load, spread
 
 DEC = "decimal(28,12)"
 
@@ -40,7 +40,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("fingerprint", F.md5(F.col("text")))
         .withColumn("dup_rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "fingerprint", "dup_rank")
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -190,7 +190,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_val)"),
     ).select("doc_id", F.col("band").cast("int").alias("band"), "band_val")
-    return band_pairs(bands).localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
+    return band_pairs(bands).transform(barrier).orderBy("doc_a", "doc_b")
 
 
 _MINHASH_SQL = (
@@ -246,7 +246,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         combine = term if combine is None else combine + term
     return (
         per.select("doc_id", combine.cast("long").alias("simhash"))
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -294,7 +294,7 @@ def dedup_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -348,7 +348,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the expensive part of this plan
     sh = planted.select(
         "doc_id", shingles(F.col("text")).alias("sh")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     a = sh.alias("a")
     b = sh.select(
         (F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")
@@ -367,7 +367,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "contained", (F.col("containment") >= 0.9).cast("long")
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -466,7 +466,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
             F.when(F.col("cosine") > 0.95, 1).otherwise(0).cast("int").alias("is_near_dup"),
         )
-        .localCheckpoint(eager=False).orderBy("vec_id")
+        .transform(barrier).orderBy("vec_id")
     )
 
 
@@ -591,12 +591,12 @@ def connected_components(
     # cur AND edges in one job instead of three eager materialization
     # jobs (r5 paid a scheduler round-trip per checkpoint); nodes
     # materializes inside whichever job first consumes it.
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    edges = edges.select("src", "dst").transform(barrier)
     nodes = (
         edges.select(F.col("src").alias("doc_id"))
         .unionByName(edges.select(F.col("dst").alias("doc_id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     cur = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -604,7 +604,7 @@ def connected_components(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     cur_cnt = cur.count()
     if cur_cnt <= local_threshold:
@@ -623,7 +623,7 @@ def connected_components(
             "doc_id", F.coalesce(F.col("root"), F.col("doc_id")).alias("cluster")
         )
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        nxt = _small_star(_large_star(cur)).transform(barrier)
         # fixpoint test on the canonical (distinct, src<dst) edge sets;
         # cheap count comparison first — the exceptAll job only runs on
         # the (rare) rounds where the cardinality already matches
@@ -660,7 +660,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round bound)."""
     pairs = _minhash_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    return connected_components(edges).localCheckpoint(eager=False).orderBy("doc_id")
+    return connected_components(edges).transform(barrier).orderBy("doc_id")
 
 
 _DECON_N = 4  # n-gram width; real pipelines use 8-13 — the synthetic
@@ -722,7 +722,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 50 == 7)
     corpus = d.filter(F.col("doc_id") % 50 != 7)
-    return decontaminate(corpus, bench).localCheckpoint(eager=False).orderBy("doc_id")
+    return decontaminate(corpus, bench).transform(barrier).orderBy("doc_id")
 
 
 _DECONTAMINATE_SQL = rf"""
@@ -757,7 +757,7 @@ def dedup_clusters_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachability oracle."""
     pairs = _minhash_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    return connected_components(edges, local_threshold=0).localCheckpoint(eager=False).orderBy("doc_id")
+    return connected_components(edges, local_threshold=0).transform(barrier).orderBy("doc_id")
 
 
 _CLUSTERS_SQL = (
@@ -821,7 +821,7 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("dropped"),
         )
-        .localCheckpoint(eager=False).orderBy("source")
+        .transform(barrier).orderBy("source")
     )
 
 
@@ -987,7 +987,7 @@ def corpus_repeated_ngram_dedup(
     synth = d.select(
         "doc_id", F.concat_ws(" ", toks).alias("text")
     )
-    return repeated_ngram_spans(synth, n=8, min_count=2).localCheckpoint(eager=False).orderBy("doc_id")
+    return repeated_ngram_spans(synth, n=8, min_count=2).transform(barrier).orderBy("doc_id")
 
 
 _REPEATED_NGRAM_SQL = """

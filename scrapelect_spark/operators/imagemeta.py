@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .tables import barrier
+
 
 def extract_exif(
     images: DataFrame, bytes_col: str = "bytes", id_col: str = "image_id"
@@ -92,7 +94,7 @@ def phash_neardup(
     even at 10^9 images."""
     from .dedup import band_pairs
 
-    hashed = hashed.localCheckpoint(eager=False)
+    hashed = hashed.transform(barrier)
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole exactness needs max_hamming < n_bands")
     if 64 % n_bands:
@@ -175,7 +177,7 @@ def image_phash_neardup(spark, sf_dir: str) -> DataFrame:
     hashed = d.select("doc_id").mapInPandas(
         synth_hash, schema="doc_id long, phash long"
     )
-    return phash_neardup(hashed, max_hamming=7).localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
+    return phash_neardup(hashed, max_hamming=7).transform(barrier).orderBy("doc_a", "doc_b")
 
 
 _PHASH_NEARDUP_SQL = """
@@ -248,7 +250,7 @@ def image_exif_extract(spark, sf_dir: str) -> DataFrame:
             F.when(F.col("exif_error").isNull(), F.lit(0))
             .otherwise(F.lit(1)).cast("long").alias("failed"),
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -312,7 +314,7 @@ def image_dctphash_neardup(spark, sf_dir: str) -> DataFrame:
     hashed = d.select("doc_id").mapInPandas(
         synth_hash, schema="doc_id long, phash long"
     )
-    return phash_neardup(hashed, max_hamming=7).localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
+    return phash_neardup(hashed, max_hamming=7).transform(barrier).orderBy("doc_a", "doc_b")
 
 
 _DCTPHASH_NEARDUP_SQL = """
@@ -405,7 +407,7 @@ def image_jpeg_quality(spark, sf_dir: str) -> DataFrame:
             synth_estimate,
             schema="doc_id long, quality long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -528,7 +530,7 @@ def image_pixel_stats(spark, sf_dir: str) -> DataFrame:
     images = d.select("doc_id").mapInPandas(
         synth, schema="image_id long, bytes binary, fmt string"
     )
-    return pixel_stats(images).localCheckpoint(eager=False).orderBy("image_id")
+    return pixel_stats(images).transform(barrier).orderBy("image_id")
 
 
 _PIXEL_STATS_SQL = """
@@ -686,7 +688,7 @@ def image_sharpness_stats(spark, sf_dir: str) -> DataFrame:
     images = d.select("doc_id").mapInPandas(
         synth, schema="image_id long, bytes binary, fmt string"
     )
-    return laplacian_stats(images).localCheckpoint(eager=False).orderBy("image_id")
+    return laplacian_stats(images).transform(barrier).orderBy("image_id")
 
 
 _SHARPNESS_SQL = """
@@ -760,7 +762,7 @@ def image_phash_clusters(spark, sf_dir: str) -> DataFrame:
             "is_canonical",
             (F.col("doc_id") == F.col("cluster")).cast("long"),
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -901,7 +903,7 @@ def image_color_stats(spark, sf_dir: str) -> DataFrame:
     images = d.select("doc_id").mapInPandas(
         synth, schema="image_id long, bytes binary, fmt string"
     )
-    return color_stats(images).localCheckpoint(eager=False).orderBy("image_id")
+    return color_stats(images).transform(barrier).orderBy("image_id")
 
 
 _COLOR_STATS_SQL = """
@@ -1074,7 +1076,7 @@ def image_border_stats(spark, sf_dir: str) -> DataFrame:
     images = d.select("doc_id").mapInPandas(
         synth, schema="image_id long, bytes binary, fmt string"
     )
-    return border_stats(images).localCheckpoint(eager=False).orderBy("image_id")
+    return border_stats(images).transform(barrier).orderBy("image_id")
 
 
 _BORDER_STATS_SQL = """
@@ -1237,7 +1239,7 @@ def image_autorotate(spark, sf_dir: str) -> DataFrame:
     images = d.select("doc_id").mapInPandas(
         synth, schema="image_id long, bytes binary"
     )
-    return autorotate_stats(images).localCheckpoint(eager=False).orderBy("image_id")
+    return autorotate_stats(images).transform(barrier).orderBy("image_id")
 
 
 _AUTOROTATE_SQL = """
@@ -1352,7 +1354,7 @@ def image_exif_gps_scrub(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, had_gps long, gps_after long, "
             "tags_kept long, pixels_same long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 

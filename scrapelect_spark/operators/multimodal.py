@@ -36,6 +36,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .tables import barrier
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -639,7 +641,7 @@ def audio_wav_features(spark, sf_dir: str) -> DataFrame:
         F.col("audio_id").cast("long").alias("doc_id"),
         "duration_s",
         F.round("rms", 6).alias("rms"),
-    ).localCheckpoint(eager=False).orderBy("doc_id")
+    ).transform(barrier).orderBy("doc_id")
 
 
 _AUDIO_SQL = """
@@ -693,7 +695,7 @@ def image_png_roundtrip(spark, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1))
         .cast("long")
         .alias("failed"),
-    ).localCheckpoint(eager=False).orderBy("doc_id")
+    ).transform(barrier).orderBy("doc_id")
 
 
 _IMAGE_SQL = """
@@ -773,7 +775,7 @@ def image_jpeg_roundtrip(spark, sf_dir: str) -> DataFrame:
         synth_and_verify,
         schema="doc_id long, w long, h long, caption string, psnr_ok long, failed long",
     )
-    return feats.localCheckpoint(eager=False).orderBy("doc_id")
+    return feats.transform(barrier).orderBy("doc_id")
 
 
 _JPEG_SQL = """
@@ -839,7 +841,7 @@ def image_resize_nn(spark, sf_dir: str) -> DataFrame:
         resized.mapInPandas(
             verify, schema="doc_id long, w long, h long, pixel long"
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -893,7 +895,7 @@ def image_resize_filters(spark, sf_dir: str) -> DataFrame:
     # once so the Python synthesis pass runs once, not per method
     images = d.select("doc_id").mapInPandas(
         synth, schema="image_id string, bytes binary, fmt string"
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
 
     def one(method: str, tag: str) -> DataFrame:
         return resize_images(
@@ -940,7 +942,7 @@ def image_resize_filters(spark, sf_dir: str) -> DataFrame:
         verify,
         schema="doc_id long, w long, h long, bilinear_ok long, "
         "area_ok long, nn_differs long",
-    ).localCheckpoint(eager=False).orderBy("doc_id")
+    ).transform(barrier).orderBy("doc_id")
 
 
 _RESIZE_FILTERS_SQL = """
@@ -1061,7 +1063,7 @@ def image_patch_grid(spark, sf_dir: str) -> DataFrame:
             verify,
             schema="doc_id long, py long, px long, patch_sum long, blob_sum long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id", "py", "px")
+        .transform(barrier).orderBy("doc_id", "py", "px")
     )
 
 
@@ -1148,7 +1150,7 @@ def image_foreign_formats(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, fmt string, w long, h long, "
             "exact long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -1208,7 +1210,7 @@ def image_decode_errors(spark, sf_dir: str) -> DataFrame:
         F.when(F.col("phash").isNull(), 0).otherwise(1)
         .cast("long")
         .alias("has_phash"),
-    ).localCheckpoint(eager=False).orderBy("doc_id")
+    ).transform(barrier).orderBy("doc_id")
 
 
 _DECODE_ERRORS_SQL = """
@@ -1293,7 +1295,7 @@ def video_frame_sample(spark, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_idx long, w long, h long, "
         "psnr_ok long, failed long",
     )
-    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
+    return feats.transform(barrier).orderBy("doc_id", "frame_idx")
 
 
 _VIDEO_SQL = """
@@ -1362,7 +1364,7 @@ def audio_adpcm_roundtrip(spark, sf_dir: str) -> DataFrame:
             synth_and_verify,
             schema="doc_id long, duration_s double, snr_ok long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -1464,7 +1466,7 @@ def video_msvc_roundtrip(spark, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_idx long, w long, h long, "
         "exact long, failed long",
     )
-    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
+    return feats.transform(barrier).orderBy("doc_id", "frame_idx")
 
 
 _MSVC_SQL = """
@@ -1543,7 +1545,7 @@ def audio_adpcm_stereo(spark, sf_dir: str) -> DataFrame:
             synth_and_verify,
             schema="doc_id long, duration_s double, snr_ok long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -1607,7 +1609,7 @@ def audio_g711_roundtrip(spark, sf_dir: str) -> DataFrame:
             synth_and_verify,
             schema="doc_id long, duration_s double, snr_ok long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -1679,7 +1681,7 @@ def audio_flac_roundtrip(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, duration_s double, exact long, "
             "compressed long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -1767,7 +1769,7 @@ def audio_ogg_flac_roundtrip(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, duration_s double, exact long, "
             "granule_ok long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -1884,7 +1886,7 @@ def audio_mp3_metadata(spark, sf_dir: str) -> DataFrame:
             "bitrate_max_kbps long, is_cbr long, has_id3 long, "
             "failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -1990,7 +1992,7 @@ def audio_mp2_roundtrip(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, duration_s double, good long, "
             "compressed long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -2086,7 +2088,7 @@ def image_gif_roundtrip(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, w long, h long, n_frames long, "
             "exact long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -2156,7 +2158,7 @@ def image_bmp_roundtrip(spark, sf_dir: str) -> DataFrame:
             synth_and_verify,
             schema="doc_id long, w long, h long, exact long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -2238,7 +2240,7 @@ def image_tiff_roundtrip(spark, sf_dir: str) -> DataFrame:
             synth_and_verify,
             schema="doc_id long, w long, h long, exact long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -2356,7 +2358,7 @@ def video_mpeg1_iframe_sample(spark, sf_dir: str) -> DataFrame:
     feats = sampled.mapInPandas(
         verify, schema="doc_id long, frame_idx long, ok long, failed long"
     )
-    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
+    return feats.transform(barrier).orderBy("doc_id", "frame_idx")
 
 
 _MPEG1_SQL = """
@@ -2459,7 +2461,7 @@ def video_mpeg1_p_sample(spark, sf_dir: str) -> DataFrame:
     feats = sampled.mapInPandas(
         verify, schema="doc_id long, frame_idx long, ok long, failed long"
     )
-    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
+    return feats.transform(barrier).orderBy("doc_id", "frame_idx")
 
 
 _MPEG1_P_SQL = """
@@ -2560,7 +2562,7 @@ def video_mpeg1_b_sample(spark, sf_dir: str) -> DataFrame:
     feats = sampled.mapInPandas(
         verify, schema="doc_id long, frame_idx long, ok long, failed long"
     )
-    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
+    return feats.transform(barrier).orderBy("doc_id", "frame_idx")
 
 
 _MPEG1_B_SQL = """
@@ -2652,7 +2654,7 @@ def image_webp_roundtrip(spark, sf_dir: str) -> DataFrame:
             synth_and_verify,
             schema="doc_id long, w long, h long, exact long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -2731,7 +2733,7 @@ def audio_mp1_roundtrip(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, duration_s double, good long, "
             "compressed long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -2831,7 +2833,7 @@ def video_mpeg_ps_roundtrip(spark, sf_dir: str) -> DataFrame:
             schema="doc_id long, n_frames long, es_exact long, "
             "audio_ok long, failed long",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 
@@ -2938,7 +2940,7 @@ def audio_id3_extract(spark, sf_dir: str) -> DataFrame:
     audio = d.select("doc_id").mapInPandas(
         synth, schema="audio_id long, bytes binary"
     )
-    return extract_audio_tags(audio).localCheckpoint(eager=False).orderBy("audio_id")
+    return extract_audio_tags(audio).transform(barrier).orderBy("audio_id")
 
 
 _ID3_SQL = """
@@ -3045,7 +3047,7 @@ def audio_mel_bands(spark, sf_dir: str) -> DataFrame:
             schema="audio_id long, f_hz long, dominant_band long, "
             "n_bands long",
         )
-        .localCheckpoint(eager=False).orderBy("audio_id")
+        .transform(barrier).orderBy("audio_id")
     )
 
 
@@ -3169,7 +3171,7 @@ def video_mpeg2_intra_sample(spark, sf_dir: str) -> DataFrame:
         verify,
         schema="doc_id long, frame_idx long, ok long, failed long",
     )
-    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
+    return feats.transform(barrier).orderBy("doc_id", "frame_idx")
 
 
 _MPEG2_SQL = """
@@ -3275,7 +3277,7 @@ def video_h264_ipcm_roundtrip(spark, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_idx long, w long, h long, "
         "exact long, failed long",
     )
-    return feats.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
+    return feats.transform(barrier).orderBy("doc_id", "frame_idx")
 
 
 _H264_SQL = """

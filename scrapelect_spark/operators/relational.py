@@ -23,13 +23,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import load
+from .tables import barrier, load, spread
 
 DEC = "decimal(28,8)"
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load(spark, sf_dir, "lineitem")
+    # spread: single-split bench scan -> cluster-parallel agg map side
+    # (identity at corpus scale); measured 1.06 -> 0.93 s, while the
+    # same fan-out on the join-heavy q5/q18 measured SLOWER and was
+    # reverted (the added exchange outweighs the serial map there)
+    l = spread(load(spark, sf_dir, "lineitem"))
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     charge = (
         F.col("l_extendedprice")
@@ -46,7 +50,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(charge).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
         )
-        .localCheckpoint(eager=False).orderBy("l_returnflag", "l_linestatus")
+        .transform(barrier).orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -115,7 +119,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(sup, l.l_suppkey == F.col("s_suppkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .localCheckpoint(eager=False).orderBy(F.desc("revenue"), "n_name")
+        .transform(barrier).orderBy(F.desc("revenue"), "n_name")
     )
 
 
@@ -179,7 +183,7 @@ def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value"), 6).alias("value"),
             F.col("rk").cast("int").alias("rk"),
         )
-        .localCheckpoint(eager=False).orderBy("user_id", "rk")
+        .transform(barrier).orderBy("user_id", "rk")
     )
 
 
@@ -208,7 +212,7 @@ def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("running").cast("double").alias("running_value"),
         )
-        .localCheckpoint(eager=False).orderBy("event_id")
+        .transform(barrier).orderBy("event_id")
     )
 
 
@@ -236,7 +240,7 @@ def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         )
-        .localCheckpoint(eager=False).orderBy("hour", "event_type")
+        .transform(barrier).orderBy("hour", "event_type")
     )
 
 
@@ -356,7 +360,7 @@ def q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
-        .localCheckpoint(eager=False).orderBy("o_orderpriority")
+        .transform(barrier).orderBy("o_orderpriority")
     )
 
 
@@ -429,7 +433,7 @@ def frontier_new_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.join(seen, p.p_partkey == F.col("l_partkey"), "left_anti")
         .select("p_partkey", "p_name")
-        .localCheckpoint(eager=False).orderBy("p_partkey")
+        .transform(barrier).orderBy("p_partkey")
     )
 
 
@@ -454,7 +458,7 @@ def perhost_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("source", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
-        .localCheckpoint(eager=False).orderBy("source", "rk")
+        .transform(barrier).orderBy("source", "rk")
     )
 
 
@@ -493,7 +497,7 @@ def priority_claim_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-    ).localCheckpoint(eager=False).orderBy("fetch_order")
+    ).transform(barrier).orderBy("fetch_order")
 
 
 _PRIORITY_SQL = """
@@ -607,7 +611,7 @@ def crawl_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return recrawl_priority(hist, 100).select(
         "doc_id", "age_s", "change_count", "crawl_count", "score"
-    ).localCheckpoint(eager=False).orderBy(F.desc("score"), "doc_id")
+    ).transform(barrier).orderBy(F.desc("score"), "doc_id")
 
 
 def crawl_revalidate_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,7 +661,7 @@ def crawl_revalidate_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("outcome") == "changed", F.col("fetched_hash"))
         .otherwise(F.col("stored_hash"))
         .alias("new_hash"),
-    ).localCheckpoint(eager=False).orderBy("doc_id")
+    ).transform(barrier).orderBy("doc_id")
 
 
 _REVALIDATE_SQL = """
@@ -741,7 +745,7 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("last_event"),
             (F.max("us") - F.min("us")).alias("duration_us"),
         )
-        .localCheckpoint(eager=False).orderBy("user_id", "session_idx")
+        .transform(barrier).orderBy("user_id", "session_idx")
     )
 
 
@@ -821,7 +825,7 @@ def crawl_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("url")
     )
-    return url_space_stats(urls).localCheckpoint(eager=False).orderBy("host")
+    return url_space_stats(urls).transform(barrier).orderBy("host")
 
 
 _TRAP_SQL = r"""
@@ -968,7 +972,7 @@ def crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.cast("long").alias("n_unchanged"),
         lam_per_day.alias("lambda_per_day"),
         F.round(next_s, 3).alias("next_fetch_s"),
-    ).localCheckpoint(eager=False).orderBy("url_id")
+    ).transform(barrier).orderBy("url_id")
 
 
 _CHANGE_RATE_SQL = f"""
@@ -1064,7 +1068,7 @@ def dust_param_rules(pages: DataFrame) -> DataFrame:
                 & (F.col("n_pairs") >= 2)
             ).cast("long"),
         )
-        .localCheckpoint(eager=False).orderBy("param")
+        .transform(barrier).orderBy("param")
     )
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .tables import load
+from .tables import barrier, load, spread
 
 DEC = "decimal(28,12)"
 
@@ -67,8 +67,11 @@ def _query_elements(el: DataFrame, query_vec_id: int = 0) -> DataFrame:
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-10 cosine neighbors of vec_id=0 (excluded itself)."""
-    el = _elements(load(spark, sf_dir, "embeddings"))
+    """Exact top-10 cosine neighbors of vec_id=0 (excluded itself).
+    ``spread`` fans the single-split bench scan out to cluster
+    parallelism (identity at corpus scale) — the explode + dot-product
+    aggregation otherwise runs in ONE task before its first exchange."""
+    el = _elements(spread(load(spark, sf_dir, "embeddings")))
     cos = _cosine_of_elements(el, _query_elements(el, 0))
     return (
         cos.filter(F.col("vec_id") != 0)
@@ -161,7 +164,7 @@ def _bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         hit[1].unpersist()
     df = _bucket_expr_spark(
-        _elements(load(spark, sf_dir, "embeddings"))
+        _elements(spread(load(spark, sf_dir, "embeddings")))
     ).persist()
     _INDEX_CACHE[key] = (fp, df)
     return df
@@ -315,7 +318,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(q).alias("q_min"),
         F.array_max(q).alias("q_max"),
     )
-    return d.localCheckpoint(eager=False).orderBy("vec_id")
+    return d.transform(barrier).orderBy("vec_id")
 
 
 _QUANT_SQL = """
@@ -524,7 +527,7 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.createDataFrame(out, "ord long, component double")
         .select("ord", F.round("component", 6).alias("component"))
-        .localCheckpoint(eager=False).orderBy("ord")
+        .transform(barrier).orderBy("ord")
     )
 
 
@@ -620,7 +623,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, "k long, n_members long, ord long, component double"
             )
             .select("k", "n_members", "ord", F.round("component", 6).alias("component"))
-            .localCheckpoint(eager=False).orderBy("k", "ord")
+            .transform(barrier).orderBy("k", "ord")
         )
     finally:
         el.unpersist()
@@ -741,7 +744,14 @@ def semdedup_flags(el: DataFrame, k: int = _SEMDEDUP_K, tau: float = _SEMDEDUP_T
     (|c|² per cluster, the SemDeDup contract: pick K so N/K fits a
     task) and the dot/norm sums are partial-aggregated DECIMALs.  The
     k·D centroid table is the only broadcast; nothing N-sized ever
-    reaches the driver."""
+    reaches the driver.
+
+    (Round 6 measured both a ``spread`` fan-out and a materialization
+    barrier on ``el`` here and each was SLOWER — 1.98 s bare vs 2.45 /
+    2.64 s — the downstream is many small cluster-local stages where
+    the extra exchange and the checkpoint scan cost more than the
+    re-executed explode; contrast hard_negatives, where the same pair
+    of changes cut 3.2 s to 1.3 s on one dense aggregation.)"""
     cent = (
         el.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("k"), "ord", F.col("x").alias("c"))
@@ -814,7 +824,7 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ord") == 1, F.col("x") + 0.05).otherwise(F.col("x")).alias("x"),
         )
     )
-    return semdedup_flags(el.unionByName(dup_el)).localCheckpoint(eager=False).orderBy("vec_id")
+    return semdedup_flags(el.unionByName(dup_el)).transform(barrier).orderBy("vec_id")
 
 
 _SEMDEDUP_SQL = f"""
@@ -1056,7 +1066,7 @@ def embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("adc"), 6).alias("adc_d2"),
                 F.round(F.col("exact").cast("double"), 6).alias("exact_d2"),
             )
-            .localCheckpoint(eager=False).orderBy("adc_d2", "vec_id")
+            .transform(barrier).orderBy("adc_d2", "vec_id")
         )
     finally:
         el.unpersist()
@@ -1171,7 +1181,12 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     a high-cardinality key; the argmax per anchor is an A-row
     aggregation."""
     e = load(spark, sf_dir, "embeddings")
-    el = _elements(e)
+    # fan the single-split bench scan out to cluster parallelism
+    # (identity at corpus scale) and materialize: el feeds the anchor
+    # extraction, the dot pass AND the norm pass — without the barrier
+    # the ×A dot-product expansion ran in ONE task (measured 3.2 s of
+    # this gate's 3.2 s), and the explode re-ran per consumer
+    el = _elements(spread(e)).transform(barrier)
     labels = e.select("vec_id", F.col("label").cast("long").alias("label"))
     qel = (
         el.filter(F.col("vec_id") < _HN_ANCHORS)
@@ -1232,7 +1247,7 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_vec",
         )
         .select("q_vec", "q_label", "neg_vec", "neg_label", "neg_cosine")
-        .localCheckpoint(eager=False).orderBy("q_vec")
+        .transform(barrier).orderBy("q_vec")
     )
 
 

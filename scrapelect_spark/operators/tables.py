@@ -54,6 +54,25 @@ def loop_shuffle(spark: SparkSession, n: int):
         spark.conf.set(key, old)
 
 
+#: materialization barriers on (the production default).  Plan-shape
+#: tests set this False so ``plan_of(gate(...))`` shows the full
+#: logical tree instead of a LogicalRDD stub at each barrier — the
+#: barrier only truncates what EXPLAIN prints; the barriered subtree
+#: executes the identical plan.
+BARRIERS = True
+
+
+def barrier(df: DataFrame) -> DataFrame:
+    """Lazy materialization barrier: compute-once for subtrees that are
+    consumed several times or feed a global sort (whose range sampling
+    executes the child in full a second time).  Chain with
+    ``df.transform(barrier)``.  No-op when ``BARRIERS`` is False (plan
+    inspection)."""
+    if not BARRIERS:
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 def materialized_sort(df: DataFrame, *cols) -> DataFrame:
     """Global ORDER BY without re-executing an expensive subtree.
 
@@ -72,18 +91,22 @@ def materialized_sort(df: DataFrame, *cols) -> DataFrame:
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Explicit fan-out for small synthetic gate inputs.
+    """Explicit fan-out for under-parallel inputs.
 
-    A toy-scale parquet scan is a single partition, and
-    ``mapInPandas`` inherits its input's partitioning — so the
-    per-row codec work the multimodal gates do (encode/decode a
-    video/audio/image per document) would execute on ONE task no
-    matter how many cores the cluster has.  Repartitioning to the
-    session's default parallelism with an EXPLICIT partition count
-    (user-specified numPartitions is exempt from AQE coalescing)
-    makes the Arrow stages genuinely parallel.  At corpus scale the
-    input already arrives in many partitions and this exchange moves
-    the same tiny id list it moves here — the per-row work stays
-    partition-local either way."""
+    A toy-scale parquet scan is a single partition, and everything up
+    to the first exchange — ``mapInPandas`` codec work, but equally
+    JVM-side explodes, regex extraction and partial aggregation —
+    executes on ONE task no matter how many cores the cluster has.
+    Repartitioning to the session's default parallelism with an
+    EXPLICIT partition count (user-specified numPartitions is exempt
+    from AQE coalescing) makes those stages genuinely parallel.
+
+    Round 6 made the fan-out CONDITIONAL: when the input already
+    carries at least the cluster's parallelism (every corpus-scale
+    scan), spread is the identity — the exchange exists only where it
+    buys parallelism, so corpus-scale plans are untouched rather than
+    paying a full-table round-robin shuffle."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)

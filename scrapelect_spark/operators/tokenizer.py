@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .tables import barrier
+
 #: default cap on the driver-side word-frequency table
 _MAX_VOCAB = 65536
 
@@ -188,7 +190,7 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_words", "n_bpe_tokens", "oov_words",
             "token_stream",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(barrier).orderBy("doc_id")
     )
 
 

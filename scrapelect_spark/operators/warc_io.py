@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .tables import load, spread
+from .tables import barrier, load, spread
 
 #: deterministic snapshot stamp for gate/test segments (a real crawl
 #: batch passes its own batch timestamp)
@@ -102,7 +102,7 @@ def crawl_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         "status",
         F.md5(F.col("html")).alias("body_md5"),
-    ).localCheckpoint(eager=False).orderBy("url")
+    ).transform(barrier).orderBy("url")
 
 
 _WARC_SQL = """
@@ -206,7 +206,7 @@ def crawl_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "url",
             "priority",
         )
-        .localCheckpoint(eager=False).orderBy("doc_id", "url")
+        .transform(barrier).orderBy("doc_id", "url")
     )
 
 
@@ -324,7 +324,7 @@ def crawl_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("parse_error").isNotNull(), 1)
             .otherwise(0).cast("long").alias("failed"),
         )
-        .localCheckpoint(eager=False).orderBy("doc_id", "url")
+        .transform(barrier).orderBy("doc_id", "url")
     )
 
 
@@ -459,7 +459,7 @@ def crawl_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long")
         .alias("failed"),
-    ).localCheckpoint(eager=False).orderBy("doc_id", "member_name")
+    ).transform(barrier).orderBy("doc_id", "member_name")
 
 
 _ARCHIVE_SQL = """

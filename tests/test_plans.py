@@ -10,6 +10,22 @@ must be visible in the executed plan, not just intended.
 
 import pytest
 
+from scrapelect_spark.operators import tables as _tables
+
+
+@pytest.fixture(autouse=True)
+def _no_materialization_barriers():
+    """Plan-shape tests inspect the LOGICAL tree: the round-6
+    materialization barriers (``tables.barrier``) truncate EXPLAIN
+    output at each checkpoint (a LogicalRDD stub) without changing
+    what the barriered subtree executes — disable them here so the
+    assertions below (pushdown, join strategy, exchange counts) keep
+    seeing the full plan."""
+    old = _tables.BARRIERS
+    _tables.BARRIERS = False
+    yield
+    _tables.BARRIERS = old
+
 
 def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
