@@ -94,11 +94,11 @@ def phash_neardup(
     even at 10^9 images."""
     from .dedup import band_pairs
 
-    hashed = hashed.transform(barrier)
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole exactness needs max_hamming < n_bands")
     if 64 % n_bands:
         raise ValueError("n_bands must divide 64")
+    hashed = hashed.transform(barrier)
     width = 64 // n_bands
     mask = (1 << width) - 1
     stack_args = ", ".join(
@@ -746,7 +746,7 @@ def image_phash_clusters(spark, sf_dir: str) -> DataFrame:
 
     hashed = d.select("doc_id").mapInPandas(
         synth_hash, schema="doc_id long, phash long"
-    ).localCheckpoint()
+    ).transform(barrier)
     edges = phash_neardup(hashed, max_hamming=7).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

@@ -228,6 +228,37 @@ import itertools as _itertools
 _GATE_SEQ = _itertools.count()
 
 
+def _write_trigger_files(d: str, parts) -> None:
+    """Write one single-file parquet per trigger part into ``d``,
+    mtime-ordered (the file source triggers by timestamp, then path).
+
+    The writes are independent jobs over already-defined inputs, so
+    they are submitted CONCURRENTLY (guide §2.6: overlap independent
+    jobs — each tiny fixture write is dominated by per-job scheduler +
+    commit latency, and the sequential r5 loop paid it four times in a
+    row).  The mtimes are assigned after every write lands, so the
+    trigger order is exactly the sequential loop's."""
+    import os
+    import shutil
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_one(k, p):
+        sub = os.path.join(d, f"_stage{k}")
+        p.coalesce(1).write.mode("overwrite").parquet(sub)
+        src = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"{k:03d}.parquet")
+        shutil.move(os.path.join(sub, src), dst)
+        shutil.rmtree(sub, ignore_errors=True)
+        return dst
+
+    with ThreadPoolExecutor(max_workers=len(parts)) as pool:
+        dsts = list(pool.map(write_one, range(len(parts)), parts))
+    now = time.time()
+    for k, dst in enumerate(dsts):
+        os.utime(dst, (now + k, now + k))
+
+
 def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run ``hourly_counts_stream`` as a real Structured Streaming query
     (file source split into 3 files → 3 incremental triggers, memory
@@ -331,17 +362,7 @@ def events_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch.filter(F.col("ts") >= c2),
             sentinels,
         ]
-        now = time.time()
-        for k, p in enumerate(parts):
-            sub = os.path.join(d, f"_stage{k}")
-            p.coalesce(1).write.mode("overwrite").parquet(sub)
-            src = next(
-                f for f in os.listdir(sub) if f.endswith(".parquet")
-            )
-            dst = os.path.join(d, f"{k:03d}.parquet")
-            shutil.move(os.path.join(sub, src), dst)
-            shutil.rmtree(sub, ignore_errors=True)
-            os.utime(dst, (now + k, now + k))  # file-source trigger order
+        _write_trigger_files(d, parts)
         # input-sized state partitioning — see events_hourly_stream
         with loop_shuffle(spark, scan_partitions(spark.read.parquet(d))):
             q = (
@@ -461,15 +482,7 @@ def events_late_drop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"late_drop_gate_{next(_GATE_SEQ)}"
     try:
         parts = [base, advancer, late, sentinel]
-        now = time.time()
-        for k, p in enumerate(parts):
-            sub = os.path.join(d, f"_stage{k}")
-            p.coalesce(1).write.mode("overwrite").parquet(sub)
-            src = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
-            dst = os.path.join(d, f"{k:03d}.parquet")
-            shutil.move(os.path.join(sub, src), dst)
-            shutil.rmtree(sub, ignore_errors=True)
-            os.utime(dst, (now + k, now + k))
+        _write_trigger_files(d, parts)
         agg = (
             events_stream(spark, d)
             .withWatermark("ts", "1 hour")
