@@ -29,11 +29,13 @@ DEC = "decimal(28,8)"
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: single-split bench scan -> cluster-parallel agg map side
-    # (identity at corpus scale); measured 1.06 -> 0.93 s, while the
-    # same fan-out on the join-heavy q5/q18 measured SLOWER and was
-    # reverted (the added exchange outweighs the serial map there)
-    l = spread(load(spark, sf_dir, "lineitem"))
+    # (round 6 measured a spread() fan-out of the single-split bench
+    # scan at 1.06 -> 0.93 s, but between bench scale and corpus scale
+    # there is a band — a few scan splits, still under cluster
+    # parallelism — where the fan-out round-robins the whole fact
+    # table for a map-side-only win; reverted as not robust across
+    # scale factors, like the join-heavy q3-q18)
+    l = load(spark, sf_dir, "lineitem")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     charge = (
         F.col("l_extendedprice")

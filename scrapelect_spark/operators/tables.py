@@ -17,15 +17,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def scan_partitions(df: DataFrame) -> int:
-    """Partition count Spark derives for computing ``df`` — for a
-    parquet scan this is input bytes / ``spark.sql.files.maxPartitionBytes``
-    (~128 MiB per split), i.e. a size-proportional parallelism estimate
-    that costs no job to obtain.  Iterative operators use it to size
-    their loop partitioning to the CORPUS, not to a constant tuned for
-    either local mode or one cluster (guide §2: scale-adaptive
-    partitioning): a 600 KB bench table yields 1, a 100 TB corpus
-    hundreds of thousands."""
+def scan_partitions(df: DataFrame, target_bytes: int = 16 << 20) -> int:
+    """Input-proportional partition count for sizing an ITERATIVE
+    loop's shuffles/state to the corpus rather than to a constant
+    tuned for either local mode or one cluster (guide §2:
+    scale-adaptive partitioning).
+
+    Derived from the optimizer's size estimate of ``df`` (file-size
+    based for scans; driver-side, costs no job) at ``target_bytes``
+    per partition.  The target is deliberately finer than a scan
+    split (16 MiB vs 128 MiB): a loop touches its working set twice
+    per round across many rounds and typically explodes it (edge
+    lists, element tables), so per-round partitions want to be
+    smaller than one-shot scan splits.  A 600 KB bench table yields
+    1 (the measured-fast case for the graph loops), a 100 TB corpus
+    hundreds of thousands.  Falls back to the physical scan split
+    count if the estimate is unavailable."""
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if size > 0:
+            return max(1, -(-size // target_bytes))
+    except Exception:
+        pass
     return max(1, df.rdd.getNumPartitions())
 
 
